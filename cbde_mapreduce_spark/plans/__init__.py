@@ -1,0 +1,11 @@
+"""Query plans: importing this package populates the registry.
+
+Each submodule covers one SURVEY.md §2 block; adding a module here is the
+single step needed for its queries to appear in ``__spark_entry__.queries()``
+and the driver's correctness gate.
+"""
+
+from cbde_mapreduce_spark.plans.registry import REGISTRY, QuerySpec, query  # noqa: F401
+
+# Import order = SURVEY.md §7 build-plan order. Each import registers queries.
+from cbde_mapreduce_spark.plans import tpch  # noqa: F401,E402

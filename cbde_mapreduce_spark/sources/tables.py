@@ -1,0 +1,60 @@
+"""Fixture-table loaders (SURVEY.md §1.2, FIXTURES.md).
+
+Ten parquet tables per scale-factor directory. The one non-trivial read is
+``events``: its ``ts`` column is parquet TIMESTAMP(NANOS), which Spark's
+vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]); we read it as epoch-nanos
+long (``spark.sql.legacy.parquet.nanosAsLong``) and expose BOTH:
+
+- ``ts``     timestamp_ntz, truncated to microseconds — matches what DuckDB
+             yields when casting its TIMESTAMP_NS read to TIMESTAMP, so
+             oracle value-hashes line up;
+- ``ts_ns``  the raw epoch-nanos bigint — exact integer event-time arithmetic
+             with no timezone dependence (sessionization, gap detection).
+
+At 100 TB these are plain parquet scans: filters/projections push down, and a
+directory of many files parallelizes across executors for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cbde_mapreduce_spark.session import apply_runtime_conf
+
+#: All fixture tables (one parquet file per table per scale factor).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame with canonical columns."""
+    apply_runtime_conf(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts_ns div 1000")).cast("timestamp_ntz"),
+            )
+            .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table: name -> DataFrame."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
