@@ -1,0 +1,61 @@
+"""As-of join (nearest right-row with ts <= left ts, per entity).
+
+MapReduce parity (SURVEY.md §2.3 'as-of join'): the MR realization is the
+secondary-sort trick — co-shuffle both tagged streams by entity, order by
+(ts, tag), and carry the latest right-side value forward in a single reducer
+pass. The Spark realization below is that exact algorithm expressed
+declaratively: union the tagged streams, then a single window pass with
+``last(value, ignorenulls=True)``.
+
+Scale notes: ONE shuffle on the entity key (the window partition), no
+row-multiplying range join, no per-group pandas materialization. Skewed
+entities are split by AQE. This beats the naive `left.join(right, ts <=)`
++ argmax plan, which multiplies rows quadratically per entity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """For each left row, attach the latest right ``value_cols`` at or before
+    its ``ts``, matching on entity column ``by``.
+
+    ``right`` must be unique per (by, ts) — pre-aggregate if it isn't, or the
+    carried value at equal timestamps is nondeterministic.
+    """
+    lcols = left.columns
+    tagged_left = left.withColumn("__tag", F.lit(1)).select(
+        *lcols, "__tag", *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols]
+    )
+    tagged_right = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c not in (by, ts) else F.col(c) for c in lcols],
+        F.lit(0).alias("__tag"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    # right rows (tag 0) sort before left rows (tag 1) at equal ts => inclusive (<=) semantics
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(ts).asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__carried_{c}")
+            for c in value_cols
+        ],
+    )
+    return (
+        carried.filter(F.col("__tag") == 1)
+        .select(*lcols, *[F.col(f"__carried_{c}").alias(c) for c in value_cols])
+    )

@@ -1,0 +1,231 @@
+"""Aggregations (SURVEY.md §2.4) and sorts/limits/top-k (§2.6).
+
+MapReduce parity: group-by aggregation is THE MapReduce primitive —
+map emits (groupkey, value), the combiner does partial folds, reducers
+finalize. Catalyst generates exactly that shape for every ``groupBy().agg()``
+(partial HashAggregate → shuffle on the group key → final HashAggregate), so
+the combiner optimization is automatic. COUNT(DISTINCT) is MR's two-job
+dedupe-then-count pattern; Spark plans it as a two-phase expand+aggregate.
+Rollup/cube are MR multi-emit (one record per grouping set); Spark's Expand
+node is the same trick. Global top-k is MR's per-mapper heap + single-reducer
+merge; Spark's TakeOrderedAndProject is that exact algorithm.
+
+Scale notes: all aggregates here are partial-aggregatable (no
+driver materialization); top-k never performs a global sort — each partition
+keeps k rows and the driver merges k·p rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cbde_mapreduce_spark.plans.registry import query
+from cbde_mapreduce_spark.sources import load_table
+
+
+@query(
+    "global_agg_lineitem",
+    oracle="""
+        SELECT count(*)                         AS n_rows,
+               round(sum(l_quantity), 2)        AS sum_qty,
+               min(l_shipdate)                  AS min_ship,
+               max(l_shipdate)                  AS max_ship,
+               count(DISTINCT l_suppkey)        AS n_suppliers,
+               round(avg(l_extendedprice), 6)   AS avg_price
+        FROM lineitem
+    """,
+    category="aggregation",
+)
+def global_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-key) aggregation — MR's single-reducer job, combiner-tree'd."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+    )
+
+
+@query(
+    "count_distinct_by_status",
+    oracle="""
+        SELECT o_orderstatus,
+               count(*)                  AS n_orders,
+               count(DISTINCT o_custkey) AS n_customers
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    category="aggregation",
+)
+def count_distinct_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group — MR's two-job dedupe-then-count pattern."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@query(
+    "rollup_lineitem_flags",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag, l_linestatus)::bigint AS gid,
+               count(*)                                     AS n,
+               round(sum(l_quantity), 2)                    AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    category="aggregation",
+)
+def rollup_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping_id — MR multi-emit per grouping set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )
+
+
+@query(
+    "cube_orders_status_priority",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus, o_orderpriority)::bigint AS gid,
+               count(*)                                         AS n,
+               round(sum(o_totalprice), 2)                      AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    category="aggregation",
+)
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions with grouping_id."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "sum_price")
+    )
+
+
+@query(
+    "having_busy_suppliers",
+    oracle="""
+        SELECT l_suppkey, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY l_suppkey
+        HAVING count(*) > 550
+    """,
+    category="aggregation",
+)
+def having_busy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING — MR's second filter job over aggregate output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .filter(F.col("n_items") > 550)
+    )
+
+
+@query(
+    "collect_set_priorities",
+    oracle="""
+        SELECT o_orderstatus,
+               list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+               count(*)                                  AS n
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    category="aggregation",
+)
+def collect_set_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set per group, sorted for deterministic hashing (SURVEY §5.1)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "histogram_event_types",
+    oracle="""
+        SELECT event_type, count(*) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+    category="aggregation",
+)
+def histogram_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value histogram — the word-count pattern on a column."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "distinct_segment_nation",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    category="dedup",
+)
+def distinct_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT rows — MR's emit-(record,null)-reduce-once job."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "top50_parts_ranked",
+    oracle="""
+        SELECT p_partkey, p_name, p_retailprice,
+               row_number() OVER (ORDER BY p_retailprice DESC, p_partkey) AS rn
+        FROM part
+        ORDER BY p_retailprice DESC, p_partkey
+        LIMIT 50
+    """,
+    category="sort",
+)
+def top50_parts_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k with explicit rank column.
+
+    Scale shape: orderBy().limit(k) compiles to TakeOrderedAndProject —
+    per-partition heaps of k rows, merged on the driver (the MR top-k
+    pattern). The rank window then runs on k rows only, never globally.
+    """
+    part = load_table(spark, sf_dir, "part")
+    top = part.select("p_partkey", "p_name", "p_retailprice").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    ).limit(50)
+    w = Window.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return top.withColumn("rn", F.row_number().over(w).cast("bigint"))
+
+
+@query("approx_distinct_users", oracle=None, category="aggregation")
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approx count-distinct — MR's sketch-in-combiner pattern.
+
+    No oracle: approximate result is engine-specific (SURVEY §2.4), driver
+    records rows-only. Accuracy is asserted in tests/test_aggregates.py.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n"),
+    )

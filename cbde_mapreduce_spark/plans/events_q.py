@@ -1,0 +1,142 @@
+"""Event-time batch operators (SURVEY.md §2.10 batch-first) + JSON extraction.
+
+MapReduce parity: tumbling buckets are map-side key derivation
+(bucket = ts - ts % width) + the standard aggregate reduce; JSON props
+parsing is an in-map() record transform. The streaming twins of these live
+in cbde_mapreduce_spark/streaming/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cbde_mapreduce_spark.plans.registry import query
+from cbde_mapreduce_spark.sources import load_table
+
+
+@query(
+    "tumbling_hourly_events",
+    oracle="""
+        SELECT date_trunc('hour', ts)   AS hour_start,
+               count(*)                 AS n,
+               round(sum(value), 2)     AS sum_value
+        FROM events
+        GROUP BY 1
+    """,
+    category="event-time",
+)
+def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows via F.window (event-time bucketing)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").cast("timestamp_ntz").alias("hour_start"), "n", "sum_value")
+    )
+
+
+@query(
+    "sliding_window_events",
+    oracle="""
+        SELECT make_timestamp(epoch_us(ts) // 900000000 * 900000000)
+                 - INTERVAL 15 MINUTE * k.i AS win_start,
+               count(*)             AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events, (SELECT unnest(range(0, 4)) AS i) k
+        GROUP BY 1
+    """,
+    category="event-time",
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h width, 15 min slide) via F.window.
+
+    Each event lands in 4 overlapping windows; the DuckDB oracle replicates
+    the same multi-emit expansion explicitly (the MR realization).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").cast("timestamp_ntz").alias("win_start"), "n", "sum_value")
+    )
+
+
+@query(
+    "json_props_extract",
+    oracle="""
+        SELECT event_type,
+               sum(regexp_extract(props, '"k": ([0-9]+)', 1)::bigint)::bigint AS sum_k,
+               count(*) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+    category="scalar",
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column parsing: from_json on the props payload, aggregated.
+
+    The Spark side uses a real JSON parser (from_json → struct); the oracle
+    extracts the same field by regex — a genuine cross-implementation check.
+    """
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.withColumn("p", F.from_json("props", "k BIGINT"))
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.col("p.k")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "session_window_events",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                          OR lag(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sess
+            FROM g
+        )
+        SELECT user_id,
+               min(ts)                          AS win_start,
+               max(ts) + INTERVAL 30 MINUTE     AS win_end,
+               count(*)                         AS n_events,
+               round(sum(value), 2)             AS sum_value
+        FROM s GROUP BY user_id, sess
+    """,
+    category="event-time",
+)
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows via Spark's native session_window (30-min gap).
+
+    Genuine differential: Spark merges via its SessionWindow operator; the
+    oracle reconstructs sessions with the lag/cumsum algorithm. Spark's
+    window end = last event + gap, mirrored in the oracle.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("win_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

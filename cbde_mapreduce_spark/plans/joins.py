@@ -1,0 +1,229 @@
+"""Join matrix (SURVEY.md §2.3): outer/semi/anti/cross/theta/as-of.
+
+MapReduce parity: the reference model has exactly two join algorithms —
+the reduce-side repartition join (both inputs tagged and shuffled on the
+key; Spark: SortMergeJoin/ShuffledHashJoin) and the map-side replicated
+join (small table in the distributed cache; Spark: BroadcastHashJoin).
+Outer/semi/anti are reducer emit-rules over the tagged groups; Spark
+expresses them as join types on the same two algorithms.
+
+Scale notes: semi/anti joins never materialize right-side payloads; the
+theta join keeps its small side literal (broadcast nested loop is only safe
+because one side is O(10) rows); the as-of join is one shuffle via the
+union+window trick (see operators/asof.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cbde_mapreduce_spark.operators.asof import asof_join
+from cbde_mapreduce_spark.plans.registry import query
+from cbde_mapreduce_spark.sources import load_table
+
+
+@query(
+    "left_outer_order_counts",
+    oracle="""
+        SELECT c.c_custkey, c.c_mktsegment,
+               count(o.o_orderkey)                       AS n_orders,
+               round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+    category="join",
+)
+def left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + aggregate — customers with zero orders kept."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "full_outer_nation_activity",
+    oracle="""
+        WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+                   FROM customer GROUP BY 1),
+             s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+                   FROM supplier GROUP BY 1)
+        SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+               coalesce(c.n_cust, 0)              AS n_cust,
+               coalesce(s.n_supp, 0)              AS n_supp
+        FROM c FULL JOIN s ON c.nationkey = s.nationkey
+    """,
+    category="join",
+)
+def full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    c = cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    s = supp.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        c.join(s, "nationkey", "full")
+        .select(
+            "nationkey",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@query(
+    "semi_join_active_customers",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+    """,
+    category="join",
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — reducer emits left group iff right group non-empty."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 400000)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join_inactive_customers",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    category="join",
+)
+def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — reducer emits left group iff right group empty."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "cross_join_region_segments",
+    oracle="""
+        SELECT r.r_name, s.c_mktsegment
+        FROM region r
+        CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) s
+    """,
+    category="join",
+)
+def cross_join_region_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (guarded: both sides tiny)."""
+    region = load_table(spark, sf_dir, "region")
+    segs = load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+    return region.select("r_name").crossJoin(segs)
+
+
+@query(
+    "theta_join_price_bands",
+    oracle="""
+        WITH bands(band, lo, hi) AS (VALUES
+            ('budget',   0.0,   930.0),
+            ('standard', 930.0, 960.0),
+            ('premium',  960.0, 1000.0))
+        SELECT b.band, count(*) AS n_parts, round(avg(p.p_retailprice), 6) AS avg_price
+        FROM part p JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+        GROUP BY b.band
+    """,
+    category="join",
+)
+def theta_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi) join against a literal band table.
+
+    Physical plan: BroadcastNestedLoopJoin — correct here because the band
+    side is O(1) rows; a large-large theta join would instead be bucketed
+    (see operators/similarity.py for the banding pattern).
+    """
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 930.0), ("standard", 930.0, 960.0), ("premium", 960.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "range_join_ship_lag",
+    oracle="""
+        SELECT year(o.o_orderdate)::int AS o_year, count(*) AS n_late_items
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          AND l.l_shipdate <= o.o_orderdate + INTERVAL 180 DAY
+        GROUP BY 1
+    """,
+    category="join",
+)
+def range_join_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi join + range predicate (interval window on the join pair)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+            & (F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 180 DAYS"))
+        )
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.count(F.lit(1)).alias("n_late_items"))
+    )
+
+
+@query(
+    "asof_join_purchase_click",
+    oracle="""
+        WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, ts, max(value) AS click_value
+                   FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+        SELECT p.event_id, p.user_id, p.ts, c.click_value
+        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    category="join",
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the user's latest click value at-or-before.
+
+    Differential check is genuine: DuckDB runs its native ASOF JOIN; we run
+    the union+window secondary-sort algorithm (operators/asof.py).
+    """
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    return asof_join(purchases, clicks, by="user_id", ts="ts", value_cols=["click_value"])

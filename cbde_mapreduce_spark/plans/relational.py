@@ -1,0 +1,215 @@
+"""Projections, filters, predicates, and scalar functions (SURVEY.md §2.2, §2.8).
+
+MapReduce parity: all of these are in-``map()`` record transforms — emit a
+subset of fields, gate on a predicate, or compute derived values per record.
+In Spark they are narrow (shuffle-free) operations that Catalyst pushes into
+the parquet scan: predicate pushdown skips row groups, column pruning reads
+only the referenced columns. At 100 TB these queries never shuffle at all
+(except where they end in a small aggregate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cbde_mapreduce_spark.plans.registry import query
+from cbde_mapreduce_spark.sources import load_table
+
+
+@query(
+    "filter_project_orders",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               round(o_totalprice * 0.9, 4) AS discounted,
+               year(o_orderdate)::int       AS o_year
+        FROM orders
+        WHERE o_orderstatus = 'O'
+          AND o_totalprice BETWEEN 100000 AND 200000
+          AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+    category="filter",
+)
+def filter_project_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicates (=, BETWEEN, IN) + projection + computed columns."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            (F.col("o_orderstatus") == "O")
+            & F.col("o_totalprice").between(100000, 200000)
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 0.9, 4).alias("discounted"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+    )
+
+
+@query(
+    "like_rlike_filter",
+    oracle="""
+        SELECT p_partkey, p_name, p_brand
+        FROM part
+        WHERE p_name LIKE '%blue%'
+          AND regexp_matches(p_brand, '^Brand#1[0-9]$')
+    """,
+    category="filter",
+)
+def like_rlike_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE and regex predicates (the MR 'grep job')."""
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_name").like("%blue%") & F.col("p_brand").rlike("^Brand#1[0-9]$")
+    ).select("p_partkey", "p_name", "p_brand")
+
+
+@query(
+    "explode_doc_tokens",
+    oracle="""
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+        WHERE doc_id < 10
+    """,
+    category="explode",
+)
+def explode_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N emit (the MR multi-write pattern) via explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") < 10)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    )
+
+
+@query(
+    "string_funcs_customer",
+    oracle="""
+        SELECT c_custkey,
+               upper(substr(c_name, 1, 8))                       AS name_prefix,
+               length(c_name)::int                               AS name_len,
+               concat_ws('-', c_mktsegment, c_nationkey::varchar) AS seg_nation,
+               lpad(c_custkey::varchar, 12, '0')                 AS padded_key,
+               instr(c_name, '#')::int                           AS hash_pos,
+               translate(c_mktsegment, 'AEIOU', 'aeiou')         AS seg_translated
+        FROM customer
+        WHERE c_custkey < 200
+    """,
+    category="scalar",
+)
+def string_funcs_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions: upper/substr/length/concat_ws/lpad/instr/translate."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.filter(F.col("c_custkey") < 200)
+        .select(
+            "c_custkey",
+            F.upper(F.substring("c_name", 1, 8)).alias("name_prefix"),
+            F.length("c_name").alias("name_len"),
+            F.concat_ws("-", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias("seg_nation"),
+            F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded_key"),
+            F.instr(F.col("c_name"), "#").alias("hash_pos"),
+            F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_translated"),
+        )
+    )
+
+
+@query(
+    "conditional_case_orders",
+    oracle="""
+        SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                    WHEN o_totalprice < 150000 THEN 'mid'
+                    ELSE 'big' END                                   AS bucket,
+               coalesce(nullif(o_orderstatus, 'P'), 'PENDING')       AS status_norm,
+               count(*)                                              AS n,
+               round(sum(greatest(o_totalprice, 10000.0)), 2)        AS sum_floored,
+               round(sum(least(o_totalprice, 400000.0)), 2)          AS sum_capped
+        FROM orders
+        GROUP BY 1, 2
+    """,
+    category="scalar",
+)
+def conditional_case_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif / greatest / least."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("big")
+    )
+    status_norm = F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING"))
+    return (
+        orders.groupBy(bucket.alias("bucket"), status_norm.alias("status_norm"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.greatest(F.col("o_totalprice"), F.lit(10000.0))), 2).alias("sum_floored"),
+            F.round(F.sum(F.least(F.col("o_totalprice"), F.lit(400000.0))), 2).alias("sum_capped"),
+        )
+    )
+
+
+@query(
+    "math_funcs_lineitem",
+    oracle="""
+        SELECT l_returnflag,
+               round(sum(sqrt(l_quantity)), 4)            AS sum_sqrt_qty,
+               round(sum(abs(l_discount - 0.05)), 4)      AS sum_abs_disc,
+               round(sum(pow(1 + l_tax, 2)), 4)           AS sum_pow_tax,
+               round(sum(ln(l_extendedprice)), 4)         AS sum_ln_price,
+               round(sum(floor(l_quantity) + ceil(l_discount * 100)), 1) AS sum_floor_ceil
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    category="scalar",
+)
+def math_funcs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar functions: sqrt/abs/pow/ln/floor/ceil under aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.sqrt("l_quantity")), 4).alias("sum_sqrt_qty"),
+        F.round(F.sum(F.abs(F.col("l_discount") - 0.05)), 4).alias("sum_abs_disc"),
+        F.round(F.sum(F.pow(1 + F.col("l_tax"), 2)), 4).alias("sum_pow_tax"),
+        F.round(F.sum(F.log(F.col("l_extendedprice"))), 4).alias("sum_ln_price"),
+        F.round(
+            F.sum((F.floor("l_quantity") + F.ceil(F.col("l_discount") * 100)).cast("double")), 1
+        ).alias("sum_floor_ceil"),
+    )
+
+
+@query(
+    "datetime_funcs_orders",
+    oracle="""
+        SELECT year(o_orderdate)::int  AS o_year,
+               month(o_orderdate)::int AS o_month,
+               count(*)                AS n_orders,
+               min(date_trunc('month', o_orderdate)) AS month_start,
+               round(avg(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00')), 4) AS avg_days_to_2002
+        FROM orders
+        GROUP BY 1, 2
+    """,
+    category="scalar",
+)
+def datetime_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions: year/month/date_trunc/datediff under aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(F.date_trunc("month", F.col("o_orderdate")).cast("timestamp_ntz")).alias("month_start"),
+            F.round(
+                F.avg(
+                    F.datediff(
+                        F.lit("2002-01-01 00:00:00").cast("timestamp_ntz"),
+                        F.col("o_orderdate"),
+                    )
+                ),
+                4,
+            ).alias("avg_days_to_2002"),
+        )
+    )

@@ -1,0 +1,246 @@
+"""Window functions (SURVEY.md §2.5) — the MR secondary-sort family.
+
+MapReduce parity: every query here is, in MR terms, a composite-key
+(partitionkey, orderkey) job with a custom partitioner + grouping comparator
+and a stateful single pass inside reduce(). Spark's Window operator IS that
+machinery: one shuffle on partitionBy keys, sort within partitions, single
+streaming pass.
+
+Determinism discipline: every ORDER BY carries a unique tiebreaker
+(event_id / orderkey), rank-family outputs are cast to bigint to match
+DuckDB, and float window aggregates are rounded on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cbde_mapreduce_spark.plans.registry import query
+from cbde_mapreduce_spark.sources import load_table
+
+
+@query(
+    "topk_window_per_user",
+    oracle="""
+        SELECT user_id, event_id, value, rn FROM (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC, event_id) AS rn
+            FROM events) t
+        WHERE rn <= 3
+    """,
+    category="window",
+)
+def topk_window_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group via row_number."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        events.select(
+            "user_id", "event_id", "value",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                          OR lag(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sess
+            FROM g
+        )
+        SELECT user_id, sess::bigint AS sess, count(*) AS n_events,
+               min(ts) AS sess_start, max(ts) AS sess_end
+        FROM s GROUP BY user_id, sess
+    """,
+    category="window",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap): lag-diff → break flag → running sum.
+
+    Event-time arithmetic is integer microseconds (ts_ns div 1000) — no float
+    seconds, no timezone dependence (SURVEY §7 hard-part 1).
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.expr("ts_ns div 1000")
+    gap_us = 30 * 60 * 1_000_000
+    brk = F.when(
+        (ts_us - F.lag(ts_us).over(w) > gap_us) | F.lag(ts_us).over(w).isNull(), 1
+    ).otherwise(0)
+    sess = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        events.select("user_id", "ts", F.col("event_id"), sess.alias("sess"))
+        .groupBy("user_id", "sess")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("sess_start"),
+            F.max("ts").alias("sess_end"),
+        )
+    )
+
+
+@query(
+    "running_revenue_per_customer",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey
+                                             ROWS UNBOUNDED PRECEDING), 2) AS running_total
+        FROM orders
+    """,
+    category="window",
+)
+def running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total (cumulative sum) per customer over order date."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@query(
+    "lag_lead_event_values",
+    oracle="""
+        SELECT event_id, user_id,
+               round(value - lag(value)  OVER w, 2) AS delta_prev,
+               round(lead(value) OVER w - value, 2) AS delta_next
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    category="window",
+)
+def lag_lead_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead — per-user deltas between consecutive events."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 2).alias("delta_next"),
+    )
+
+
+@query(
+    "rank_customers_in_nation",
+    oracle="""
+        SELECT c_custkey, c_nationkey,
+               rank()       OVER w AS rnk,
+               dense_rank() OVER w AS drnk
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+    """,
+    category="window",
+)
+def rank_customers_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank — tie semantics are part of the contract."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+    )
+
+
+@query(
+    "ntile_percentile_orders",
+    oracle="""
+        SELECT o_orderkey,
+               ntile(4)       OVER w            AS quartile,
+               round(percent_rank() OVER w, 6)  AS pct_rank,
+               round(cume_dist()    OVER w, 6)  AS cume
+        FROM orders
+        WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+    category="window",
+)
+def ntile_percentile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist over a global order.
+
+    Scale note: a single global window is a deliberate single-partition
+    sort; at 100 TB this op is re-expressed over a partition key or via
+    approx quantiles. Kept here because the operator semantics are part of
+    the reference surface.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "first_last_event_per_user",
+    oracle="""
+        SELECT DISTINCT user_id,
+               first_value(event_id) OVER w AS first_event,
+               last_value(event_id)  OVER w AS last_event,
+               round(first_value(value) OVER w, 2) AS first_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    category="window",
+)
+def first_last_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value over the full partition frame."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return events.select(
+        "user_id",
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(w).alias("last_event"),
+        F.round(F.first("value").over(w), 2).alias("first_value"),
+    ).distinct()
+
+
+@query(
+    "moving_avg_user_value",
+    oracle="""
+        SELECT event_id, user_id,
+               round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS mavg5
+        FROM events
+    """,
+    category="window",
+)
+def moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving aggregate over a bounded row frame (5-row trailing mean)."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return events.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("mavg5")
+    )
