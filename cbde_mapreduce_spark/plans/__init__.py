@@ -15,3 +15,7 @@ from cbde_mapreduce_spark.plans import setops  # noqa: F401,E402
 from cbde_mapreduce_spark.plans import joins  # noqa: F401,E402
 from cbde_mapreduce_spark.plans import windows  # noqa: F401,E402
 from cbde_mapreduce_spark.plans import events_q  # noqa: F401,E402
+from cbde_mapreduce_spark.plans import text  # noqa: F401,E402
+from cbde_mapreduce_spark.plans import neardup  # noqa: F401,E402
+from cbde_mapreduce_spark.plans import similarity_q  # noqa: F401,E402
+from cbde_mapreduce_spark.plans import multimodal_q  # noqa: F401,E402

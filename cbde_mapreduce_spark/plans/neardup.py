@@ -1,0 +1,68 @@
+"""Near-duplicate queries (SURVEY.md §2.11): exact Jaccard oracle + MinHash/SimHash.
+
+The exact 3-gram Jaccard join is oracle-checked cell-exact against DuckDB.
+MinHash-LSH and SimHash depend on xxhash64 (no DuckDB twin) → rows-only in
+the driver; their correctness is asserted against the exact operator in
+tests/test_neardup.py (recall of planted near-duplicates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cbde_mapreduce_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_lsh_neardup,
+    simhash_fingerprints,
+)
+from cbde_mapreduce_spark.plans.registry import query
+from cbde_mapreduce_spark.sources import load_table
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      unnest(list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+               FROM t),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        p  AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+        j  AS (SELECT doc_a, doc_b,
+                      round(inter / (x.n + y.n - inter), 6) AS jaccard
+               FROM p JOIN sz x ON x.doc_id = doc_a
+                      JOIN sz y ON y.doc_id = doc_b)
+        SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.1
+    """,
+    category="dedup",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.1).
+
+    Scale shape: join on shingle (sparse for k=3) — cost ∝ Σ_shingle df²,
+    not |docs|². The approximate twin below prunes this further.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, k=3, threshold=0.1)
+
+
+@query("minhash_lsh_neardup", oracle=None, category="dedup")
+def minhash_lsh_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH (64 hashes, 16×4 bands) near-dup pairs, exact-verified ≥0.5.
+
+    Rows-only for the driver (xxhash64 has no DuckDB twin); recall vs the
+    exact operator is asserted in tests/test_neardup.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_neardup(docs, k=3, threshold=0.5)
+
+
+@query("simhash_fingerprints", oracle=None, category="dedup")
+def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints + 16-bit blocking prefix (rows-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs)

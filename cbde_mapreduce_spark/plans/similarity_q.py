@@ -1,0 +1,72 @@
+"""Similarity-search queries over the embeddings table (SURVEY.md §2.11)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cbde_mapreduce_spark.functions.vectors import cosine_similarity
+from cbde_mapreduce_spark.operators.similarity import ann_lsh_topk, cosine_topk_pairs
+from cbde_mapreduce_spark.plans.registry import query
+from cbde_mapreduce_spark.sources import load_table
+
+_COSINE_ORACLE = """
+    WITH n AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(embedding, x -> x::double * x::double))) AS nrm
+        FROM embeddings
+    ),
+    p AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                              z -> z[1]::double * z[2]::double))
+                     / (a.nrm * b.nrm), 6) AS sim
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+    )
+    SELECT qid, nid, sim FROM p ORDER BY sim DESC, qid, nid LIMIT 100
+"""
+
+
+@query("cosine_topk_similarity", oracle=_COSINE_ORACLE, category="similarity")
+def cosine_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 most-similar embedding pairs — blocked-matmul brute force.
+
+    Arrow-batched numpy kernel with per-block top-k (the MR per-mapper-heap
+    pattern); global merge of k·p candidates only.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_pairs(emb, k=100, digits=6)
+
+
+@query("cosine_topk_hof", oracle=_COSINE_ORACLE, category="similarity")
+def cosine_topk_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same top-100, pure built-in higher-order functions (zip_with/aggregate).
+
+    The declarative twin of cosine_topk_similarity: one non-equi self-join,
+    all arithmetic JVM-side. Slower than the numpy kernel but zero Python.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select("vec_id", "embedding")
+    a = n.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"))
+    b = n.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("qid") < F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("qid"), F.asc("nid"))
+        .limit(100)
+    )
+
+
+@query("ann_lsh_topk", oracle=None, category="similarity")
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-vector top-10 neighbors via sign-random-projection LSH.
+
+    Rows-only (approximate by construction); recall vs brute force is
+    asserted in tests/test_similarity.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb, k=10)

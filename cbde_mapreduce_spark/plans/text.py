@@ -1,0 +1,270 @@
+"""Text-analysis queries over the documents corpus (SURVEY.md §2.11).
+
+MapReduce parity: word count IS the canonical MapReduce program; TF-IDF is
+the classic two-job chain (tf per (doc,term), df per term, join);
+language-ID / quality scoring / fingerprinting are in-map() record scoring
+passes. All Spark-side logic is built-in functions — tokenization never
+leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cbde_mapreduce_spark.functions.texttools import tokens
+from cbde_mapreduce_spark.plans.registry import query
+from cbde_mapreduce_spark.sources import load_table
+
+#: tiny marker-word lexicon for language voting (vocabulary is shared across
+#: the fixture's langs, so this demonstrates the operator, it cannot recover
+#: the metadata label — see FIXTURES.md).
+LANG_LEXICON = [
+    ("the", "en", 1.0), ("a", "en", 0.8),
+    ("table", "de", 1.0), ("row", "de", 0.7),
+    ("data", "es", 1.0), ("query", "es", 0.6),
+    ("window", "fr", 1.0), ("join", "fr", 0.7),
+    ("agg", "zh", 1.0), ("merge", "zh", 0.7),
+]
+
+_LEX_VALUES = ", ".join(f"('{w}', '{lang}', {wt})" for w, lang, wt in LANG_LEXICON)
+
+
+@query(
+    "wordcount_documents",
+    oracle="""
+        SELECT w AS word, count(*) AS cnt
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        WHERE w <> ''
+        GROUP BY w
+        ORDER BY cnt DESC, word
+        LIMIT 20
+    """,
+    category="text",
+)
+def wordcount_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE MapReduce program: tokenize → explode → count → top-20."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@query(
+    "token_stats_per_doc",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' '))                AS n_tok,
+               len(list_distinct(string_split(text, ' '))) AS n_unique,
+               round((length(text) - len(string_split(text, ' ')) + 1)
+                     / len(string_split(text, ' ')), 6)    AS avg_tok_len
+        FROM documents
+    """,
+    category="text",
+)
+def token_stats_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per document (count / distinct / mean length).
+
+    avg token length uses the single-space-join identity
+    (chars - (n-1)) / n — pure arithmetic, no second pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique"),
+        F.round((F.length("text") - n_tok + 1) / n_tok, 6).alias("avg_tok_len"),
+    )
+
+
+@query(
+    "quality_score_docs",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id,
+                   len(string_split(text, ' '))                AS n_tok,
+                   len(list_distinct(string_split(text, ' '))) AS n_unique
+            FROM documents
+        )
+        SELECT doc_id,
+               round((n_unique / n_tok) * least(n_tok / 50.0, 1.0), 6) AS quality,
+               (n_unique / n_tok) * least(n_tok / 50.0, 1.0) > 0.4     AS is_quality
+        FROM s
+    """,
+    category="text",
+)
+def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: lexical diversity × length saturation."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks).cast("bigint")
+    n_unique = F.size(F.array_distinct(toks)).cast("bigint")
+    score = (n_unique / n_tok) * F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    return docs.select(
+        "doc_id",
+        F.round(score, 6).alias("quality"),
+        (score > 0.4).alias("is_quality"),
+    )
+
+
+@query(
+    "lang_id_lexicon",
+    oracle=f"""
+        WITH lex(word, cand, wt) AS (VALUES {_LEX_VALUES}),
+        tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        sc AS (SELECT doc_id, cand, round(sum(wt), 4) AS score
+               FROM tok JOIN lex USING (word) GROUP BY doc_id, cand),
+        r AS (SELECT doc_id, cand, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, cand) AS rn
+              FROM sc)
+        SELECT doc_id, cand AS pred_lang, score FROM r WHERE rn = 1
+    """,
+    category="text",
+)
+def lang_id_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by marker-word voting: explode → broadcast lexicon join →
+    weighted vote → argmax per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(LANG_LEXICON, "word string, cand string, wt double")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    scored = (
+        tok.join(F.broadcast(lex), "word")
+        .groupBy("doc_id", "cand")
+        .agg(F.round(F.sum("wt"), 4).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand").alias("pred_lang"), "score")
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        tf  AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        df  AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        n   AS (SELECT count(*)::double AS n_docs FROM documents),
+        s   AS (SELECT doc_id, term,
+                       round(tf * ln((SELECT n_docs FROM n) / df), 6) AS tfidf
+                FROM tf JOIN df USING (term)),
+        r   AS (SELECT doc_id, term, tfidf,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY tfidf DESC, term) AS rn
+                FROM s)
+        SELECT doc_id, term, tfidf, rn FROM r WHERE rn <= 3
+    """,
+    category="text",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: the classic MR two-job chain (tf, df) + join + top-3 per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = float(docs.count())
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf", "rn")
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               list_sum(list_transform(string_split(text, ' '),
+                        (w, i) -> i * (length(w) * 7 + ascii(w))))::bigint
+                 % 1000000007 AS fp
+        FROM documents
+    """,
+    category="text",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive positional fingerprint (rolling-hash family):
+    Σ position·(7·len(wᵢ) + ascii(wᵢ[0])) mod p — pure higher-order fns."""
+    docs = load_table(spark, sf_dir, "documents")
+    weighted = F.transform(
+        tokens("text"),
+        lambda w, i: (i + 1) * (F.length(w) * 7 + F.ascii(w)),
+    )
+    fp = (
+        F.aggregate(weighted, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+        % 1000000007
+    )
+    return docs.select("doc_id", fp.alias("fp"))
+
+
+@query(
+    "hash_functions_docs",
+    oracle="""
+        SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha_hex
+        FROM documents WHERE doc_id < 100
+    """,
+    category="scalar",
+)
+def hash_functions_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash functions (dedup keys / content addressing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("md5_hex"),
+        F.sha2(F.encode("text", "UTF-8"), 256).alias("sha_hex"),
+    )
+
+
+@query(
+    "dedup_exact_docs",
+    oracle="""
+        SELECT count(*) AS n_unique
+        FROM (SELECT text, min(doc_id) FROM documents GROUP BY text)
+    """,
+    category="dedup",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup cardinality on full text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("keep"))
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+
+
+@query(
+    "dedup_exact_keep_first",
+    oracle="""
+        SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+        FROM documents GROUP BY md5(text)
+    """,
+    category="dedup",
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash, keep-lowest-id policy.
+
+    Grouping on md5(text) instead of raw text: at 100 TB the shuffle moves
+    16-byte keys, not document bodies.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.encode("text", "UTF-8")).alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+        .select("keep_id", "dup_count")
+    )

@@ -15,26 +15,39 @@ import os
 
 from pyspark.sql import SparkSession
 
-#: Confs that are safe (and required) to set at runtime on an
-#: externally-created session — e.g. the verification driver's.
-RUNTIME_CONF: dict[str, str] = {
+#: Confs the table loaders REQUIRE and therefore force onto any session,
+#: including an externally-created one (e.g. the verification driver's).
+REQUIRED_CONF: dict[str, str] = {
     # The events fixture stores TIMESTAMP(NANOS) which Spark's parquet reader
     # rejects outright; read as epoch-nanos long and convert in the loader.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Deterministic wall-clock semantics for epoch<->timestamp conversions.
     "spark.sql.session.timeZone": "UTC",
+}
+
+#: Scale-posture defaults, applied only when WE build the session (never
+#: re-applied afterwards, so callers may override per run — bench.py turns
+#: AQE off at sf0.1 where its stage-wise re-planning latency dominates).
+DEFAULT_CONF: dict[str, str] = {
     # Runtime re-planning: coalesce small post-shuffle partitions, split skewed
-    # join partitions. Free wins at every scale.
+    # join partitions. Free wins at every real scale.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
+#: Everything we want on a fresh session.
+RUNTIME_CONF: dict[str, str] = {**REQUIRED_CONF, **DEFAULT_CONF}
+
 
 def apply_runtime_conf(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable confs to an existing session (idempotent)."""
-    for key, value in RUNTIME_CONF.items():
+    """Force the loader-required confs onto an existing session (idempotent).
+
+    Only REQUIRED_CONF: the loaders call this on every read, so it must not
+    clobber per-run tuning of the optional confs.
+    """
+    for key, value in REQUIRED_CONF.items():
         try:
             spark.conf.set(key, value)
         except Exception:
@@ -69,4 +82,11 @@ def get_spark(
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
-    return apply_runtime_conf(spark)
+    # getOrCreate may have returned a pre-existing session whose builder confs
+    # were ignored — re-apply everything runtime-settable, extra_conf last.
+    for key, value in {**RUNTIME_CONF, **(extra_conf or {})}.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass
+    return spark

@@ -1,0 +1,53 @@
+"""Approximate near-dup operators vs the exact operator (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cbde_mapreduce_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_lsh_neardup,
+    simhash_fingerprints,
+)
+from cbde_mapreduce_spark.sources import load_table
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin((a % (1 << 64)) ^ (b % (1 << 64))).count("1")
+
+
+def test_minhash_lsh_recalls_planted_neardups(spark, sf_oracle):
+    """Every pair with exact Jaccard ≥ 0.8 must survive 16x4 banding at 0.5."""
+    docs = load_table(spark, sf_oracle, "documents")
+    planted = jaccard_pairs(docs, threshold=0.8).toPandas()
+    assert len(planted) > 0, "fixture should contain planted near-duplicates"
+    lsh = minhash_lsh_neardup(docs, threshold=0.5).toPandas()
+    planted_set = set(zip(planted.doc_a, planted.doc_b))
+    lsh_set = set(zip(lsh.doc_a, lsh.doc_b))
+    missed = planted_set - lsh_set
+    assert not missed, f"LSH missed planted near-dups: {missed}"
+    # and LSH never reports a pair below its own verify threshold
+    assert (lsh.jaccard >= 0.5).all()
+
+
+def test_simhash_separates_neardups_from_random(spark, sf_oracle):
+    docs = load_table(spark, sf_oracle, "documents")
+    planted = jaccard_pairs(docs, threshold=0.8).toPandas()
+    sh = simhash_fingerprints(docs).toPandas().set_index("doc_id")["simhash"]
+    planted_ham = [_hamming(sh[a], sh[b]) for a, b in zip(planted.doc_a, planted.doc_b)]
+    rng = np.random.RandomState(0)
+    ids = sh.index.to_numpy()
+    rand_ham = [
+        _hamming(sh[a], sh[b])
+        for a, b in zip(rng.choice(ids, 200), rng.choice(ids, 200))
+        if a != b
+    ]
+    assert max(planted_ham) <= 10, planted_ham
+    assert np.median(rand_ham) >= 14, np.median(rand_ham)
+
+
+def test_minhash_is_deterministic(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    a = minhash_lsh_neardup(docs).toPandas().sort_values(["doc_a", "doc_b"])
+    b = minhash_lsh_neardup(docs).toPandas().sort_values(["doc_a", "doc_b"])
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))

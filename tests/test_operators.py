@@ -1,0 +1,101 @@
+"""Unit tests on tiny inline DataFrames with hand-computed expectations
+(SURVEY.md §5.3): as-of join edges, shingles, session gap boundary,
+counters/sinks parity features."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cbde_mapreduce_spark.functions.texttools import shingles, tokens
+from cbde_mapreduce_spark.operators.asof import asof_join
+
+
+def _ts(s: str):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_hand_computed(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T10:00:00")),  # after right@9:00 -> 1.0
+            (2, 10, _ts("2024-01-01T12:00:00")),  # after right@11:30 -> 2.0
+            (3, 10, _ts("2024-01-01T08:00:00")),  # before any right -> NULL
+            (4, 20, _ts("2024-01-01T10:00:00")),  # equal ts -> inclusive -> 5.0
+        ],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01T09:00:00"), 1.0),
+            (10, _ts("2024-01-01T11:30:00"), 2.0),
+            (20, _ts("2024-01-01T10:00:00"), 5.0),
+        ],
+        "user_id long, ts timestamp_ntz, v double",
+    )
+    out = {
+        r.event_id: r.v
+        for r in asof_join(left, right, by="user_id", ts="ts", value_cols=["v"]).collect()
+    }
+    assert out == {1: 1.0, 2: 2.0, 3: None, 4: 5.0}
+
+
+def test_shingles_short_doc_is_empty(spark):
+    df = spark.createDataFrame([("a b",), ("a b c",), ("a b c d",)], "text string")
+    rows = df.select(shingles(tokens("text"), 3).alias("s")).collect()
+    assert rows[0].s == []
+    assert rows[1].s == ["a b c"]
+    assert rows[2].s == ["a b c", "b c d"]
+
+
+def test_session_gap_boundary(spark):
+    """A gap of exactly 30 min must NOT break the session (strictly greater)."""
+    from cbde_mapreduce_spark.plans import REGISTRY
+    import tempfile, os
+    base = _ts("2024-01-01T00:00:00")
+    rows = [
+        (1, base, 7, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=30), 7, "click", 1.0, "{}"),        # exactly 30 -> same
+        (3, base + dt.timedelta(minutes=60, seconds=1), 7, "click", 1.0, "{}"),  # 30:01 -> break
+    ]
+    df = spark.createDataFrame(
+        [(i, int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1e9), u, e, v, p)
+         for (i, t, u, e, v, p) in rows],
+        "event_id long, ts_ns long, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")).cast("timestamp_ntz"))
+    with tempfile.TemporaryDirectory() as d:
+        # route through the registered query by writing an events.parquet fixture
+        df.select("event_id", F.col("ts_ns").alias("ts"), "user_id", "event_type", "value", "props") \
+          .toPandas().to_parquet(os.path.join(d, "events.parquet"))
+        out = REGISTRY["sessionize_events"].fn(spark, d).toPandas()
+    assert len(out) == 2
+    assert sorted(out.n_events.tolist()) == [1, 2]
+
+
+def test_counters_observe_and_accumulator(spark, sf_smoke):
+    """MR counters parity (SURVEY §2.1): df.observe + SparkContext accumulators."""
+    from pyspark.sql import Observation
+    from cbde_mapreduce_spark.sources import load_table
+    li = load_table(spark, sf_smoke, "lineitem")
+    obs = Observation("metrics")
+    observed = li.observe(obs, F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+    total = observed.count()
+    assert obs.get["n"] == total
+    acc = spark.sparkContext.accumulator(0)
+    li.select("l_orderkey").rdd.foreach(lambda _: acc.add(1))
+    assert acc.value == total
+
+
+def test_parquet_sink_partitioned_roundtrip(spark, sf_smoke, tmp_path):
+    """Sink parity (SURVEY §2.1): partitioned parquet write + readback."""
+    from cbde_mapreduce_spark.sources import load_table
+    orders = load_table(spark, sf_smoke, "orders")
+    out = str(tmp_path / "orders_by_status")
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    assert set(back.select("o_orderstatus").distinct().toPandas().o_orderstatus) == {"O", "F", "P"}
+    # partition pruning: a status filter must read only that partition
+    plan = back.filter(F.col("o_orderstatus") == "O")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "o_orderstatus" in plan
