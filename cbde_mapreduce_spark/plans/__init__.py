@@ -19,3 +19,5 @@ from cbde_mapreduce_spark.plans import text  # noqa: F401,E402
 from cbde_mapreduce_spark.plans import neardup  # noqa: F401,E402
 from cbde_mapreduce_spark.plans import similarity_q  # noqa: F401,E402
 from cbde_mapreduce_spark.plans import multimodal_q  # noqa: F401,E402
+from cbde_mapreduce_spark.plans import udfs  # noqa: F401,E402
+from cbde_mapreduce_spark.plans import streaming_q  # noqa: F401,E402

@@ -1,0 +1,26 @@
+"""Streaming queries registered against the batch oracle (SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cbde_mapreduce_spark.plans.registry import query
+from cbde_mapreduce_spark.streaming import run_streaming_tumbling
+
+
+@query(
+    "streaming_tumbling_counts",
+    oracle="""
+        SELECT date_trunc('hour', ts)   AS hour_start,
+               count(*)                 AS n,
+               round(sum(value), 2)     AS sum_value
+        FROM events
+        GROUP BY 1
+    """,
+    category="streaming",
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling hourly aggregation executed as a Structured Streaming query
+    (AvailableNow backfill, memory sink) — checked against the same batch
+    SQL oracle as its batch twin."""
+    return run_streaming_tumbling(spark, sf_dir)

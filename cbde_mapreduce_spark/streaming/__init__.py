@@ -1,0 +1,13 @@
+"""Structured Streaming growth path (SURVEY.md §2.10, P6).
+
+The reference (MapReduce) is strictly batch; the events table is
+stream-shaped. Every event-time operator exists in batch form first
+(plans/events_q.py, oracle-checked); this package runs the same
+computations as true streams: readStream → event-time window aggs →
+watermark for late data → sink.
+"""
+
+from cbde_mapreduce_spark.streaming.streams import (  # noqa: F401
+    events_stream,
+    run_streaming_tumbling,
+)

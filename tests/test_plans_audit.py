@@ -1,0 +1,77 @@
+"""Physical-plan audits (SURVEY.md §4): the optimizations the MapReduce
+reference hand-codes must actually appear in our executed plans —
+predicate pushdown, column pruning, broadcast joins, partial aggregation,
+whole-stage codegen, top-k as TakeOrdered."""
+
+from __future__ import annotations
+
+from cbde_mapreduce_spark.plans import REGISTRY
+
+
+def _executed_plan(df) -> str:
+    df.collect()  # finalize AQE so the plan string is the executed one
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q1_pushdown_pruning_partial_agg(spark, sf_oracle):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    # filter reaches the parquet scan
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # column pruning: ReadSchema carries only referenced columns
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_orderkey" not in read_schema and "l_suppkey" not in read_schema
+    # the combiner: partial_ aggregate functions before the shuffle
+    assert "partial_sum" in plan or "partial_" in plan
+    # whole-stage codegen spans render as "*(n)" operator prefixes
+    assert "*(" in plan
+
+
+def test_q5_broadcasts_small_dims(spark, sf_oracle):
+    df = REGISTRY["q5_local_supplier"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    # every join in the star resolves to broadcast-hash at this scale;
+    # the probe chain stays shuffle-free on the fact side
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_top50_is_take_ordered(spark, sf_oracle):
+    df = REGISTRY["top50_parts_ranked"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_filter_project_never_shuffles(spark, sf_oracle):
+    df = REGISTRY["filter_project_orders"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    assert "Exchange" not in plan, "pure filter/project must be shuffle-free"
+
+
+def test_semi_join_prunes_right_payload(spark, sf_oracle):
+    df = REGISTRY["semi_join_active_customers"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    assert "LeftSemi" in plan
+    # only the join key (+ pushed filter column) is read from orders
+    orders_scans = [
+        seg.split("\n")[0]
+        for seg in plan.split("FileScan parquet ")[1:]
+        if "orders.parquet" in seg.split("\n")[0] or "o_custkey" in seg.split("\n")[0]
+    ]
+    assert orders_scans
+    assert all("o_orderpriority" not in line for line in orders_scans)
+
+
+def test_wordcount_partial_aggregates(spark, sf_oracle):
+    df = REGISTRY["wordcount_documents"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    assert "partial_count" in plan, "map-side combine missing"
+
+
+def test_exact_dedup_groups_on_hash_not_text(spark, sf_oracle):
+    plan = _optimized_plan(REGISTRY["dedup_exact_keep_first"].fn(spark, sf_oracle))
+    assert "md5" in plan

@@ -1,0 +1,39 @@
+"""Scale-consistency checks (SURVEY.md §5.5): results must grow coherently
+across scale factors — a partition-sensitive bug shows up as instability."""
+
+from __future__ import annotations
+
+import pytest
+
+from cbde_mapreduce_spark.plans import REGISTRY
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+@pytest.mark.parametrize(
+    "name", ["q1_pricing_summary", "histogram_event_types", "global_agg_lineitem"]
+)
+def test_counts_grow_with_sf(name, spark):
+    small = REGISTRY[name].fn(spark, SFS[0]).toPandas()
+    big = REGISTRY[name].fn(spark, SFS[1]).toPandas()
+    count_cols = [c for c in small.columns if c.startswith(("n", "count", "cnt"))]
+    assert count_cols
+    for c in count_cols:
+        assert small[c].sum() < big[c].sum()
+
+
+def test_results_stable_across_partitioning(spark, sf_smoke):
+    """Same query, different shuffle partitioning → identical results."""
+    from cbde_mapreduce_spark.sources import load_table
+
+    df1 = REGISTRY["sessionize_events"].fn(spark, sf_smoke).toPandas()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        df2 = REGISTRY["sessionize_events"].fn(spark, sf_smoke).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    key = ["user_id", "sess"]
+    assert df1.sort_values(key).reset_index(drop=True).equals(
+        df2.sort_values(key).reset_index(drop=True)
+    )

@@ -1,0 +1,75 @@
+"""Source/sink format coverage (SURVEY.md §2.1): csv, json, text scans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cbde_mapreduce_spark.sources import load_table
+
+
+def test_csv_roundtrip_with_schema(spark, sf_smoke, tmp_path):
+    orders = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = str(tmp_path / "orders_csv")
+    orders.write.option("header", True).mode("overwrite").csv(path)
+    back = spark.read.csv(
+        path,
+        header=True,
+        schema="o_orderkey long, o_custkey long, o_totalprice double, o_orderstatus string",
+    )
+    assert back.count() == orders.count()
+    a = orders.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()[0].s
+    b = back.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()[0].s
+    assert a == b
+
+
+def test_json_roundtrip(spark, sf_smoke, tmp_path):
+    events = load_table(spark, sf_smoke, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = str(tmp_path / "events_json")
+    events.write.mode("overwrite").json(path)
+    back = spark.read.json(path)
+    assert back.count() == events.count()
+    assert set(back.columns) == set(events.columns)
+
+
+def test_text_scan_wordcount_pattern(spark, sf_smoke, tmp_path):
+    """The original MapReduce input format: lines of text → wordcount."""
+    docs = load_table(spark, sf_smoke, "documents")
+    path = str(tmp_path / "docs_text")
+    docs.select("text").write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    n_words_text = (
+        lines.select(F.explode(F.split("value", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .count()
+    )
+    n_words_parquet = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .count()
+    )
+    assert n_words_text == n_words_parquet
+
+
+def test_repartition_custom_partitioner_parity(spark, sf_smoke):
+    """MR custom Partitioner parity: hash repartition co-locates keys;
+    repartitionByRange orders ranges; sortWithinPartitions is the shuffle
+    sort phase."""
+    orders = load_table(spark, sf_smoke, "orders")
+    by_cust = orders.repartition(8, "o_custkey")
+    assert by_cust.rdd.getNumPartitions() == 8
+    # all rows of one key land in one partition
+    loc = (
+        by_cust.select("o_custkey", F.spark_partition_id().alias("pid"))
+        .groupBy("o_custkey")
+        .agg(F.countDistinct("pid").alias("nparts"))
+        .agg(F.max("nparts").alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert loc == 1
+    ranged = orders.repartitionByRange(4, "o_orderdate").sortWithinPartitions("o_orderdate")
+    assert ranged.count() == orders.count()
