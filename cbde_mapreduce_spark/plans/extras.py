@@ -1,0 +1,170 @@
+"""Inventory completions (SURVEY.md §2): the remaining scalar/join/API
+variants not covered by the core modules — right outer join, null
+predicates, regexp extraction, JSON path access, array functions, date
+formatting, and the SQL-string entry path."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cbde_mapreduce_spark.plans.registry import query
+from cbde_mapreduce_spark.sources import load_table, load_tables
+
+
+@query(
+    "right_outer_supplier_items",
+    oracle="""
+        SELECT s.s_suppkey, s.s_name, count(l.l_orderkey) AS n_items
+        FROM lineitem l
+        RIGHT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_suppkey, s.s_name
+    """,
+    category="join",
+)
+def right_outer_supplier_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join — suppliers with zero lineitems preserved."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey, "right")
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("l_orderkey").alias("n_items"))
+    )
+
+
+@query(
+    "null_predicates_unmatched",
+    oracle="""
+        SELECT c.c_custkey,
+               o.o_orderkey IS NULL     AS no_order,
+               coalesce(o.o_totalprice, -1.0) AS price_or_default
+        FROM customer c
+        LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+          ON c.c_custkey = o.o_custkey
+        WHERE o.o_orderkey IS NULL OR o.o_totalprice IS NOT NULL
+    """,
+    category="filter",
+)
+def null_predicates_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """isNull / isNotNull predicates over join-produced nulls."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+    return joined.filter(
+        F.col("o_orderkey").isNull() | F.col("o_totalprice").isNotNull()
+    ).select(
+        "c_custkey",
+        F.col("o_orderkey").isNull().alias("no_order"),
+        F.coalesce("o_totalprice", F.lit(-1.0)).alias("price_or_default"),
+    )
+
+
+@query(
+    "regexp_json_extract_events",
+    oracle="""
+        SELECT event_id,
+               regexp_extract(props, '"k": ([0-9]+)', 1)::bigint AS k_regex,
+               regexp_extract(event_type, '^([a-z]{3})', 1)      AS type_prefix
+        FROM events
+        WHERE event_id < 1000
+    """,
+    category="scalar",
+)
+def regexp_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract + get_json_object — both extraction idioms on one row.
+
+    Spark pulls ``k`` with a real JSON-path accessor while the oracle uses
+    regex; the regex-prefix column runs the same pattern on both engines.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_id") < 1000).select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_regex"),
+        F.regexp_extract("event_type", "^([a-z]{3})", 1).alias("type_prefix"),
+    )
+
+
+@query(
+    "array_funcs_embeddings",
+    oracle="""
+        SELECT vec_id,
+               len(embedding)::int                                    AS dim,
+               round(embedding[1]::double, 6)                         AS first_val,
+               round(list_sum(list_transform(embedding[1:8],
+                              x -> x::double)), 6)                    AS head8_sum,
+               list_contains(list_transform(embedding, x -> x > 0),
+                             true)                                    AS has_positive
+        FROM embeddings
+        WHERE vec_id < 100
+    """,
+    category="scalar",
+)
+def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions: size / element_at / slice / aggregate / array_contains."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    head8 = F.slice(F.col("embedding").cast("array<double>"), 1, 8)
+    return emb.filter(F.col("vec_id") < 100).select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(F.aggregate(head8, F.lit(0.0), lambda a, x: a + x), 6).alias("head8_sum"),
+        F.array_contains(
+            F.transform("embedding", lambda x: x > 0), F.lit(True)
+        ).alias("has_positive"),
+    )
+
+
+@query(
+    "date_format_buckets",
+    oracle="""
+        SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+               epoch(min(o_orderdate))::bigint AS first_epoch,
+               count(*) AS n
+        FROM orders
+        GROUP BY 1
+    """,
+    category="scalar",
+)
+def date_format_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_format + unix_timestamp (UTC session makes epoch deterministic)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym")
+    ).agg(
+        F.unix_timestamp(F.min("o_orderdate").cast("timestamp")).alias("first_epoch"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "sql_entry_revenue_by_nation",
+    oracle="""
+        SELECT n.n_name, count(DISTINCT c.c_custkey) AS n_customers,
+               round(sum(o.o_totalprice), 2) AS total_revenue
+        FROM nation n
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        GROUP BY n.n_name
+    """,
+    category="sql-api",
+)
+def sql_entry_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql(...) entry path (SURVEY §3.2): same engine, SQL text in.
+
+    Views are registered per-query with unique names to stay re-entrant
+    under the driver's shared session.
+    """
+    tables = load_tables(spark, sf_dir)
+    for name in ("nation", "customer", "orders"):
+        tables[name].createOrReplaceTempView(f"sqlq_{name}")
+    return spark.sql(
+        """
+        SELECT n.n_name, count(DISTINCT c.c_custkey) AS n_customers,
+               round(sum(o.o_totalprice), 2) AS total_revenue
+        FROM sqlq_nation n
+        JOIN sqlq_customer c ON c.c_nationkey = n.n_nationkey
+        JOIN sqlq_orders o   ON o.o_custkey = c.c_custkey
+        GROUP BY n.n_name
+        """
+    )

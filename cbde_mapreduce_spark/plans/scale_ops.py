@@ -1,0 +1,136 @@
+"""Scale-technique queries that stay oracle-checkable: salted aggregation,
+pivot (multi-emit demux), exact percentiles, broadcast map-literal lookup."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cbde_mapreduce_spark.operators.skew import salted_aggregate
+from cbde_mapreduce_spark.plans.registry import query
+from cbde_mapreduce_spark.sources import load_table
+
+REGION_OF_NATION_GROUP = {0: "AFRICA", 1: "AMERICA", 2: "ASIA", 3: "EUROPE", 4: "MIDDLE EAST"}
+
+
+@query(
+    "salted_agg_event_types",
+    oracle="""
+        SELECT event_type,
+               count(*)                 AS n,
+               round(sum(value), 2)     AS sum_value,
+               round(max(value), 2)     AS max_value
+        FROM events
+        GROUP BY event_type
+    """,
+    category="aggregation",
+)
+def salted_agg_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase salted aggregation (operators/skew.py).
+
+    Values are identical to the plain group-by (the salt only changes
+    partitioning) — which is exactly why it can share the plain oracle.
+    """
+    events = load_table(spark, sf_dir, "events")
+    out = salted_aggregate(
+        events,
+        ["event_type"],
+        {
+            "n": ("count", F.count(F.lit(1))),
+            "sum_value_raw": ("sum", F.sum("value")),
+            "max_value_raw": ("max", F.max("value")),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("sum_value_raw", 2).alias("sum_value"),
+        F.round("max_value_raw", 2).alias("max_value"),
+    )
+
+
+@query(
+    "pivot_user_event_matrix",
+    oracle="""
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END)::bigint AS click,
+               sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END)::bigint AS error,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::bigint AS purchase,
+               sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END)::bigint AS signup,
+               sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END)::bigint AS view
+        FROM events
+        GROUP BY user_id
+    """,
+    category="aggregation",
+)
+def pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (the MR multi-emit + reducer-demux pattern) with pinned columns.
+
+    Pivot values are declared explicitly — at scale, letting Spark discover
+    pivot values costs an extra job over the full input.
+    """
+    events = load_table(spark, sf_dir, "events")
+    piv = (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "user_id",
+        *[F.coalesce(c, F.lit(0)).cast("bigint").alias(c) for c in ["click", "error", "purchase", "signup", "view"]],
+    )
+
+
+@query(
+    "percentiles_order_value",
+    oracle="""
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    category="aggregation",
+)
+def percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines: linear / type-7).
+
+    At 100 TB this becomes approx_percentile (t-digest); exactness here is
+    the semantic contract being verified.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@query(
+    "map_literal_region_lookup",
+    oracle="""
+        SELECT CASE n_nationkey % 5
+                 WHEN 0 THEN 'AFRICA' WHEN 1 THEN 'AMERICA' WHEN 2 THEN 'ASIA'
+                 WHEN 3 THEN 'EUROPE' ELSE 'MIDDLE EAST' END AS mapped_region,
+               count(*) AS n_nations
+        FROM nation
+        GROUP BY 1
+    """,
+    category="scalar",
+)
+def map_literal_region_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-literal lookup — the MR distributed-cache hashmap in setup(),
+    as a Catalyst map expression (no join, no shuffle for the lookup)."""
+    nation = load_table(spark, sf_dir, "nation")
+    mapping = F.create_map(
+        *[F.lit(x) for kv in REGION_OF_NATION_GROUP.items() for x in kv]
+    )
+    return (
+        nation.select(
+            mapping[F.col("n_nationkey") % 5].alias("mapped_region")
+        )
+        .groupBy("mapped_region")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
