@@ -55,29 +55,37 @@ def pandas_udf_net_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "grouped_map_zscore",
     oracle="""
-        SELECT event_id, user_id,
-               round((value - avg(value) OVER u) / stddev_samp(value) OVER u, 4) AS zscore
-        FROM events
-        WINDOW u AS (PARTITION BY user_id)
+        SELECT event_id, user_id, zscore FROM (
+            SELECT event_id, user_id,
+                   round((value - avg(value) OVER u)
+                         / stddev_samp(value) OVER u, 4) AS zscore
+            FROM events
+            WINDOW u AS (PARTITION BY user_id)
+        ) WHERE zscore IS NOT NULL
     """,
     category="udf",
 )
 def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas (the arbitrary 'Reducer' body): per-user z-scores.
 
-    The pandas ddof=1 std matches SQL stddev_samp; single-event users give
-    NULL on both sides. Differential value: a genuinely different numeric
-    path (pandas) must agree with the window-function oracle.
+    The pandas ddof=1 std matches SQL stddev_samp. Degenerate groups
+    (single event / zero variance) are excluded on BOTH sides — pandas
+    would yield NaN where SQL yields NULL, and NaN≠NULL under a strict
+    value hash. Differential value: a genuinely different numeric path
+    (pandas) must agree with the window-function oracle.
     """
     events = load_table(spark, sf_dir, "events")
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["value"]
         sd = v.std(ddof=1)
-        z = (v - v.mean()) / sd if sd and sd == sd else v * float("nan")
-        return pd.DataFrame(
-            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "zscore": z.round(4)}
+        out = pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"]}
         )
+        if sd and sd == sd:  # finite, non-zero sample stddev
+            out["zscore"] = ((v - v.mean()) / sd).round(4)
+            return out
+        return out.iloc[0:0].assign(zscore=pd.Series(dtype="float64"))
 
     return (
         events.select("event_id", "user_id", "value")
@@ -117,3 +125,42 @@ def grouped_agg_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     return med.join(counts, "event_type")
+
+
+@query(
+    "python_udtf_tokenize",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id,
+                   unnest(list_transform(string_split(text, ' '),
+                          (w, i) -> struct_pack(token := w, pos := i))) AS s
+            FROM documents WHERE doc_id < 20
+        )
+        SELECT doc_id, s.token AS token, (s.pos)::int AS pos FROM u
+    """,
+    category="udf",
+)
+def python_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (1→N table function, SURVEY §2.9) via LATERAL join.
+
+    The declarative twin is explode (explode_doc_tokens) — a UDTF is the
+    escape hatch for arbitrary Python generators; kept off hot paths and
+    bounded here (row-based execution). Oracle: DuckDB struct unnest.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, pos int")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")):
+                yield (w, i + 1)
+
+    spark.udtf.register("cbde_tokenize", Tokenize)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") < 20).createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.pos
+        FROM udtf_docs d, LATERAL cbde_tokenize(d.text) t
+        """
+    )

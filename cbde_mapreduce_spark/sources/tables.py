@@ -18,11 +18,21 @@ directory of many files parallelizes across executors for free.
 from __future__ import annotations
 
 import os
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cbde_mapreduce_spark.session import apply_runtime_conf
+
+#: Per-session memo of loaded DataFrames. DataFrames are immutable plan
+#: handles, so reuse is safe; it saves the py4j reader round-trip + footer
+#: schema read on every query build (~50 ms each — the driver runs ~75
+#: queries, several loading 2-6 tables). Keyed weakly so a stopped session
+#: releases its entries.
+_TABLE_MEMO: "WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    WeakKeyDictionary()
+)
 
 #: All fixture tables (one parquet file per table per scale factor).
 TABLES = (
@@ -41,6 +51,10 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame with canonical columns."""
+    memo = _TABLE_MEMO.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    if key in memo:
+        return memo[key]
     apply_runtime_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
@@ -52,6 +66,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
             .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
         )
+    memo[key] = df
     return df
 
 
