@@ -34,6 +34,8 @@ def _normalized_matrix(emb: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     """Collect (ids, row-normalized float64 matrix) for the broadcast side."""
     pdf = emb.select("vec_id", "embedding").toPandas()
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    if not len(ids):
+        return ids, np.zeros((0, 0), dtype=np.float64)
     m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
     m /= np.linalg.norm(m, axis=1, keepdims=True)
     return ids, m
@@ -64,6 +66,8 @@ def cosine_topk_pairs(
     def block_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         b_ids, b_m = bc.value
         for pdf in batches:
+            if not len(pdf) or not b_ids.size:
+                continue
             q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             q /= np.linalg.norm(q, axis=1, keepdims=True)

@@ -75,3 +75,23 @@ def test_wordcount_partial_aggregates(spark, sf_oracle):
 def test_exact_dedup_groups_on_hash_not_text(spark, sf_oracle):
     plan = _optimized_plan(REGISTRY["dedup_exact_keep_first"].fn(spark, sf_oracle))
     assert "md5" in plan
+
+
+def test_asof_join_is_join_free_single_window_shuffle(spark, sf_oracle):
+    """The as-of algorithm is union+window: no join operator anywhere, and
+    the window runs off one hash partitioning on the entity key — never a
+    row-multiplying range join."""
+    df = REGISTRY["asof_join_purchase_click"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    assert "Join" not in plan, "asof must not plan any join"
+    assert "Window" in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_salted_agg_is_two_phase(spark, sf_oracle):
+    """Salted aggregation: phase-1 groups on (keys, salt), phase-2 merges —
+    visible as two aggregate levels over distinct groupings."""
+    df = REGISTRY["salted_agg_event_types"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    assert "__salt" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final for each phase
