@@ -229,3 +229,82 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "stats_agg_lineitem",
+    oracle="""
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+               round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+               round(stddev_samp(l_extendedprice), 4)            AS price_stddev,
+               round(var_samp(l_quantity), 4)                    AS qty_var
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    category="aggregation",
+)
+def stats_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: corr / covar_samp / stddev_samp / var_samp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+    )
+
+
+@query(
+    "argmax_order_per_customer",
+    oracle="""
+        SELECT o_custkey,
+               arg_max(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS biggest_order,
+               arg_min(o_orderkey, o_totalprice - o_orderkey * 1e-9) AS smallest_order,
+               round(max(o_totalprice), 2) AS max_price
+        FROM orders
+        GROUP BY o_custkey
+    """,
+    category="aggregation",
+)
+def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (argmax aggregates — MR's carry-the-record-with-the-
+    key reduce). The epsilon·key term makes the ordering total, so ties
+    cannot make arg_max engine-dependent."""
+    orders = load_table(spark, sf_dir, "orders")
+    eps = F.col("o_orderkey") * F.lit(1e-9)
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", F.col("o_totalprice") + eps).alias("biggest_order"),
+        F.min_by("o_orderkey", F.col("o_totalprice") - eps).alias("smallest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "unpivot_event_matrix",
+    oracle="""
+        WITH m AS (
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::bigint    AS click,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::bigint AS purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, 'click' AS etype, click AS n FROM m
+        UNION ALL
+        SELECT user_id, 'purchase' AS etype, purchase AS n FROM m
+    """,
+    category="aggregation",
+)
+def unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (stack) — the inverse of the pivot demux."""
+    events = load_table(spark, sf_dir, "events")
+    wide = (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(c, F.lit(0)).cast("bigint").alias(c) for c in ["click", "purchase"]],
+        )
+    )
+    return wide.unpivot("user_id", ["click", "purchase"], "etype", "n")
