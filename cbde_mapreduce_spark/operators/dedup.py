@@ -35,22 +35,41 @@ ROWS_PER_BAND = N_HASHES // BANDS
 
 
 def shingle_sets(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, s): the distinct word-k-gram shingle set of each document."""
-    return docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles(tokens("text"), k))).alias("s")
+    """(doc_id, s): the distinct word-k-gram shingle set of each document.
+
+    Tokens are materialized into a column BEFORE shingling: the shingle
+    expression references the token array ~3·n times (element_at per gram
+    position), and an inlined split() would be re-evaluated at every
+    reference — O(tokens·shingles) per doc instead of O(tokens).
+    """
+    toked = docs.select("doc_id", tokens("text").alias("__toks"))
+    return toked.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("__toks"), k))).alias("s"),
     )
+
+
+def hashed_shingle_sets(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, h): shingle sets with 64-bit hashed keys.
+
+    Joining/shuffling on an 8-byte bigint instead of a ~20-byte string cuts
+    the self-join cost; set cardinalities are preserved up to xxhash64
+    collisions (~n²/2⁶⁴ — negligible at any realistic corpus size, and the
+    MinHash path is approximate anyway)."""
+    return shingle_sets(docs, k).select("doc_id", F.xxhash64("s").alias("h"))
 
 
 def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.1) -> DataFrame:
     """Exact k-gram Jaccard over all pairs sharing ≥1 shingle.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard ≥ threshold.
+    The self-join runs on 8-byte hashed shingle keys (see hashed_shingle_sets).
     """
-    sh = shingle_sets(docs, k)
+    sh = hashed_shingle_sets(docs, k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
@@ -71,16 +90,25 @@ def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.1) -> DataFr
     )
 
 
+#: Per-'permutation' xor salts (splitmix64 golden-ratio multiples, masked
+#: into the positive long range). Overflow-free: xor never overflows, so
+#: this is safe under ANSI mode (on by default in Spark 4).
+_MH_SALT = [
+    (0x9E3779B97F4A7C15 * (j + 1)) & 0x7FFFFFFFFFFFFFFF for j in range(N_HASHES)
+]
+
+
 def minhash_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, h0..h63): 64 min-wise hashes over the shingle set.
 
-    Each 'permutation' j is xxhash64 salted with a distinct prefix — the
-    standard salted-hash stand-in for random permutations.
+    One string xxhash64 per shingle, then each 'permutation' j re-hashes
+    the 8-byte value (xxhash64 of h xor salt_j) — native long-input
+    hashing, ~64x cheaper than hashing the shingle string per permutation.
     """
-    sh = shingle_sets(docs, k)
+    sh = hashed_shingle_sets(docs, k)
     aggs = [
-        F.min(F.xxhash64(F.concat(F.lit(f"mh{j}|"), F.col("s")))).alias(f"h{j}")
-        for j in range(N_HASHES)
+        F.min(F.xxhash64(F.col("h").bitwiseXOR(F.lit(salt).cast("bigint")))).alias(f"h{j}")
+        for j, salt in enumerate(_MH_SALT)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
@@ -114,12 +142,12 @@ def minhash_lsh_neardup(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> 
     candidate pairs only (the LSH point: |candidates| ≪ |all pairs|).
     """
     cand = lsh_candidate_pairs(minhash_signatures(docs, k))
-    sh = shingle_sets(docs, k)
+    sh = hashed_shingle_sets(docs, k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
-        .join(b, (F.col("doc_b") == F.col("b.doc_id")) & (F.col("a.s") == F.col("b.s")))
+        .join(b, (F.col("doc_b") == F.col("b.doc_id")) & (F.col("a.h") == F.col("b.h")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

@@ -140,17 +140,26 @@ def ann_lsh_topk(
         .select(F.col("l.vec_id").alias("qid"), F.col("r.vec_id").alias("nid"))
         .distinct()
     )
-    from cbde_mapreduce_spark.functions.vectors import cosine_similarity
+    from cbde_mapreduce_spark.functions.vectors import dot, l2_norm
 
-    e1 = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"))
-    e2 = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("eb"))
+    # precompute norms once per vector; candidate re-rank then costs a
+    # single dot fold per pair
+    n = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    e1 = n.select(F.col("vec_id").alias("qid"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    e2 = n.select(F.col("vec_id").alias("nid"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
     scored = (
         cand.join(e1, "qid")
         .join(e2, "nid")
         .select(
             "qid",
             "nid",
-            F.round(cosine_similarity(F.col("ea"), F.col("eb")), digits).alias("sim"),
+            F.round(
+                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), digits
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cbde_mapreduce_spark.functions.vectors import cosine_similarity
+from cbde_mapreduce_spark.functions.vectors import dot, l2_norm
 from cbde_mapreduce_spark.operators.similarity import ann_lsh_topk, cosine_topk_pairs
 from cbde_mapreduce_spark.plans.registry import query
 from cbde_mapreduce_spark.sources import load_table
@@ -46,15 +46,22 @@ def cosine_topk_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     all arithmetic JVM-side. Slower than the numpy kernel but zero Python.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.select("vec_id", "embedding")
-    a = n.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"))
-    b = n.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("eb"))
+    # norms are computed ONCE per vector before the pair join — the join
+    # then evaluates a single dot-product fold per pair instead of three
+    # (dot + 2 norms), a 3x cut on the O(n²) stage.
+    n = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    a = n.select(F.col("vec_id").alias("qid"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = n.select(F.col("vec_id").alias("nid"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
     return (
         a.join(b, F.col("qid") < F.col("nid"))
         .select(
             "qid",
             "nid",
-            F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6).alias("sim"),
+            F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6).alias("sim"),
         )
         .orderBy(F.desc("sim"), F.asc("qid"), F.asc("nid"))
         .limit(100)
