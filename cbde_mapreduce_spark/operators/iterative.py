@@ -1,0 +1,165 @@
+"""Iterative algorithms (MapReduce chained-job parity).
+
+MapReduce expresses iteration as a driver loop of full jobs with HDFS
+materialization between rounds (SURVEY.md §3.1 'chained pipeline'); Spark's
+advantage is keeping the loop state tiny (broadcast centroids) while the
+big side streams through executors each round.
+
+k-means here is deterministic end-to-end (fixed init = the k lowest
+vec_ids, fixed iteration count, float64 numpy kernels) so runs are
+reproducible and testable against a single-process reference
+implementation. It doubles as the IVF coarse quantizer for similarity
+search (assign → per-centroid buckets → probe nearest buckets).
+
+100 TB shape per iteration: one Arrow-batched assignment pass over the
+vectors (broadcast k×d centroid matrix), one groupBy(cluster) partial mean
+— both map-side combinable; only k×d floats ever reach the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ASSIGN_SCHEMA = "vec_id bigint, cluster int, dist double"
+
+
+def _assign_batches(centroids: np.ndarray):
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # squared euclidean to every centroid: |x|^2 - 2xC^T + |C|^2
+            d2 = (
+                (m * m).sum(axis=1, keepdims=True)
+                - 2.0 * (m @ centroids.T)
+                + (centroids * centroids).sum(axis=1)[None, :]
+            )
+            cl = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster": cl.astype(np.int32),
+                    "dist": np.sqrt(np.maximum(d2[np.arange(len(cl)), cl], 0.0)),
+                }
+            )
+
+    return assign
+
+
+def kmeans_fit(
+    emb: DataFrame, k: int = 10, iters: int = 5
+) -> tuple[np.ndarray, DataFrame]:
+    """Fit deterministic k-means; return (centroids k×d, assignments DF).
+
+    Init: the embeddings of the k smallest vec_ids. Update: elementwise
+    mean per cluster via posexplode + groupBy — no driver-side data except
+    the k×d centroid matrix. Empty clusters keep their previous centroid.
+    """
+    src = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    seed_rows = src.orderBy("vec_id").limit(k).collect()
+    centroids = np.array([r.embedding for r in seed_rows], dtype=np.float64)
+
+    for _ in range(iters):
+        assigned = src.mapInPandas(_assign_batches(centroids), ASSIGN_SCHEMA)
+        means = (
+            assigned.join(src, "vec_id")
+            .select("cluster", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("mean_val"))
+            .collect()
+        )
+        new_centroids = centroids.copy()
+        for r in means:
+            new_centroids[r.cluster][r.pos] = r.mean_val
+        centroids = new_centroids
+
+    return centroids, src.mapInPandas(_assign_batches(centroids), ASSIGN_SCHEMA)
+
+
+def kmeans_assignments(
+    emb: DataFrame, k: int = 10, iters: int = 5, digits: int = 6
+) -> DataFrame:
+    """(vec_id, cluster, dist): deterministic k-means assignment table."""
+    _, final = kmeans_fit(emb, k, iters)
+    return final.select("vec_id", "cluster", F.round("dist", digits).alias("dist"))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 10,
+    n_clusters: int = 10,
+    n_probe: int = 3,
+    iters: int = 3,
+    digits: int = 6,
+) -> DataFrame:
+    """IVF approximate k-NN: k-means coarse quantizer + multi-probe re-rank.
+
+    Every vector probes its ``n_probe`` nearest centroids; candidates are
+    the vectors assigned to those clusters; exact cosine re-rank keeps the
+    top-k per query. The inverted-file structure is the (cluster → vectors)
+    assignment table — at 100 TB it is the partitioning key of the stored
+    index, so a probe touches only n_probe/n_clusters of the data.
+    """
+    centroids, assigned = kmeans_fit(emb, n_clusters, iters)
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d2 = (
+                (m * m).sum(axis=1, keepdims=True)
+                - 2.0 * (m @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            near = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(ids, n_probe),
+                    "cluster": near.ravel().astype(np.int32),
+                }
+            )
+
+    src = emb.select("vec_id", "embedding")
+    probe_df = src.mapInPandas(probes, "qid bigint, cluster int")
+    inv = assigned.select(F.col("vec_id").alias("nid"), "cluster")
+    cand = (
+        probe_df.join(inv, "cluster")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    from cbde_mapreduce_spark.functions.vectors import dot, l2_norm
+
+    n = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    e1 = n.select(F.col("vec_id").alias("qid"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    e2 = n.select(F.col("vec_id").alias("nid"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    from pyspark.sql import Window
+
+    scored = (
+        cand.join(e1, "qid")
+        .join(e2, "nid")
+        .select(
+            "qid",
+            "nid",
+            F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), digits).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return scored.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rn") <= k
+    )

@@ -77,3 +77,25 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_lsh_topk(emb, k=10)
+
+
+@query("kmeans_clusters", oracle=None, category="similarity")
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means over embeddings (iterative chained-job parity;
+    the IVF coarse quantizer). Rows-only: iterative, not SQL-expressible —
+    verified against a single-process reference in tests/test_iterative.py."""
+    from cbde_mapreduce_spark.operators.iterative import kmeans_assignments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assignments(emb, k=10, iters=3)
+
+
+@query("ivf_ann_topk", oracle=None, category="similarity")
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate k-NN (k-means coarse quantizer, 3-probe, exact
+    re-rank). Rows-only; recall vs brute force asserted in
+    tests/test_iterative.py."""
+    from cbde_mapreduce_spark.operators.iterative import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, k=10, n_clusters=10, n_probe=3)
