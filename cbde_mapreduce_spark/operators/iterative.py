@@ -163,3 +163,44 @@ def ivf_topk(
     return scored.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(
         F.col("rn") <= k
     )
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(v, component): undirected connected components by min-label propagation.
+
+    The MR realization is the classic iterate-until-fixpoint job chain;
+    here each round is one join + groupBy(min) and the driver only checks
+    the scalar change count. Deterministic: component id = min vertex id.
+
+    At 100 TB use large-star/small-star (Kiveris et al.) to bound round
+    count; min-label propagation converges in O(diameter) rounds, which is
+    small for near-dup graphs (tight clusters).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).distinct()
+    labels = sym.select(F.col("a").alias("v")).distinct().withColumn(
+        "label", F.col("v")
+    )
+    while True:
+        # label(v) <- min(label(v), min over neighbors u of label(u))
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.v)
+            .groupBy(F.col("a").alias("v2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.v == F.col("v2"), "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
+            )
+        )
+        updated = updated.localCheckpoint()  # truncate the growing lineage
+        n_changed = updated.filter(F.col("changed")).count()
+        labels = updated.select("v", "label")
+        if n_changed == 0:
+            return labels.select("v", F.col("label").alias("component"))

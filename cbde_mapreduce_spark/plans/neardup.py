@@ -66,3 +66,44 @@ def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints + 16-bit blocking prefix (rows-only)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_fingerprints(docs)
+
+
+@query(
+    "neardup_components",
+    oracle="""
+        WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      unnest(list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+               FROM t),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        p  AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+        e  AS (SELECT doc_a, doc_b
+               FROM p JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+               WHERE inter / (x.n + y.n - inter) >= 0.1),
+        sym AS (SELECT doc_a AS a, doc_b AS b FROM e
+                UNION SELECT doc_b, doc_a FROM e),
+        verts AS (SELECT DISTINCT a AS v FROM sym),
+        walk(v, l) AS (
+            SELECT v, v FROM verts
+            UNION
+            SELECT s.a, w.l FROM walk w JOIN sym s ON w.v = s.b
+        )
+        SELECT v, min(l) AS component FROM walk GROUP BY v
+    """,
+    category="dedup",
+)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the exact near-dup graph (Jaccard ≥ 0.1).
+
+    A genuinely iterative operator with an oracle: Spark runs min-label
+    propagation to fixpoint (operators/iterative.py); DuckDB computes the
+    same components with a recursive CTE. Component id = min doc_id.
+    """
+    from cbde_mapreduce_spark.operators.iterative import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = jaccard_pairs(docs, k=3, threshold=0.1).select("doc_a", "doc_b")
+    return connected_components(edges, "doc_a", "doc_b")

@@ -99,3 +99,33 @@ def test_parquet_sink_partitioned_roundtrip(spark, sf_smoke, tmp_path):
     # partition pruning: a status filter must read only that partition
     plan = back.filter(F.col("o_orderstatus") == "O")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "o_orderstatus" in plan
+
+
+def test_unicode_text_handling(spark):
+    """Unicode safety: char-length vs byte-length, tokenization, md5 of
+    utf-8 — verified against DuckDB on inline multilingual rows."""
+    import duckdb
+
+    rows = [(1, "héllo wörld"), (2, "数据 库 系统"), (3, "emoji 🚀 test"), (4, "ascii only")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        df.select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            F.octet_length("text").cast("bigint").alias("n_bytes"),
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+            F.md5(F.encode("text", "UTF-8")).alias("h"),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = con.sql(
+        """SELECT doc_id, length(text)::int AS n_chars, strlen(text)::bigint AS n_bytes,
+                  len(string_split(text,' '))::bigint AS n_tok, md5(text) AS h
+           FROM t ORDER BY doc_id"""
+    ).df()
+    assert got.equals(want), f"\n{got}\nvs\n{want}"
