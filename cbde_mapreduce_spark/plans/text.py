@@ -268,3 +268,40 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
         .select("keep_id", "dup_count")
     )
+
+
+@query(
+    "dataset_split_assignment",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id,
+                   (ascii(substr(md5(text), 1, 1)) * 256
+                    + ascii(substr(md5(text), 2, 1))) % 100 AS bucket
+            FROM documents
+        )
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs
+        FROM b GROUP BY 1
+    """,
+    category="text",
+)
+def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content hash (~80/10/10).
+
+    The standard leakage-safe split for training corpora: bucket =
+    f(md5(content)) so the assignment is stable across runs, partitionings,
+    and engines — never `rand()`, which is partitioning-dependent.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.encode("text", "UTF-8"))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

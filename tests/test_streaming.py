@@ -61,3 +61,80 @@ def test_watermark_append_mode_emits_closed_windows(spark, sf_smoke):
     merged = emitted.merge(batch, on="hour_start", suffixes=("_s", "_b"))
     assert len(merged) == len(emitted)
     assert (merged.n_s == merged.n_b).all()
+
+
+def test_stream_stream_interval_join(spark, sf_smoke):
+    """Stream-stream equi+interval join with watermarks (append mode):
+    every emitted pair must appear in the equivalent batch join."""
+    from cbde_mapreduce_spark.sources import load_table
+
+    s = events_stream(spark, sf_smoke).withColumn("ts", F.col("ts").cast("timestamp"))
+    purchases = (
+        s.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        events_stream(spark, sf_smoke)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"
+        ),
+    ).select("p_id", "c_id")
+    sink = f"ssj_{uuid.uuid4().hex[:12]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ssj_"))
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(sink).toPandas()
+    ev = load_table(spark, sf_smoke, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts")
+    )
+    batch = (
+        p.join(
+            c,
+            F.expr("p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"),
+        )
+        .select("p_id", "c_id")
+        .toPandas()
+    )
+    assert len(emitted) > 0
+    batch_pairs = set(zip(batch.p_id, batch.c_id))
+    for pair in zip(emitted.p_id, emitted.c_id):
+        assert pair in batch_pairs
+
+
+def test_foreach_batch_parquet_sink(spark, sf_smoke, tmp_path):
+    """foreachBatch: the arbitrary-sink escape hatch (MR OutputFormat parity)."""
+    out = str(tmp_path / "stream_out")
+
+    def write_batch(df, batch_id):
+        df.write.mode("append").parquet(out)
+
+    stream = events_stream(spark, sf_smoke).select("event_id", "user_id", "value")
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_fb_"))
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    from cbde_mapreduce_spark.sources import load_table
+
+    assert back.count() == load_table(spark, sf_smoke, "events").count()
