@@ -308,3 +308,32 @@ def unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return wide.unpivot("user_id", ["click", "purchase"], "etype", "n")
+
+
+@query("approx_percentile_values", oracle=None, category="aggregation")
+def approx_percentile_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (the 100 TB path for percentiles_order_value).
+
+    Sketch-based (engine-specific) ⇒ rows-only for the driver; accuracy vs
+    the exact interpolated percentile is asserted in tests/test_aggregates.py.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("approx_percentile(o_totalprice, 0.5, 10000)"), 4).alias("p50_approx"),
+        F.round(F.expr("approx_percentile(o_totalprice, 0.9, 10000)"), 4).alias("p90_approx"),
+    )
+
+
+@query("freq_items_words", oracle=None, category="aggregation")
+def freq_items_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch over document tokens (heavy-hitters family).
+
+    Engine-specific support threshold semantics ⇒ rows-only; containment of
+    the true top words is asserted in tests/test_aggregates.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+    freq = tok.stat.freqItems(["word"], support=0.02)
+    return freq.select(
+        F.explode(F.sort_array("word_freqItems")).alias("frequent_word")
+    )

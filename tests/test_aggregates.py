@@ -1,0 +1,53 @@
+"""Approximate-aggregate accuracy vs exact twins (SURVEY §2.4 sketches)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cbde_mapreduce_spark.plans import REGISTRY
+from cbde_mapreduce_spark.sources import load_table
+
+
+def test_approx_count_distinct_accuracy(spark, sf_oracle):
+    events = load_table(spark, sf_oracle, "events")
+    approx = {
+        r.event_type: r.approx_users
+        for r in REGISTRY["approx_distinct_users"].fn(spark, sf_oracle).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n < 0.1, (k, approx[k], n)
+
+
+def test_approx_percentile_close_to_exact(spark, sf_oracle):
+    approx = (
+        REGISTRY["approx_percentile_values"].fn(spark, sf_oracle)
+        .toPandas()
+        .set_index("o_orderstatus")
+    )
+    exact = (
+        REGISTRY["percentiles_order_value"].fn(spark, sf_oracle)
+        .toPandas()
+        .set_index("o_orderstatus")
+    )
+    for status in exact.index:
+        assert abs(approx.loc[status, "p50_approx"] - exact.loc[status, "p50"]) / exact.loc[status, "p50"] < 0.02
+        assert abs(approx.loc[status, "p90_approx"] - exact.loc[status, "p90"]) / exact.loc[status, "p90"] < 0.02
+
+
+def test_freq_items_contains_true_heavy_hitters(spark, sf_oracle):
+    got = set(
+        r.frequent_word
+        for r in REGISTRY["freq_items_words"].fn(spark, sf_oracle).collect()
+    )
+    top_true = [
+        r.word for r in REGISTRY["wordcount_documents"].fn(spark, sf_oracle).collect()
+    ]
+    # freqItems guarantees superset of items above the support threshold
+    for w in top_true[:5]:
+        assert w in got, (w, sorted(got)[:10])
