@@ -134,3 +134,59 @@ def map_literal_region_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("mapped_region")
         .agg(F.count(F.lit(1)).alias("n_nations"))
     )
+
+
+@query(
+    "profile_lineitem_columns",
+    oracle="""
+        SELECT 'l_quantity' AS col, count(*) AS n_rows,
+               count(l_quantity)::bigint AS n_nonnull,
+               round(min(l_quantity), 4) AS min_v, round(max(l_quantity), 4) AS max_v,
+               round(avg(l_quantity), 6) AS mean_v
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', count(*), count(l_extendedprice)::bigint,
+               round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
+               round(avg(l_extendedprice), 6)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', count(*), count(l_discount)::bigint,
+               round(min(l_discount), 4), round(max(l_discount), 4),
+               round(avg(l_discount), 6)
+        FROM lineitem
+    """,
+    category="aggregation",
+)
+def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (data-quality pass): one scan, all stats per column.
+
+    Built as a single multi-aggregate + unpivot-style union so the table is
+    read once regardless of how many columns are profiled — the shape that
+    matters when the scan is 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nonnull"),
+            F.round(F.min(c), 4).alias(f"{c}__min"),
+            F.round(F.max(c), 4).alias(f"{c}__max"),
+            F.round(F.avg(c), 6).alias(f"{c}__mean"),
+        ]
+    wide = li.agg(*aggs)
+    parts = [
+        wide.select(
+            F.lit(c).alias("col"),
+            F.col("n_rows"),
+            F.col(f"{c}__nonnull").alias("n_nonnull"),
+            F.col(f"{c}__min").alias("min_v"),
+            F.col(f"{c}__max").alias("max_v"),
+            F.col(f"{c}__mean").alias("mean_v"),
+        )
+        for c in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

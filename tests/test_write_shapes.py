@@ -1,0 +1,59 @@
+"""Write-path scale shapes: file sizing, compaction, stratified sampling,
+cross-sf loader memo safety, streaming state store presence."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from cbde_mapreduce_spark.sources import load_table
+
+
+def _parquet_files(path):
+    return [f for f in os.listdir(path) if f.endswith(".parquet")]
+
+
+def test_max_records_per_file_controls_file_count(spark, sf_smoke, tmp_path):
+    """The small-files problem is managed at write time: maxRecordsPerFile
+    bounds file size; coalesce(1) compacts."""
+    li = load_table(spark, sf_smoke, "lineitem")  # 6000 rows
+    sized = str(tmp_path / "sized")
+    li.coalesce(1).write.option("maxRecordsPerFile", 1000).mode("overwrite").parquet(sized)
+    assert len(_parquet_files(sized)) >= 6
+    compact = str(tmp_path / "compact")
+    li.coalesce(1).write.mode("overwrite").parquet(compact)
+    assert len(_parquet_files(compact)) == 1
+    assert spark.read.parquet(sized).count() == spark.read.parquet(compact).count() == li.count()
+
+
+def test_stratified_sample_proportions(spark, sf_oracle):
+    """sampleBy: per-stratum sampling fractions (MR reservoir-per-key parity)."""
+    events = load_table(spark, sf_oracle, "events")
+    fractions = {"click": 0.5, "view": 0.1, "purchase": 1.0, "signup": 0.0, "error": 0.0}
+    sample = events.sampleBy("event_type", fractions, seed=42)
+    got = {r.event_type: r.n for r in sample.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    full = {r.event_type: r.n for r in events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got.get("signup", 0) == 0 and got.get("error", 0) == 0
+    assert got["purchase"] == full["purchase"]
+    assert 0.35 * full["click"] < got["click"] < 0.65 * full["click"]
+    assert got["view"] < 0.25 * full["view"]
+
+
+def test_loader_memo_is_per_sf_dir(spark):
+    a = load_table(spark, "/root/testdata/sf0.001", "orders")
+    b = load_table(spark, "/root/testdata/sf0.01", "orders")
+    assert a.count() == 1500 and b.count() == 15000
+    # memo returns the same DataFrame object for repeated loads
+    assert load_table(spark, "/root/testdata/sf0.001", "orders") is a
+
+
+def test_streaming_agg_uses_state_store(spark, sf_smoke):
+    from cbde_mapreduce_spark.streaming import run_streaming_tumbling
+
+    df = run_streaming_tumbling(spark, sf_smoke)
+    assert df.count() > 0
+    progress = [q for q in spark.streams.active]
+    # bounded AvailableNow query already terminated; presence of results from
+    # the memory sink implies the stateful aggregation ran to completion
+    assert progress == []
