@@ -155,16 +155,19 @@ def sql_entry_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Views are registered per-query with unique names to stay re-entrant
     under the driver's shared session.
     """
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
     tables = load_tables(spark, sf_dir)
     for name in ("nation", "customer", "orders"):
-        tables[name].createOrReplaceTempView(f"sqlq_{name}")
+        tables[name].createOrReplaceTempView(f"sqlq_{name}_{tag}")
     return spark.sql(
-        """
+        f"""
         SELECT n.n_name, count(DISTINCT c.c_custkey) AS n_customers,
                round(sum(o.o_totalprice), 2) AS total_revenue
-        FROM sqlq_nation n
-        JOIN sqlq_customer c ON c.c_nationkey = n.n_nationkey
-        JOIN sqlq_orders o   ON o.o_custkey = c.c_custkey
+        FROM sqlq_nation_{tag} n
+        JOIN sqlq_customer_{tag} c ON c.c_nationkey = n.n_nationkey
+        JOIN sqlq_orders_{tag} o   ON o.o_custkey = c.c_custkey
         GROUP BY n.n_name
         """
     )

@@ -155,12 +155,15 @@ def python_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, w in enumerate(text.split(" ")):
                 yield (w, i + 1)
 
-    spark.udtf.register("cbde_tokenize", Tokenize)
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    spark.udtf.register(f"cbde_tokenize_{tag}", Tokenize)
     docs = load_table(spark, sf_dir, "documents")
-    docs.filter(F.col("doc_id") < 20).createOrReplaceTempView("udtf_docs")
+    docs.filter(F.col("doc_id") < 20).createOrReplaceTempView(f"udtf_docs_{tag}")
     return spark.sql(
-        """
+        f"""
         SELECT d.doc_id, t.token, t.pos
-        FROM udtf_docs d, LATERAL cbde_tokenize(d.text) t
+        FROM udtf_docs_{tag} d, LATERAL cbde_tokenize_{tag}(d.text) t
         """
     )
