@@ -73,3 +73,34 @@ def test_repartition_custom_partitioner_parity(spark, sf_smoke):
     assert loc == 1
     ranged = orders.repartitionByRange(4, "o_orderdate").sortWithinPartitions("o_orderdate")
     assert ranged.count() == orders.count()
+
+
+def test_compression_codecs_roundtrip(spark, sf_smoke, tmp_path):
+    """Parquet codec coverage: snappy (default) and zstd (the 100 TB choice
+    for cold data) both roundtrip byte-exact aggregates."""
+    li = load_table(spark, sf_smoke, "lineitem").select("l_orderkey", "l_quantity")
+    want = li.agg(F.round(F.sum("l_quantity"), 2).alias("s")).collect()[0].s
+    for codec in ("snappy", "zstd"):
+        path = str(tmp_path / f"li_{codec}")
+        li.write.option("compression", codec).mode("overwrite").parquet(path)
+        got = (
+            spark.read.parquet(path)
+            .agg(F.round(F.sum("l_quantity"), 2).alias("s"))
+            .collect()[0]
+            .s
+        )
+        assert got == want, codec
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """Schema evolution: files written before a column was added remain
+    readable; mergeSchema unions the schemas with nulls for missing cols."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v1 string").write.mode("append").parquet(path)
+    spark.createDataFrame([(2, "b", 9.5)], "id long, v1 string, v2 double").write.mode(
+        "append"
+    ).parquet(path)
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    assert set(merged.columns) == {"id", "v1", "v2"}
+    rows = {r.id: r.v2 for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
