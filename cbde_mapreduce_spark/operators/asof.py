@@ -31,15 +31,25 @@ def asof_join(
 
     ``right`` must be unique per (by, ts) — pre-aggregate if it isn't, or the
     carried value at equal timestamps is nondeterministic.
+
+    NULL semantics: the carried payload is a struct-of-values that is non-NULL
+    for every right ROW, so ``last(..., ignorenulls=True)`` keys on row
+    presence, not on any value column. A matched right row whose value is
+    legitimately NULL therefore yields NULL (ASOF-join semantics, matches
+    DuckDB) instead of skipping back to an older non-NULL value.
     """
     lcols = left.columns
-    tagged_left = left.withColumn("__tag", F.lit(1)).select(
-        *lcols, "__tag", *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols]
+    payload = "__r_payload"
+    tagged_left = left.withColumn("__tag", F.lit(1)).withColumn(
+        payload,
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols) + ">"
+        ),
     )
     tagged_right = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c not in (by, ts) else F.col(c) for c in lcols],
         F.lit(0).alias("__tag"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias(payload),
     )
     unioned = tagged_left.unionByName(tagged_right)
     # right rows (tag 0) sort before left rows (tag 1) at equal ts => inclusive (<=) semantics
@@ -48,14 +58,10 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("__tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__carried_{c}")
-            for c in value_cols
-        ],
+    carried = unioned.withColumn(
+        "__carried", F.last(payload, ignorenulls=True).over(w)
     )
     return (
         carried.filter(F.col("__tag") == 1)
-        .select(*lcols, *[F.col(f"__carried_{c}").alias(c) for c in value_cols])
+        .select(*lcols, *[F.col(f"__carried.{c}").alias(c) for c in value_cols])
     )

@@ -149,7 +149,8 @@ def having_busy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_set_priorities",
     oracle="""
         SELECT o_orderstatus,
-               list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+               array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+                                                         AS priorities,
                count(*)                                  AS n
         FROM orders
         GROUP BY o_orderstatus
@@ -157,10 +158,17 @@ def having_busy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="aggregation",
 )
 def collect_set_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set per group, sorted for deterministic hashing (SURVEY §5.1)."""
+    """collect_set per group, sorted then serialized to a scalar string.
+
+    The set is joined to a ','-string on BOTH engine sides: array-typed
+    output columns are unhashable for the driver's canonicalizer (round-1
+    ERROR row), and a sorted join is the standard engine-neutral encoding.
+    """
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
-        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        ),
         F.count(F.lit(1)).alias("n"),
     )
 

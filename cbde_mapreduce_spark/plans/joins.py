@@ -107,16 +107,26 @@ def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anti_join_inactive_customers",
     oracle="""
         SELECT c_custkey, c_name FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 400000)
     """,
     category="join",
 )
 def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join — reducer emits left group iff right group empty."""
+    """LEFT ANTI join — reducer emits left group iff right group empty.
+
+    The right side is filtered to high-value orders so the result is
+    non-empty AND a strict subset at every SF: referential integrity makes
+    the unfiltered anti join vacuously 0 rows (round-1 verdict), which
+    proves nothing — here a wrong join type produces a visibly wrong set
+    (the complement of semi_join_active_customers).
+    """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 400000)
     return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        big, cust.c_custkey == big.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 

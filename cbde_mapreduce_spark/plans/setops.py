@@ -76,15 +76,23 @@ def intersect_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_nationkey AS nationkey FROM customer
         EXCEPT
         SELECT s_nationkey AS nationkey FROM supplier
+        WHERE s_acctbal > 9000
     """,
     category="setop",
 )
 def except_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT — nations with customers but no suppliers."""
+    """EXCEPT — customer nations minus nations holding a rich supplier.
+
+    The supplier side is filtered (s_acctbal > 9000) so its key set is a
+    strict subset of the customer nations and the difference is non-empty:
+    the round-1 unfiltered version returned 0 rows at every SF (both key
+    sets = all nations), a vacuous pass that verified nothing about EXCEPT.
+    """
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
+    rich = supp.filter(F.col("s_acctbal") > 9000)
     return cust.select(F.col("c_nationkey").alias("nationkey")).subtract(
-        supp.select(F.col("s_nationkey").alias("nationkey"))
+        rich.select(F.col("s_nationkey").alias("nationkey"))
     )
 
 

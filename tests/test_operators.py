@@ -41,6 +41,30 @@ def test_asof_join_hand_computed(spark):
     assert out == {1: 1.0, 2: 2.0, 3: None, 4: 5.0}
 
 
+def test_asof_join_preserves_null_value_of_matched_row(spark):
+    """A matched right row whose value is NULL must yield NULL, not an older
+    non-NULL value (DuckDB ASOF semantics; round-2 advice fix)."""
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T12:00:00")),  # nearest right@11:00 has v=NULL
+            (2, 10, _ts("2024-01-01T10:00:00")),  # nearest right@09:00 -> 1.0
+        ],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01T09:00:00"), 1.0),
+            (10, _ts("2024-01-01T11:00:00"), None),
+        ],
+        "user_id long, ts timestamp_ntz, v double",
+    )
+    out = {
+        r.event_id: r.v
+        for r in asof_join(left, right, by="user_id", ts="ts", value_cols=["v"]).collect()
+    }
+    assert out == {1: None, 2: 1.0}
+
+
 def test_shingles_short_doc_is_empty(spark):
     df = spark.createDataFrame([("a b",), ("a b c",), ("a b c d",)], "text string")
     rows = df.select(shingles(tokens("text"), 3).alias("s")).collect()
