@@ -8,8 +8,16 @@ Two paths, same semantics:
   exactly like a broadcast hash join's build side. Each Arrow batch computes
   a numpy matmul block and emits only its local top-k (the MR per-mapper-heap
   pattern, SURVEY §2.6); the global top-k merges k·p rows, never the full
-  O(n²) pair set. 100 TB scaling: when the target side outgrows a broadcast,
-  shard it (IVF/LSH below) — the kernel is unchanged.
+  O(n²) pair set.
+
+- **Sharded block matmul** (`cosine_topk_pairs_sharded`): the 100 TB path —
+  NO driver-side collect, NO broadcast of the target. Vectors hash into S
+  shards; each of the S(S+1)/2 shard-pair blocks is an independent
+  ``applyInPandas`` group running the same matmul/local-top-k kernel; the
+  global merge sees only block-count·k rows. Communication = each shard
+  replicated (S+1)/2 times on average — the classic exact all-pairs
+  block-matrix trade (choose S so two shards fit one executor's memory).
+  `cosine_topk_pairs` auto-dispatches between the two on target row count.
 
 - **Random-hyperplane LSH ANN** (`ann_lsh_topk`): multi-table sign-bucket
   blocking (Charikar 2002). Deterministic hyperplanes from a fixed seed;
@@ -41,21 +49,69 @@ def _normalized_matrix(emb: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return ids, m
 
 
+def _block_pairs_topk(
+    q_ids: np.ndarray,
+    qm: np.ndarray,
+    t_ids: np.ndarray,
+    tm: np.ndarray,
+    k: int,
+    digits: int,
+    mask_ordered: bool,
+) -> pd.DataFrame:
+    """Shared matmul kernel: exact local top-k pairs of one (query, target)
+    block under the global total order (round(sim) DESC, qid, nid).
+
+    ``mask_ordered=True`` keeps only qid < nid (both sides drawn from the
+    same id space); ``False`` assumes the id sets are disjoint and
+    normalizes each emitted pair to (min, max). Masked -inf cells are
+    dropped explicitly so a block with fewer than k valid pairs never
+    leaks sentinel rows (round-1 advice fix).
+    """
+    sims = np.round(qm @ tm.T, digits)
+    if mask_ordered:
+        sims[q_ids[:, None] >= t_ids[None, :]] = -np.inf
+    flat = sims.ravel()
+    if flat.size > k:
+        thresh = np.partition(flat, flat.size - k)[flat.size - k]
+        sel = np.nonzero(flat >= thresh)[0]  # ≥k survivors, ties kept
+    else:
+        sel = np.arange(flat.size)
+    sel = sel[flat[sel] > -np.inf]  # drop masked cells even when thresh=-inf
+    qi, ti = np.divmod(sel, t_ids.size)
+    cq, cn, cs = q_ids[qi], t_ids[ti], flat[sel]
+    if not mask_ordered:
+        cq, cn = np.minimum(cq, cn), np.maximum(cq, cn)
+    order = np.lexsort((cn, cq, -cs))[:k]
+    return pd.DataFrame({"qid": cq[order], "nid": cn[order], "sim": cs[order]})
+
+
+def _norm_rows(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    return ids, m
+
+
 def cosine_topk_pairs(
-    emb: DataFrame, k: int = 100, digits: int = 6, parallelism: int = 8
+    emb: DataFrame,
+    k: int = 100,
+    digits: int = 6,
+    parallelism: int = 8,
+    broadcast_threshold_rows: int = 2_000_000,
 ) -> DataFrame:
     """Deterministic global top-k most-similar pairs (qid < nid).
 
     Output (qid, nid, sim) ordered by (round(sim, digits) DESC, qid, nid) —
     the rounding + unique tiebreak makes the cutoff engine-stable.
 
-    Kernel shape (per Arrow batch): one matmul block, invalid pairs masked
-    to -inf in place, k-th-value threshold via np.partition, then an exact
-    lexsort of only the ≥threshold survivors — no index meshgrids, no
-    O(batch·n) integer materialization. The local top-k is exact under the
-    same total order as the global merge, so correctness is unaffected by
-    how rows are batched.
+    Dispatch: targets up to ``broadcast_threshold_rows`` use the broadcast
+    kernel (one pass over the query side, target matrix shipped once per
+    executor — a broadcast-hash-join build side); above it, the sharded
+    block-matmul path (`cosine_topk_pairs_sharded`), which never collects
+    the target to the driver. Both produce identical output.
     """
+    if emb.select("vec_id").count() > broadcast_threshold_rows:
+        return cosine_topk_pairs_sharded(emb, k=k, digits=digits)
     spark = emb.sparkSession
     ids, m = _normalized_matrix(emb)
     bc = spark.sparkContext.broadcast((ids, m))
@@ -68,23 +124,65 @@ def cosine_topk_pairs(
         for pdf in batches:
             if not len(pdf) or not b_ids.size:
                 continue
-            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = np.round(q @ b_m.T, digits)  # (batch, n_target)
-            sims[q_ids[:, None] >= b_ids[None, :]] = -np.inf  # qid<nid only
-            flat = sims.ravel()
-            if flat.size > k:
-                thresh = np.partition(flat, flat.size - k)[flat.size - k]
-                sel = np.nonzero(flat >= thresh)[0]  # ≥k survivors, ties kept
-            else:
-                sel = np.nonzero(flat > -np.inf)[0]
-            qi, bi = np.divmod(sel, b_ids.size)
-            cq, cb, cs = q_ids[qi], b_ids[bi], flat[sel]
-            order = np.lexsort((cb, cq, -cs))[:k]
-            yield pd.DataFrame({"qid": cq[order], "nid": cb[order], "sim": cs[order]})
+            q_ids, q = _norm_rows(pdf)
+            yield _block_pairs_topk(q_ids, q, b_ids, b_m, k, digits, mask_ordered=True)
 
     local = src.mapInPandas(block_topk, PAIR_SCHEMA)
+    return local.orderBy(F.desc("sim"), F.asc("qid"), F.asc("nid")).limit(k)
+
+
+def cosine_topk_pairs_sharded(
+    emb: DataFrame, k: int = 100, digits: int = 6, n_shards: int = 8
+) -> DataFrame:
+    """Exact global top-k pairs with NO driver-side collect and NO broadcast
+    of the embedding matrix — the scale path past broadcast-sized targets.
+
+    Algorithm (block all-pairs): hash every vector into one of ``n_shards``
+    shards; enumerate the S(S+1)/2 unordered shard pairs as blocks; ship each
+    shard to its blocks via a broadcast join on a tiny (block, shard, role)
+    table; one ``applyInPandas`` group per block runs the same matmul kernel
+    on (role-q rows × role-t rows) and emits its local top-k; the global
+    merge orders block-count·k candidate rows.
+
+    Exactness: hash-sharding partitions the id space, so every unordered
+    pair {a,b} lands in exactly one block — the diagonal block of their
+    shared shard (masked to qid<nid) or the single (shard_a, shard_b) block
+    (ids disjoint; emitted normalized to (min,max)). The per-block top-k uses
+    the same total order as the global merge, so no qualifying pair is lost.
+
+    Scale: each shard is replicated (S+1)/2 times on average — the standard
+    exact all-pairs communication trade. Choose S so TWO shards fit in one
+    executor's memory; at n rows × d dims × 8 bytes, S ≈ 2·n·d·8 / mem.
+    """
+    spark = emb.sparkSession
+    src = emb.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_shards)).cast("int").alias("__shard"),
+    )
+    roles = [
+        (si * n_shards + sj, shard, role, si == sj)
+        for si in range(n_shards)
+        for sj in range(si, n_shards)
+        for shard, role in ((si, 0), (sj, 1))
+    ]
+    role_df = spark.createDataFrame(
+        roles, "block_id int, __shard int, role int, diagonal boolean"
+    )
+    tagged = src.join(F.broadcast(role_df), "__shard")
+
+    def block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"qid": [], "nid": [], "sim": []})
+        diagonal = bool(pdf["diagonal"].iat[0])
+        q = pdf[pdf["role"] == 0]
+        t = q if diagonal else pdf[pdf["role"] == 1]
+        if q.empty or t.empty:
+            return empty
+        q_ids, qm = _norm_rows(q)
+        t_ids, tm = (q_ids, qm) if diagonal else _norm_rows(t)
+        return _block_pairs_topk(q_ids, qm, t_ids, tm, k, digits, mask_ordered=diagonal)
+
+    local = tagged.groupBy("block_id").applyInPandas(block_topk, PAIR_SCHEMA)
     return local.orderBy(F.desc("sim"), F.asc("qid"), F.asc("nid")).limit(k)
 
 

@@ -6,7 +6,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cbde_mapreduce_spark.functions.vectors import dot, l2_norm
-from cbde_mapreduce_spark.operators.similarity import ann_lsh_topk, cosine_topk_pairs
+from cbde_mapreduce_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk_pairs,
+    cosine_topk_pairs_sharded,
+)
 from cbde_mapreduce_spark.plans.registry import query
 from cbde_mapreduce_spark.sources import load_table
 
@@ -36,6 +40,17 @@ def cosine_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk_pairs(emb, k=100, digits=6)
+
+
+@query("cosine_topk_sharded", oracle=_COSINE_ORACLE, category="similarity")
+def cosine_topk_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same top-100, forced through the sharded block-matmul path — the
+    beyond-broadcast scale path: no driver collect, no matrix broadcast,
+    S(S+1)/2 independent applyInPandas blocks, global merge of blocks·k rows.
+    Value-checked against the same O(n²) SQL oracle as the broadcast kernel.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_pairs_sharded(emb, k=100, digits=6, n_shards=4)
 
 
 @query("cosine_topk_hof", oracle=_COSINE_ORACLE, category="similarity")

@@ -4,7 +4,11 @@ from __future__ import annotations
 
 import numpy as np
 
-from cbde_mapreduce_spark.operators.similarity import ann_lsh_topk, cosine_topk_pairs
+from cbde_mapreduce_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk_pairs,
+    cosine_topk_pairs_sharded,
+)
 from cbde_mapreduce_spark.plans import REGISTRY
 from cbde_mapreduce_spark.sources import load_table
 
@@ -51,3 +55,47 @@ def test_cosine_topk_k_and_order(spark, sf_smoke):
     assert len(top) == 25
     assert (top.sim.values[:-1] >= top.sim.values[1:]).all()
     assert (top.qid < top.nid).all()
+
+
+def test_sharded_matches_broadcast_kernel(spark, sf_oracle):
+    """The beyond-broadcast block-matmul path must agree cell-exactly with
+    the broadcast kernel (same rounding, same total order)."""
+    emb = load_table(spark, sf_oracle, "embeddings")
+    a = cosine_topk_pairs(emb, k=100).toPandas().reset_index(drop=True)
+    for n_shards in (1, 3, 8):
+        b = (
+            cosine_topk_pairs_sharded(emb, k=100, n_shards=n_shards)
+            .toPandas()
+            .reset_index(drop=True)
+        )
+        assert a[["qid", "nid"]].equals(b[["qid", "nid"]]), f"S={n_shards}"
+        assert np.allclose(a.sim, b.sim, atol=0, rtol=0), f"S={n_shards}"
+
+
+def test_auto_dispatch_above_threshold_uses_sharded(spark, sf_smoke, monkeypatch):
+    """Targets above broadcast_threshold_rows must route to the sharded path
+    (no driver-side collect of the matrix)."""
+    import cbde_mapreduce_spark.operators.similarity as sim
+
+    def boom(_):
+        raise AssertionError("broadcast path collected the target matrix")
+
+    monkeypatch.setattr(sim, "_normalized_matrix", boom)
+    emb = load_table(spark, sf_smoke, "embeddings")
+    top = sim.cosine_topk_pairs(emb, k=10, broadcast_threshold_rows=1).toPandas()
+    assert len(top) == 10
+
+
+def test_fewer_than_k_valid_pairs_no_sentinel_rows(spark):
+    """A corpus with fewer than k valid (qid<nid) pairs must emit only the
+    genuine pairs — no -inf sentinels (round-2 advice fix)."""
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for df in (
+        cosine_topk_pairs(emb, k=100),
+        cosine_topk_pairs_sharded(emb, k=100, n_shards=2),
+    ):
+        top = df.toPandas()
+        assert len(top) == 3  # C(3,2) valid pairs only
+        assert (top.qid < top.nid).all()
+        assert np.isfinite(top.sim).all()
