@@ -16,6 +16,24 @@ from pyspark.sql import functions as F
 
 from cbde_mapreduce_spark.functions.texttools import tokens
 from cbde_mapreduce_spark.operators.dedup import minhash_lsh_neardup
+from cbde_mapreduce_spark.operators.iterative import connected_components
+
+
+def canonical_drop_ids(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+    """(__drop_id): every vertex of the near-dup pair graph EXCEPT each
+    connected component's canonical representative (the min id).
+
+    Per-component, not per-pair: greedy "drop the higher id of each pair"
+    is orientation-dependent and keeps multiple members of one component —
+    e.g. pairs (a,c) and (b,c) drop only c, keeping both a and b even
+    though all three are transitively near-dups; the component policy keeps
+    exactly a. The component label IS the min id by construction, so
+    keep = (v == label).
+    """
+    cc = connected_components(pairs, a, b)
+    return cc.filter(F.col("v") != F.col("component")).select(
+        F.col("v").alias("__drop_id")
+    )
 
 
 def clean_corpus(
@@ -26,8 +44,10 @@ def clean_corpus(
 ) -> DataFrame:
     """Return the cleaned corpus (same schema as ``docs`` + audit columns).
 
-    Policy: keep the lowest doc_id of every exact-duplicate group and of
-    every near-duplicate pair; drop short and out-of-language docs.
+    Policy: keep the lowest doc_id of every exact-duplicate group and the
+    component-canonical lowest doc_id of every near-duplicate component
+    (connected components over verified MinHash-LSH pairs); drop short and
+    out-of-language docs.
     """
     # 1. exact dedup: keep lowest doc_id per content hash
     h = F.md5(F.encode("text", "UTF-8"))
@@ -40,14 +60,12 @@ def clean_corpus(
         keeper, docs.doc_id == keeper.__keep_id, "left_semi"
     )
 
-    # 2. near-dedup: drop the higher id of every verified near-dup pair
-    dupes = (
-        minhash_lsh_neardup(exact, threshold=neardup_threshold)
-        .select(F.col("doc_b").alias("__drop_id"))
-        .distinct()
+    # 2. near-dedup: keep only each component's canonical min-id member
+    pairs = minhash_lsh_neardup(exact, threshold=neardup_threshold).select(
+        "doc_a", "doc_b"
     )
     neardeduped = exact.join(
-        dupes, exact.doc_id == dupes.__drop_id, "left_anti"
+        canonical_drop_ids(pairs), exact.doc_id == F.col("__drop_id"), "left_anti"
     )
 
     # 3. quality + language gates (cheap, pushed down)

@@ -107,3 +107,51 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     edges = jaccard_pairs(docs, k=3, threshold=0.1).select("doc_a", "doc_b")
     return connected_components(edges, "doc_a", "doc_b")
+
+
+@query(
+    "dedup_canonical_docs",
+    oracle="""
+        WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      unnest(list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+               FROM t),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        p  AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+        e  AS (SELECT doc_a, doc_b
+               FROM p JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+               WHERE inter / (x.n + y.n - inter) >= 0.1),
+        sym AS (SELECT doc_a AS a, doc_b AS b FROM e
+                UNION SELECT doc_b, doc_a FROM e),
+        verts AS (SELECT DISTINCT a AS v FROM sym),
+        walk(v, l) AS (
+            SELECT v, v FROM verts
+            UNION
+            SELECT s.a, w.l FROM walk w JOIN sym s ON w.v = s.b
+        ),
+        comp AS (SELECT v, min(l) AS component FROM walk GROUP BY v)
+        SELECT d.doc_id, d.lang
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT v FROM comp WHERE v != component)
+    """,
+    category="dedup",
+)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-canonical near-dedup: keep each near-dup component's min
+    doc_id, not the per-pair greedy survivor (which over-deletes on chains).
+
+    The keep-policy the cleaning pipeline (operators/pipeline.py) applies,
+    here over the exact Jaccard graph so DuckDB's recursive CTE is a true
+    value oracle for the kept-set.
+    """
+    from cbde_mapreduce_spark.operators.pipeline import canonical_drop_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = jaccard_pairs(docs, k=3, threshold=0.1).select("doc_a", "doc_b")
+    drops = canonical_drop_ids(edges)
+    return docs.join(
+        drops, docs.doc_id == F.col("__drop_id"), "left_anti"
+    ).select("doc_id", "lang")
