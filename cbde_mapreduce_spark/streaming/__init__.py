@@ -8,6 +8,8 @@ watermark for late data → sink.
 """
 
 from cbde_mapreduce_spark.streaming.streams import (  # noqa: F401
+    events_file_ingest,
     events_stream,
+    kafka_events_stream,
     run_streaming_tumbling,
 )

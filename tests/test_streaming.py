@@ -8,7 +8,12 @@ import uuid
 from pyspark.sql import functions as F
 
 from cbde_mapreduce_spark.plans import REGISTRY
-from cbde_mapreduce_spark.streaming import events_stream, run_streaming_tumbling
+from cbde_mapreduce_spark.streaming import (
+    events_file_ingest,
+    events_stream,
+    kafka_events_stream,
+    run_streaming_tumbling,
+)
 
 
 def test_stream_matches_batch_tumbling(spark, sf_smoke):
@@ -117,6 +122,65 @@ def test_stream_stream_interval_join(spark, sf_smoke):
     batch_pairs = set(zip(batch.p_id, batch.c_id))
     for pair in zip(emitted.p_id, emitted.c_id):
         assert pair in batch_pairs
+
+
+def test_incremental_directory_ingest_matches_batch(spark, sf_smoke, tmp_path):
+    """Files landing in a directory are consumed over MULTIPLE micro-batches
+    (maxFilesPerTrigger=1) with a watermark; the final tumbling aggregation
+    must equal the batch twin on the same data exactly."""
+    from cbde_mapreduce_spark.session import apply_runtime_conf
+
+    apply_runtime_conf(spark)
+    landing = str(tmp_path / "landing")
+    # split the fixture into 4 raw-layout files to simulate incremental arrival
+    spark.read.parquet(f"{sf_smoke}/events.parquet").repartition(4).write.parquet(landing)
+    stream = events_file_ingest(spark, landing, max_files_per_trigger=1)
+    agg = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
+            "n",
+            "sum_value",
+        )
+    )
+    sink = f"ingest_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ingest_"))
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches > 1, "expected multiple micro-batches (one file each)"
+    got = spark.table(sink).toPandas().sort_values("hour_start").reset_index(drop=True)
+    want = (
+        REGISTRY["tumbling_hourly_events"].fn(spark, sf_smoke)
+        .toPandas()
+        .sort_values("hour_start")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+
+def test_kafka_wiring_guarded(spark):
+    """Without the Kafka connector jar the source must fail loudly with the
+    exact package to add, not an opaque ClassNotFoundException."""
+    try:
+        df = kafka_events_stream(spark, "localhost:9092", "events")
+    except RuntimeError as ex:
+        assert "spark-sql-kafka" in str(ex)
+    else:
+        # connector present: the plan must build with the canonical schema
+        assert df.isStreaming and "ts" in df.columns
 
 
 def test_foreach_batch_parquet_sink(spark, sf_smoke, tmp_path):
