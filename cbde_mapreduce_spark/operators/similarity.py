@@ -186,19 +186,13 @@ def cosine_topk_pairs_sharded(
     return local.orderBy(F.desc("sim"), F.asc("qid"), F.asc("nid")).limit(k)
 
 
-def ann_lsh_topk(
-    emb: DataFrame,
-    k: int = 10,
-    n_tables: int = 8,
-    n_bits: int = 5,
-    seed: int = 42,
-    digits: int = 6,
+def lsh_buckets(
+    emb: DataFrame, n_tables: int = 8, n_bits: int = 5, seed: int = 42
 ) -> DataFrame:
-    """Approximate k-NN per vector via multi-table sign-random-projection LSH.
-
-    Output (qid, nid, sim, rn): for each qid, its top-k candidates by exact
-    cosine among LSH-colliding vectors. Deterministic given the seed.
-    """
+    """(vec_id, table_id, bucket): multi-table sign-random-projection buckets
+    (Charikar 2002). Deterministic hyperplanes from the seed; one Arrow pass,
+    n_tables rows out per vector. Shared blocking primitive for ANN top-k and
+    embedding near-dedup."""
     spark = emb.sparkSession
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_tables, n_bits, 64)
@@ -224,9 +218,25 @@ def ann_lsh_topk(
                 )
             yield pd.concat(out, ignore_index=True)
 
-    buckets = emb.select("vec_id", "embedding").mapInPandas(
+    return emb.select("vec_id", "embedding").mapInPandas(
         bucketize, "vec_id bigint, table_id int, bucket bigint"
     )
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    k: int = 10,
+    n_tables: int = 8,
+    n_bits: int = 5,
+    seed: int = 42,
+    digits: int = 6,
+) -> DataFrame:
+    """Approximate k-NN per vector via multi-table sign-random-projection LSH.
+
+    Output (qid, nid, sim, rn): for each qid, its top-k candidates by exact
+    cosine among LSH-colliding vectors. Deterministic given the seed.
+    """
+    buckets = lsh_buckets(emb, n_tables, n_bits, seed)
     l, r = buckets.alias("l"), buckets.alias("r")
     cand = (
         l.join(
@@ -264,4 +274,59 @@ def ann_lsh_topk(
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= k)
+    )
+
+
+def embedding_neardup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.42,
+    n_tables: int = 8,
+    n_bits: int = 5,
+    seed: int = 42,
+    digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (qid < nid, sim >= threshold)
+    via LSH blocking — the scale path of the embedding-dedup family.
+
+    Candidates = pairs sharing a (table, bucket); exact cosine re-rank of
+    candidates only, then the threshold filter. Mirrors the text family's
+    MinHash-LSH/exact-Jaccard split: the all-pairs HOF twin
+    (plans/similarity_q.py::embedding_neardup_pairs) is the oracle, this is
+    what runs at corpus scale. Approximate: a pair colliding in no table is
+    missed — recall vs the exact twin is asserted in tests/test_similarity.py
+    (sign-LSH collision probability rises with cosine, so high-sim pairs are
+    the least likely to be missed).
+    """
+    from cbde_mapreduce_spark.functions.vectors import dot, l2_norm
+
+    buckets = lsh_buckets(emb, n_tables, n_bits, seed)
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.table_id") == F.col("r.table_id"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(F.col("l.vec_id").alias("qid"), F.col("r.vec_id").alias("nid"))
+        .distinct()
+    )
+    n = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    e1 = n.select(F.col("vec_id").alias("qid"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    e2 = n.select(F.col("vec_id").alias("nid"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    return (
+        cand.join(e1, "qid")
+        .join(e2, "nid")
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), digits
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
     )

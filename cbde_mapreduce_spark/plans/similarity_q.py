@@ -10,6 +10,7 @@ from cbde_mapreduce_spark.operators.similarity import (
     ann_lsh_topk,
     cosine_topk_pairs,
     cosine_topk_pairs_sharded,
+    embedding_neardup_lsh,
 )
 from cbde_mapreduce_spark.plans.registry import query
 from cbde_mapreduce_spark.sources import load_table
@@ -81,6 +82,61 @@ def cosine_topk_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sim"), F.asc("qid"), F.asc("nid"))
         .limit(100)
     )
+
+
+_NEARDUP_ORACLE = """
+    WITH n AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(embedding, x -> x::double * x::double))) AS nrm
+        FROM embeddings
+    )
+    SELECT a.vec_id AS qid, b.vec_id AS nid,
+           round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                          z -> z[1]::double * z[2]::double))
+                 / (a.nrm * b.nrm), 6) AS sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                         z -> z[1]::double * z[2]::double))
+                / (a.nrm * b.nrm), 6) >= 0.42
+"""
+
+
+@query("embedding_neardup_pairs", oracle=_NEARDUP_ORACLE, category="dedup")
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim >= 0.42), exact all-pairs
+    via built-in higher-order functions — the oracle twin of the LSH path.
+
+    O(n²): norms computed once per vector before the non-equi self-join, so
+    the join evaluates a single dot-fold per pair. Kept as the value oracle;
+    embedding_neardup_lsh is the corpus-scale path.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    a = n.select(F.col("vec_id").alias("qid"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = n.select(F.col("vec_id").alias("nid"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    return (
+        a.join(b, F.col("qid") < F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.42)
+    )
+
+
+@query("embedding_neardup_lsh", oracle=None, category="dedup")
+def embedding_neardup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH blocking — the scale path
+    (candidates from shared sign-projection buckets, exact re-rank,
+    threshold filter). Rows-only: approximate by construction; recall vs
+    the exact twin is asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_lsh(emb, threshold=0.42)
 
 
 @query("ann_lsh_topk", oracle=None, category="similarity")

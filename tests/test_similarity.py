@@ -86,6 +86,26 @@ def test_auto_dispatch_above_threshold_uses_sharded(spark, sf_smoke, monkeypatch
     assert len(top) == 10
 
 
+def test_embedding_neardup_lsh_recall_vs_exact(spark, sf_oracle):
+    """Every LSH-found pair must be a genuine >=threshold pair (precision 1
+    by construction — exact re-rank); recall vs the exact twin is bounded
+    below and all high-sim pairs must be found (collision probability rises
+    with cosine)."""
+    exact = (
+        REGISTRY["embedding_neardup_pairs"].fn(spark, sf_oracle).toPandas()
+    )
+    lsh = REGISTRY["embedding_neardup_lsh"].fn(spark, sf_oracle).toPandas()
+    exact_pairs = set(zip(exact.qid, exact.nid))
+    lsh_pairs = set(zip(lsh.qid, lsh.nid))
+    assert lsh_pairs <= exact_pairs, "LSH emitted a below-threshold pair"
+    assert len(exact_pairs) > 0
+    recall = len(lsh_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"near-dup recall {recall:.2f} regressed"
+    top = exact.nlargest(5, "sim")
+    for p in zip(top.qid, top.nid):
+        assert p in lsh_pairs, f"highest-sim pair {p} missed by LSH"
+
+
 def test_fewer_than_k_valid_pairs_no_sentinel_rows(spark):
     """A corpus with fewer than k valid (qid<nid) pairs must emit only the
     genuine pairs — no -inf sentinels (round-2 advice fix)."""
