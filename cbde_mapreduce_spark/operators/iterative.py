@@ -204,3 +204,82 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
         labels = updated.select("v", "label")
         if n_changed == 0:
             return labels.select("v", F.col("label").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_rounds: int = 50
+) -> DataFrame:
+    """(v, component): connected components via alternating large-star /
+    small-star rounds (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14 — public algorithm).
+
+    Round-count is O(log² n) on ANY graph topology, vs O(diameter) for
+    min-label propagation (`connected_components`) — the difference between
+    ~20 and ~10⁶ shuffles on a 100 TB path-shaped graph. Each round is two
+    groupBy-min passes over the edge set; lineage is truncated per round.
+
+    large-star: every node points its LARGER neighbors at its smallest
+    neighbor (or itself); small-star: every node points its smaller-or-equal
+    neighbors at the minimum. At fixpoint the edge set is a star forest
+    (v → component-min), read off directly as the label assignment.
+    Deterministic: component id = min vertex id, same contract as
+    `connected_components` (equality asserted in tests/test_iterative.py).
+    """
+
+    def _mins(sym: DataFrame) -> DataFrame:
+        return (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("__mn"))
+            .select("a", F.least(F.col("a"), F.col("__mn")).alias("m"))
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        joined = sym.join(_mins(sym), "a")
+        return (
+            joined.filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        oriented = e.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        mins = _mins(oriented)
+        moved = oriented.join(mins, "a").select(
+            F.col("b").alias("a"), F.col("m").alias("b")
+        )
+        self_edges = mins.select(F.col("a"), F.col("m").alias("b"))
+        return (
+            moved.unionAll(self_edges)
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    prev_fp = None
+    for _ in range(max_rounds):
+        e = small_star(large_star(e)).localCheckpoint()
+        fp = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) sum: exact, no ANSI long-overflow on hash sums
+            F.coalesce(
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        if (fp.n, fp.h) == prev_fp:
+            break
+        prev_fp = (fp.n, fp.h)
+    else:
+        raise RuntimeError(f"star CC did not converge in {max_rounds} rounds")
+    roots = e.select(F.col("b").alias("v")).distinct()
+    members = e.select(F.col("a").alias("v"), F.col("b").alias("component"))
+    return members.unionByName(
+        roots.select("v", F.col("v").alias("component"))
+    )

@@ -167,13 +167,19 @@ def lang_id_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="text",
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF: the classic MR two-job chain (tf, df) + join + top-3 per doc."""
+    """TF-IDF: the classic MR two-job chain (tf, df) + join + top-3 per doc.
+
+    The tf⋈df join is a plain shuffle join on term: both sides are already
+    shuffled on (…, term) by their aggregations, and the df side is the
+    corpus VOCABULARY — which outgrows a broadcast at corpus scale (round-1
+    verdict), so no broadcast hint here.
+    """
     docs = load_table(spark, sf_dir, "documents")
     n_docs = float(docs.count())
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df), "term").select(
+    scored = tf.join(df, "term").select(
         "doc_id",
         "term",
         F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6).alias("tfidf"),

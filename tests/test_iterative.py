@@ -63,3 +63,42 @@ def test_ivf_ann_recall_and_pruning(spark, sf_oracle):
     assert recall >= 0.30, f"IVF recall {recall:.3f} regressed"
     # pruning: probes 3/10 clusters, so candidates < half of all pairs
     assert len(ann) <= len(ids) * 10
+
+
+def test_star_cc_matches_label_propagation(spark, sf_oracle):
+    """large-star/small-star CC must produce the identical (v, component)
+    assignment as min-label propagation on every topology tried: the real
+    near-dup graph, a long path (worst case for label propagation), and a
+    random graph."""
+    import random
+
+    from cbde_mapreduce_spark.operators.dedup import jaccard_pairs
+    from cbde_mapreduce_spark.operators.iterative import (
+        connected_components,
+        connected_components_star,
+    )
+    from cbde_mapreduce_spark.sources import load_table
+
+    def labels(df):
+        return sorted((r.v, r.component) for r in df.collect())
+
+    docs = load_table(spark, sf_oracle, "documents")
+    real = jaccard_pairs(docs, k=3, threshold=0.1).select("doc_a", "doc_b")
+    assert labels(connected_components_star(real, "doc_a", "doc_b")) == labels(
+        connected_components(real, "doc_a", "doc_b")
+    )
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "src long, dst long"
+    )
+    got = labels(connected_components_star(path))
+    assert got == [(v, 0) for v in range(65)]
+
+    rng = random.Random(7)
+    rand_edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    rand = spark.createDataFrame(
+        [e for e in rand_edges if e[0] != e[1]], "src long, dst long"
+    )
+    assert labels(connected_components_star(rand)) == labels(
+        connected_components(rand)
+    )
