@@ -70,3 +70,71 @@ def extract_binary_features(multimodal: DataFrame) -> DataFrame:
             )
 
     return multimodal.mapInPandas(features, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary"
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, pixels binary"
+
+
+def sample_frames(
+    multimodal: DataFrame, frame_bytes: int = 256, every_k: int = 2
+) -> DataFrame:
+    """1→N frame sampling: each payload splits into fixed-size frames and
+    every k-th frame is emitted — the video-frame-sampling plumbing, with
+    byte-chunking standing in for a real demuxer (none in this container).
+
+    The Spark-side shape is exactly real: Arrow-batched mapInPandas, a
+    row-multiplying output (doc_id, frame_idx, frame: binary), partition
+    sizing by bytes. A real ffmpeg-style demuxer replaces only the chunking
+    line. Deterministic, so the stats are oracle-checkable
+    (plans/multimodal_q.py::frame_sample_stats).
+    """
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, blobs = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n, every_k):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    blobs.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": blobs})
+
+    return multimodal.select("doc_id", "payload").mapInPandas(frames, FRAME_SCHEMA)
+
+
+def resize_media(multimodal: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """DETERMINISTIC FAKE resize — not a real image decode (no codec in this
+    container, and faking pixels silently would be worse than failing; see
+    decode_media). What IS real: the Arrow batch flow, the fixed-size output
+    contract (len(pixels) == width·height, u8), and the schema a real
+    PIL/opencv kernel would produce. The fake maps the byte stream onto the
+    target grid by nearest-neighbor index sampling, so outputs are stable
+    across partitionings and testable.
+    """
+    import numpy as np
+
+    n_px = width * height
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                if not b:
+                    out.append(bytes(n_px))
+                    continue
+                idx = (np.arange(n_px) * len(b)) // n_px
+                out.append(np.frombuffer(b, dtype=np.uint8)[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "pixels": out,
+                }
+            )
+
+    return multimodal.select("doc_id", "payload").mapInPandas(resize, RESIZE_SCHEMA)

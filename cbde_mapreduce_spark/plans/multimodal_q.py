@@ -31,3 +31,34 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     return extract_binary_features(attach_binary_payload(docs))
+
+
+@query(
+    "frame_sample_stats",
+    oracle="""
+        SELECT doc_id,
+               ((strlen(text) + 255) // 256 + 1) // 2                  AS n_frames,
+               list_sum(list_transform(
+                   range(0, (strlen(text) + 255) // 256, 2),
+                   i -> least(256, strlen(text) - i * 256)))::bigint   AS sampled_bytes
+        FROM documents
+        WHERE strlen(text) > 0
+    """,
+    category="multimodal",
+)
+def frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing, oracle-checked via its stats: every 2nd
+    256-byte frame of each payload; per-doc emitted-frame count and sampled
+    byte total must match DuckDB's arithmetic over the text length.
+    Exercises the 1→N binary mapInPandas path end-to-end.
+    """
+    from pyspark.sql import functions as F
+
+    from cbde_mapreduce_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_binary_payload(docs), frame_bytes=256, every_k=2)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum(F.octet_length("frame")).cast("bigint").alias("sampled_bytes"),
+    )
