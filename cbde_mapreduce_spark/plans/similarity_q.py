@@ -161,6 +161,17 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assignments(emb, k=10, iters=3)
 
 
+@query("pq_adc_topk", oracle=None, category="similarity")
+def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 32× vector compression (64 floats → 8 one-
+    byte codes), asymmetric-distance top-10 per vector. Rows-only
+    (approximate); recall vs exact neighbors asserted in tests/test_pq.py."""
+    from cbde_mapreduce_spark.operators.pq import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, k=10)
+
+
 @query("ivf_ann_topk", oracle=None, category="similarity")
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate k-NN (k-means coarse quantizer, 3-probe, exact

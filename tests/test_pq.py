@@ -1,0 +1,39 @@
+"""Product quantization: compression contract, determinism, ADC recall."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cbde_mapreduce_spark.operators.pq import (
+    pq_adc_topk,
+    pq_encode,
+    pq_train_codebooks,
+)
+from cbde_mapreduce_spark.sources import load_table
+
+
+def test_pq_codes_compression_and_determinism(spark, sf_oracle):
+    emb = load_table(spark, sf_oracle, "embeddings")
+    books = pq_train_codebooks(emb, m=8, k=16)
+    assert books.shape == (8, 16, 8)  # 64 dims / 8 subspaces
+    a = pq_encode(emb, books).toPandas().set_index("vec_id")
+    assert (a.codes.map(lambda b: len(bytes(b))) == 8).all()  # 32x vs 64 floats
+    b = pq_encode(emb.repartition(5), books).toPandas().set_index("vec_id")
+    for i in a.index:
+        assert bytes(a.loc[i, "codes"]) == bytes(b.loc[i, "codes"])
+
+
+def test_pq_adc_recall_vs_exact(spark, sf_oracle):
+    emb = load_table(spark, sf_oracle, "embeddings")
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf.vec_id.to_numpy()
+    m = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    d2 = ((m[:, None, :] - m[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d2, np.inf)
+    exact = {ids[i]: set(ids[np.argsort(d2[i])[:10]]) for i in range(len(ids))}
+    got = pq_adc_topk(emb, k=10).toPandas()
+    got_n = got.groupby("qid")["nid"].apply(set).to_dict()
+    recall = np.mean([len(exact[q] & got_n.get(q, set())) / 10 for q in exact])
+    # near-random embeddings are PQ's worst case; the floor guards regressions
+    assert recall >= 0.25, f"PQ-ADC recall {recall:.3f} regressed"
+    assert all(len(v) == 10 for v in got_n.values())

@@ -104,3 +104,40 @@ def test_merge_schema_evolution(spark, tmp_path):
     assert set(merged.columns) == {"id", "v1", "v2"}
     rows = {r.id: r.v2 for r in merged.collect()}
     assert rows[1] is None and rows[2] == 9.5
+
+
+def test_orc_roundtrip(spark, sf_smoke, tmp_path):
+    """ORC sink/scan (built into Spark): values and schema must survive a
+    round trip, and predicate pushdown must reach the ORC scan."""
+    from cbde_mapreduce_spark.sources import load_table
+
+    orders = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = str(tmp_path / "orders_orc")
+    orders.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == orders.schema
+    assert back.count() == orders.count()
+    want = orders.filter(F.col("o_totalprice") > 200000).count()
+    got_df = back.filter(F.col("o_totalprice") > 200000)
+    assert got_df.count() == want
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan
+
+
+def test_avro_guarded(spark, sf_smoke, tmp_path):
+    """Avro needs the external spark-avro package; without it the write must
+    fail with Spark's actionable AVRO_MISSING_PACKAGE-style error (we assert
+    the failure mode is loud, not silent)."""
+    from cbde_mapreduce_spark.sources import load_table
+
+    orders = load_table(spark, sf_smoke, "orders").limit(10)
+    path = str(tmp_path / "orders_avro")
+    try:
+        orders.write.mode("overwrite").format("avro").save(path)
+    except Exception as ex:
+        assert "avro" in str(ex).lower()
+        return
+    back = spark.read.format("avro").load(path)  # package present
+    assert back.count() == 10
