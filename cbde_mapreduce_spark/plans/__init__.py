@@ -10,6 +10,7 @@ from cbde_mapreduce_spark.plans.registry import REGISTRY, QuerySpec, query  # no
 # Import order = SURVEY.md §7 build-plan order. Each import registers queries.
 from cbde_mapreduce_spark.plans import tpch  # noqa: F401,E402
 from cbde_mapreduce_spark.plans import tpch_more  # noqa: F401,E402
+from cbde_mapreduce_spark.plans import tpch_rest  # noqa: F401,E402
 from cbde_mapreduce_spark.plans import relational  # noqa: F401,E402
 from cbde_mapreduce_spark.plans import aggregates  # noqa: F401,E402
 from cbde_mapreduce_spark.plans import setops  # noqa: F401,E402
