@@ -93,7 +93,7 @@ def kmeans_assignments(
 def ivf_topk(
     emb: DataFrame,
     k: int = 10,
-    n_clusters: int = 10,
+    n_clusters: int | None = 10,
     n_probe: int = 3,
     iters: int = 3,
     digits: int = 6,
@@ -105,7 +105,14 @@ def ivf_topk(
     top-k per query. The inverted-file structure is the (cluster → vectors)
     assignment table — at 100 TB it is the partitioning key of the stored
     index, so a probe touches only n_probe/n_clusters of the data.
+
+    ``n_clusters=None`` auto-sizes to ≈√n (the standard IVF balance point:
+    per-probe candidate-list length and centroid-table size are then both
+    O(√n)).
     """
+    if n_clusters is None:
+        n = emb.select("vec_id").count()
+        n_clusters = max(2, int(n**0.5))
     centroids, assigned = kmeans_fit(emb, n_clusters, iters)
     spark = emb.sparkSession
     bc = spark.sparkContext.broadcast(centroids)

@@ -102,3 +102,13 @@ def test_star_cc_matches_label_propagation(spark, sf_oracle):
     assert labels(connected_components_star(rand)) == labels(
         connected_components(rand)
     )
+
+
+def test_ivf_auto_sizes_clusters_to_sqrt_n(spark, sf_oracle):
+    from cbde_mapreduce_spark.operators.iterative import ivf_topk
+    from cbde_mapreduce_spark.sources import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")  # 500 vectors -> 22 clusters
+    got = ivf_topk(emb, k=5, n_clusters=None).toPandas()
+    assert got.rn.max() <= 5
+    assert got.qid.nunique() == emb.count()

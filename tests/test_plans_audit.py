@@ -95,3 +95,44 @@ def test_salted_agg_is_two_phase(spark, sf_oracle):
     plan = _executed_plan(df)
     assert "__salt" in plan
     assert plan.count("HashAggregate") >= 4  # partial+final for each phase
+
+
+def test_q7_star_broadcasts_dims_fact_shuffles_on_keys(spark, sf_oracle):
+    """Q7's six-table star: dimensions resolve to broadcast-hash joins; no
+    sort-merge join anywhere at this scale; the nation-pair predicate must
+    not force a cartesian."""
+    df = REGISTRY["q7_nation_volume"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "partial_sum" in plan
+
+
+def test_q13_left_join_then_two_level_agg(spark, sf_oracle):
+    """Q13: the zero-order customers survive (LeftOuter) and both aggregation
+    levels combine map-side."""
+    df = REGISTRY["q13_order_distribution"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    assert "LeftOuter" in plan
+    assert "partial_count" in plan
+
+
+def test_q15_max_subquery_stays_distributed(spark, sf_oracle):
+    """Q15's max-revenue selection is a window over the aggregate — the plan
+    must contain the Window operator, not a collected literal."""
+    df = REGISTRY["q15_top_supplier"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    assert "Window" in plan
+    assert "partial_sum" in plan
+
+
+def test_q17_correlated_avg_decorrelates_to_aggregate_join(spark, sf_oracle):
+    """Catalyst must rewrite the correlated scalar subquery into an
+    aggregate + join — no per-row subquery execution."""
+    df = REGISTRY["q17_small_quantity_revenue"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    # decisive check: in the final (AQE) plan, lineitem is scanned a bounded
+    # number of times (once per side of the aggregate-join), not per row
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Join" in final and "avg" in final
+    assert 1 <= final.count("FileScan parquet") <= 2
