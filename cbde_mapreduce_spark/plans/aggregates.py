@@ -345,3 +345,34 @@ def freq_items_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return freq.select(
         F.explode(F.sort_array("word_freqItems")).alias("frequent_word")
     )
+
+
+@query(
+    "grouping_sets_orders",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+    """,
+    category="aggregation",
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    three simultaneous groupings expanded in ONE pass over the fact table —
+    the MR multi-key-emit job, planned by Catalyst as a single Expand +
+    aggregate, not three scans."""
+    import uuid
+
+    view = f"orders_gs_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM {view}
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )

@@ -244,3 +244,37 @@ def moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("mavg5")
     )
+
+
+@query(
+    "range_frame_hourly_sum",
+    oracle="""
+        SELECT event_id, user_id,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+                     2) AS hour_sum
+        FROM events
+    """,
+    category="window",
+)
+def range_frame_hourly_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per event, the user's value sum over the trailing
+    hour — a VALUE-based frame (all events within the interval), distinct
+    from the ROWS frames elsewhere in this module.
+
+    Ordering key is integer nanoseconds (ts_ns), so the frame boundary
+    arithmetic is exact and matches DuckDB's timestamp RANGE frame; equal
+    timestamps share one frame on both engines by RANGE semantics.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hour_ns = 3_600 * 1_000_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns")
+        .rangeBetween(-hour_ns, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("hour_sum"),
+    )

@@ -57,3 +57,56 @@ def test_streaming_agg_uses_state_store(spark, sf_smoke):
     # bounded AvailableNow query already terminated; presence of results from
     # the memory sink implies the stateful aggregation ran to completion
     assert progress == []
+
+
+def test_zorder_write_tightens_multi_column_stats(spark, sf_oracle, tmp_path):
+    """Z-ordered layout must (a) preserve the data exactly and (b) let a
+    two-column point predicate prune strictly more row groups than the
+    unordered layout — measured from real parquet min/max stats."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from cbde_mapreduce_spark.sources import load_table
+    from cbde_mapreduce_spark.sources.zorder import write_zordered
+
+    li = load_table(spark, sf_oracle, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    plain, zed = str(tmp_path / "plain"), str(tmp_path / "zed")
+    li.repartition(8).write.parquet(plain)
+    write_zordered(li, zed, ["l_partkey", "l_suppkey"], n_files=8)
+
+    back = spark.read.parquet(zed)
+    assert back.count() == li.count()
+    assert back.agg(F.sum("l_quantity")).collect()[0][0] == li.agg(
+        F.sum("l_quantity")
+    ).collect()[0][0]
+
+    # a mid-range 2-d point probe
+    probe = li.select("l_partkey", "l_suppkey").collect()[len(li.collect()) // 2]
+
+    def candidate_row_groups(directory):
+        n_total = n_hit = 0
+        for f in glob.glob(f"{directory}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                n_total += 1
+                g = md.row_group(rg)
+                pk = g.column(cols["l_partkey"]).statistics
+                sk = g.column(cols["l_suppkey"]).statistics
+                if (
+                    pk.min <= probe.l_partkey <= pk.max
+                    and sk.min <= probe.l_suppkey <= sk.max
+                ):
+                    n_hit += 1
+        return n_hit, n_total
+
+    hit_p, tot_p = candidate_row_groups(plain)
+    hit_z, tot_z = candidate_row_groups(zed)
+    assert tot_p > 0 and tot_z > 0
+    # unordered files see nearly every row group as a candidate; z-order
+    # must prune strictly better
+    assert hit_z < hit_p, f"z-order did not prune: {hit_z}/{tot_z} vs {hit_p}/{tot_p}"
