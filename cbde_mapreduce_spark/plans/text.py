@@ -311,3 +311,36 @@ def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy(split.alias("split")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@query(
+    "bpe_regex_token_counts",
+    oracle=r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))::bigint
+                   AS n_pieces,
+               len(list_distinct(
+                   regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')))::bigint
+                   AS n_unique_pieces
+        FROM documents
+    """,
+    category="text",
+)
+def bpe_regex_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""BPE-style regex pre-tokenization counts: alpha runs, digit runs, and
+    punctuation runs as separate pieces (the GPT-2 pre-tokenizer family,
+    restricted to a lookahead-free pattern so Java regex and RE2 agree).
+
+    One narrow scan + per-row array ops, no shuffle; the piece stream is
+    what a BPE merge pass would consume.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # F.lit pattern (not F.expr): Spark SQL string literals would eat the \s
+    pieces = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"), F.lit(0)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(pieces).cast("bigint").alias("n_pieces"),
+        F.size(F.array_distinct(pieces)).cast("bigint").alias("n_unique_pieces"),
+    )

@@ -136,3 +136,42 @@ def test_q17_correlated_avg_decorrelates_to_aggregate_join(spark, sf_oracle):
     final = plan.split("== Initial Plan ==")[0]
     assert "Join" in final and "avg" in final
     assert 1 <= final.count("FileScan parquet") <= 2
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_oracle):
+    """Selective dimension filters inject a runtime bloom filter on the fact
+    side of a shuffle join (the semi-join pushdown a 100 TB star schema
+    needs). Thresholds are tuned down because the fixture is tiny; at
+    cluster scale the defaults (10 MB creation side) trigger on their own."""
+    from pyspark.sql import functions as F
+
+    from cbde_mapreduce_spark.sources import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_oracle, "lineitem")
+        o = load_table(spark, sf_oracle, "orders").filter(
+            F.col("o_totalprice") > 450000
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan or "BloomFilter" in plan
+        assert "might_contain" in plan  # the fact-side application
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
