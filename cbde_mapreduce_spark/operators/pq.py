@@ -106,6 +106,122 @@ def pq_encode(emb: DataFrame, codebooks: np.ndarray) -> DataFrame:
     )
 
 
+def ivf_pq_topk(
+    emb: DataFrame,
+    k: int = 10,
+    n_clusters: int = 8,
+    n_probe: int = 3,
+    m: int = 8,
+    n_centroids: int = 16,
+    n_sample: int = 2048,
+    kmeans_iters: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ: coarse quantizer routes queries to ``n_probe`` clusters; ADC
+    scores only the PQ codes stored in those clusters (the classic IVF-PQ
+    layout — Jégou et al. 2011 §V).
+
+    This is the past-code-broadcast composition the plain ``pq_adc_topk``
+    path can't reach: codes are PARTITIONED by cluster id (the inverted
+    file), queries are routed to their probed clusters, and each (cluster ×
+    query-batch) ADC scan runs executor-side via ``cogroup.applyInPandas``
+    — no driver collect and no full-code broadcast anywhere. A probe
+    touches n_probe/n_clusters of the index regardless of corpus size.
+
+    Output (qid, nid, adc_dist, rn): top-k per query by ADC distance over
+    probed clusters. Approximate ⇒ rows-only in the driver; recall vs the
+    exact L2 neighbors is asserted in tests/test_pq.py.
+    """
+    from cbde_mapreduce_spark.operators.iterative import kmeans_fit
+
+    spark = emb.sparkSession
+    src = emb.select("vec_id", "embedding")
+
+    centroids, assigned = kmeans_fit(emb, k=n_clusters, iters=kmeans_iters)
+    books = pq_train_codebooks(emb, m=m, k=n_centroids, n_sample=n_sample, seed=seed)
+    sub = books.shape[2]
+
+    # Inverted file: (cluster, nid, codes) — cluster id IS the partition key.
+    codes = pq_encode(emb, books).join(
+        assigned.select(F.col("vec_id"), "cluster"), "vec_id"
+    ).select("cluster", F.col("vec_id").alias("nid"), "codes")
+
+    # Route each query to its n_probe nearest coarse centroids.
+    bc_cent = spark.sparkContext.broadcast(centroids)
+
+    def probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc_cent.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d2 = (
+                (x * x).sum(axis=1, keepdims=True)
+                - 2.0 * (x @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            near = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+            idx = np.repeat(np.arange(len(x)), n_probe)
+            yield pd.DataFrame(
+                {
+                    "cluster": near.ravel().astype(np.int32),
+                    "qid": pdf["vec_id"].to_numpy(dtype=np.int64)[idx],
+                    "embedding": pdf["embedding"].to_numpy()[idx],
+                }
+            )
+
+    routed = src.mapInPandas(
+        probes, "cluster int, qid bigint, embedding array<float>"
+    )
+
+    bc_books = spark.sparkContext.broadcast(books)
+
+    def adc_cluster(queries: pd.DataFrame, cl_codes: pd.DataFrame) -> pd.DataFrame:
+        """Per-cluster ADC: every routed query × this cluster's codes."""
+        if not len(queries) or not len(cl_codes):
+            return pd.DataFrame(
+                {"qid": pd.Series(dtype="int64"), "nid": pd.Series(dtype="int64"),
+                 "adc_dist": pd.Series(dtype="float64")}
+            )
+        bks = bc_books.value
+        mm = bks.shape[0]
+        t_ids = cl_codes["nid"].to_numpy(dtype=np.int64)
+        t_codes = np.stack(
+            [np.frombuffer(b, dtype=np.uint8) for b in cl_codes["codes"]]
+        )
+        out = []
+        q = np.stack(queries["embedding"].to_numpy()).astype(np.float64)
+        q_ids = queries["qid"].to_numpy(dtype=np.int64)
+        for qi in range(len(q)):
+            tables = np.stack(
+                [
+                    ((bks[j] - q[qi, j * sub : (j + 1) * sub]) ** 2).sum(axis=1)
+                    for j in range(mm)
+                ]
+            )
+            dists = tables[np.arange(mm)[None, :], t_codes].sum(axis=1)
+            mask = t_ids != q_ids[qi]  # exclude self
+            order = np.lexsort((t_ids[mask], dists[mask]))[:k]
+            keep_ids, keep_d = t_ids[mask][order], dists[mask][order]
+            out.append(
+                pd.DataFrame(
+                    {"qid": q_ids[qi], "nid": keep_ids,
+                     "adc_dist": np.round(keep_d, 6)}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    local_topk = (
+        routed.groupBy("cluster")
+        .cogroup(codes.groupBy("cluster"))
+        .applyInPandas(adc_cluster, "qid bigint, nid bigint, adc_dist double")
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("nid"))
+    return local_topk.withColumn(
+        "rn", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rn") <= k)
+
+
 def pq_adc_topk(
     emb: DataFrame,
     k: int = 10,

@@ -1,0 +1,222 @@
+"""Training-data pipeline operators, part 2 (SURVEY.md §2.11 extension).
+
+Four corpus-preparation stages every large-scale LLM data pipeline runs
+between raw text and the tokenizer, each expressed as declarative Spark with
+a DuckDB oracle twin, plus the IVF-PQ similarity composition:
+
+- **sequence packing** (concat-then-chunk): the global-ordered prefix sum is
+  computed by the DISTRIBUTED two-phase operator (operators/prefix.py), not
+  a single-partition window — the difference between a demo and a 100 TB op.
+- **domain mixing**: deterministic hash-bucket sampling at per-source rates
+  (the data-mixture step of corpus assembly); never rand(), so the sample is
+  stable across runs, engines, and partitionings.
+- **decontamination**: drop-list by word-4-gram overlap against a benchmark
+  subset (the eval-leakage guard); the benchmark side is broadcast — at any
+  corpus scale the benchmark set is small by construction.
+- **repetition ratios** (Gopher-style quality rule): per-doc top-2-gram mass
+  and duplicate-2-gram mass — one explode + two aggregations, map-side
+  combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cbde_mapreduce_spark.functions.texttools import shingles, tokens
+from cbde_mapreduce_spark.plans.registry import query
+from cbde_mapreduce_spark.sources import load_table
+
+SEQ_BUDGET = 256  # tokens per packed training sequence
+
+#: per-source sampling rates (percent) for the domain-mix query: src0..src19
+#: get 10..55% in a fixed pattern — a stand-in for the hand-tuned mixture
+#: weights of a real corpus assembly.
+MIX_RATES = [(f"src{i}", 10 + 5 * (i % 10)) for i in range(20)]
+_MIX_VALUES = ", ".join(f"('{s}', {r})" for s, r in MIX_RATES)
+
+
+@query(
+    "pack_sequences_chunked",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, len(string_split(text, ' '))::bigint AS n_tok
+                   FROM documents),
+        c AS (SELECT doc_id, n_tok,
+                     coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                              0)::bigint AS start_off
+              FROM t)
+        SELECT (start_off // {SEQ_BUDGET})::bigint AS seq_id,
+               count(*)        AS n_docs,
+               sum(n_tok)::bigint AS seq_tokens,
+               min(doc_id)     AS first_doc,
+               max(doc_id)     AS last_doc
+        FROM c GROUP BY 1
+    """,
+    category="llm_pipeline",
+)
+def pack_sequences_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are concatenated in
+    doc_id order and cut into fixed token-budget training sequences; a doc
+    belongs to the sequence where its first token lands.
+
+    The global running token offset comes from
+    ``operators.prefix.exclusive_prefix_sum`` — range-partitioned two-phase
+    prefix sum, P-way parallel at every data-bearing stage (the naive
+    ``Window.orderBy`` twin would funnel the corpus into one partition;
+    equality of the two is asserted in tests/test_llm_pipeline.py).
+    """
+    from cbde_mapreduce_spark.operators.prefix import exclusive_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.size(tokens("text")).cast("bigint").alias("n_tok"))
+    c = exclusive_prefix_sum(t, "doc_id", "n_tok", out_col="start_off")
+    return (
+        c.withColumn("seq_id", F.floor(F.col("start_off") / SEQ_BUDGET).cast("bigint"))
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@query(
+    "domain_mix_sample",
+    oracle=f"""
+        WITH rates(source, rate) AS (VALUES {_MIX_VALUES}),
+        b AS (SELECT source,
+                     (ascii(substr(md5(text), 1, 1)) * 256
+                      + ascii(substr(md5(text), 2, 1))) % 100 AS bucket
+              FROM documents)
+        SELECT source,
+               count(*) AS n_total,
+               sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END)::bigint AS n_kept
+        FROM b JOIN rates USING (source)
+        GROUP BY source
+    """,
+    category="llm_pipeline",
+)
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing: deterministic per-source downsampling at configured
+    mixture rates — keep iff content-hash bucket < rate(source).
+
+    Hash-bucket sampling (same md5 trick as ``dataset_split_assignment``)
+    instead of rand(): reproducible across engines and partitionings, and a
+    re-run with changed rates keeps maximal overlap with the previous
+    sample. The rate table is side-data: broadcast joined.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(MIX_RATES, "source string, rate int")
+    h = F.md5(F.encode("text", "UTF-8"))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % 100
+    return (
+        docs.select("source", bucket.alias("bucket"))
+        .join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("bucket") < F.col("rate"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
+
+
+@query(
+    "decontaminate_docs",
+    oracle="""
+        WITH g AS (SELECT doc_id,
+                          unnest(list_transform(
+                              range(1, len(string_split(text, ' ')) - 2),
+                              i -> array_to_string(
+                                  list_slice(string_split(text, ' '), i, i + 3),
+                                  ' '))) AS ng
+                   FROM documents),
+        bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 50 = 0),
+        hits AS (SELECT DISTINCT d.doc_id, d.ng
+                 FROM g d JOIN bench USING (ng)
+                 WHERE d.doc_id % 50 <> 0)
+        SELECT doc_id, count(*) AS n_shared
+        FROM hits GROUP BY doc_id
+    """,
+    category="llm_pipeline",
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    4-gram with the benchmark subset (doc_id % 50 == 0 stands in for the
+    eval set), reporting how many distinct 4-grams leak.
+
+    Scale shape: the benchmark n-gram set is SMALL by construction (eval
+    suites are thousands of docs, not billions) ⇒ broadcast it; the corpus
+    side is one explode + broadcast-hash semi-join + groupBy — no shuffle of
+    document bodies. 19 docs flagged at sf0.01 (non-vacuous, selective).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(shingles(tokens("text"), 4)).alias("ng")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 50 == 0).select("ng").distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "ng")
+        .select("doc_id", "ng")
+        .distinct()
+    )
+    return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared"))
+
+
+@query(
+    "repetition_ratio_docs",
+    oracle="""
+        WITH g AS (SELECT doc_id,
+                          unnest(list_transform(
+                              range(1, len(string_split(text, ' '))),
+                              i -> array_to_string(
+                                  list_slice(string_split(text, ' '), i, i + 1),
+                                  ' '))) AS ng
+                   FROM documents),
+        c AS (SELECT doc_id, ng, count(*) AS cnt FROM g GROUP BY doc_id, ng)
+        SELECT doc_id,
+               round(max(cnt) / sum(cnt), 6)        AS top_frac,
+               round(1.0 - count(*) / sum(cnt), 6)  AS dup_frac
+        FROM c GROUP BY doc_id
+    """,
+    category="llm_pipeline",
+)
+def repetition_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the mass of the
+    single most frequent word 2-gram (`top_frac`) and the mass sitting in
+    duplicate 2-grams (`dup_frac`) — high values mark boilerplate/spam.
+
+    One explode + two groupBys, both map-side combinable; no joins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select("doc_id", F.explode(shingles(tokens("text"), 2)).alias("ng"))
+    c = g.groupBy("doc_id", "ng").agg(F.count(F.lit(1)).alias("cnt"))
+    return c.groupBy("doc_id").agg(
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_frac"),
+        F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("cnt"), 6).alias("dup_frac"),
+    )
+
+
+@query("ivf_pq_topk", oracle=None, category="similarity")
+def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate k-NN: coarse-quantizer routing + per-cluster ADC
+    over PQ codes via cogrouped applyInPandas (operators/pq.py:ivf_pq_topk).
+
+    The composition the round-2 ROADMAP called for: codes live partitioned
+    by cluster id (the inverted file), queries route to n_probe clusters,
+    and no full-code broadcast or driver collect exists on the path.
+    Approximate ⇒ rows-only; recall floor asserted in tests/test_pq.py.
+    """
+    from cbde_mapreduce_spark.operators.pq import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(emb, k=5, n_clusters=8, n_probe=3, m=8, n_centroids=16)

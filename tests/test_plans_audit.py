@@ -175,3 +175,32 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_oracle):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_decontaminate_broadcasts_benchmark_ngrams(spark, sf_oracle):
+    """The benchmark n-gram set is broadcast; corpus bodies never shuffle."""
+    df = REGISTRY["decontaminate_docs"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_domain_mix_broadcasts_rate_table(spark, sf_oracle):
+    df = REGISTRY["domain_mix_sample"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan  # map-side combine on the per-source counts
+
+
+def test_repetition_ratio_partial_aggs_no_join(spark, sf_oracle):
+    df = REGISTRY["repetition_ratio_docs"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    assert "Join" not in plan
+    assert "partial_" in plan
+
+
+def test_pack_sequences_no_single_partition_stage(spark, sf_oracle):
+    """Sequence packing must use the distributed prefix sum end-to-end."""
+    df = REGISTRY["pack_sequences_chunked"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    assert "SinglePartition" not in plan, plan

@@ -37,3 +37,39 @@ def test_pq_adc_recall_vs_exact(spark, sf_oracle):
     # near-random embeddings are PQ's worst case; the floor guards regressions
     assert recall >= 0.25, f"PQ-ADC recall {recall:.3f} regressed"
     assert all(len(v) == 10 for v in got_n.values())
+
+
+def test_ivf_pq_recall_and_distribution_contract(spark, sf_oracle):
+    """IVF-PQ: per-cluster cogrouped ADC finds most of what full ADC finds."""
+    from cbde_mapreduce_spark.operators.pq import ivf_pq_topk
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf.vec_id.to_numpy()
+    m = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    d2 = ((m[:, None, :] - m[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d2, np.inf)
+    exact = {ids[i]: set(ids[np.argsort(d2[i])[:10]]) for i in range(len(ids))}
+
+    got = ivf_pq_topk(emb, k=10, n_clusters=8, n_probe=3).toPandas()
+    got_n = got.groupby("qid")["nid"].apply(set).to_dict()
+    assert set(got_n) == set(exact)  # every vector got neighbors
+    assert (got.groupby("qid").size() <= 10).all()
+    recall = np.mean([len(exact[q] & got_n.get(q, set())) / 10 for q in exact])
+    # IVF probing prunes clusters on top of PQ quantization loss; floor
+    # guards regressions (measured ~0.3+ on the near-random fixture).
+    assert recall >= 0.2, f"IVF-PQ recall {recall:.3f} regressed"
+
+
+def test_ivf_pq_determinism(spark, sf_oracle):
+    from cbde_mapreduce_spark.operators.pq import ivf_pq_topk
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    a = ivf_pq_topk(emb, k=5).toPandas().sort_values(["qid", "rn"]).reset_index(drop=True)
+    b = (
+        ivf_pq_topk(emb.repartition(5), k=5)
+        .toPandas()
+        .sort_values(["qid", "rn"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
