@@ -24,7 +24,9 @@ no Python on the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cbde_mapreduce_spark.functions.texttools import shingles, tokens
@@ -196,3 +198,94 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     return sums.select(
         "doc_id", simhash.alias("simhash")
     ).withColumn("band16", F.shiftrightunsigned("simhash", 48))
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-batch) dedup with a Bloom-filter prefilter.
+#
+# The corpus-ingestion shape: a new batch arrives, the historical corpus is
+# huge. A full anti-join would shuffle the ENTIRE new batch against the seen
+# keys; the Bloom prefilter (public sketch: Bloom 1970; same role as Spark's
+# own runtime InBloomFilter join pruning) classifies most genuinely-new rows
+# executor-side with zero shuffle, so the exact anti-join only moves the
+# bloom-positive sliver (true dups + ~fp_rate of the batch).
+#
+# No false negatives by construction (bitmap OR is lossless for membership),
+# so prefilter + exact-verify is EXACT end-to-end — the approximation only
+# costs join traffic, never correctness. Build is one distinct-positions
+# pass (bounded by n_bits rows) -> per-partition partial bitmaps -> OR of P
+# bitmaps on the driver: the driver holds n_bits/8 bytes (128 KiB at 2^20),
+# never data rows.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(col: Column, n_bits: int, k: int) -> Column:
+    """k seeded-xxhash64 bit positions for a key — pure JVM expressions."""
+    return F.array(
+        *[F.pmod(F.xxhash64(col, F.lit(i)), F.lit(n_bits)) for i in range(k)]
+    )
+
+
+def bloom_build(df: DataFrame, key_col: str, n_bits: int = 1 << 20, k: int = 5) -> bytes:
+    """Serialize the seen-key set into an n_bits Bloom bitmap.
+
+    Executor-side: explode the k positions per key, distinct (≤ n_bits
+    rows survive regardless of corpus size), fold each partition into a
+    partial bitmap; driver-side: OR the P partial bitmaps.
+    """
+    pos_df = df.select(
+        F.explode(_bloom_positions(F.col(key_col), n_bits, k)).alias("p")
+    ).distinct()
+
+    def to_bitmap(batches):
+        bm = np.zeros(n_bits // 8, dtype=np.uint8)
+        seen_any = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen_any = True
+            p = pdf["p"].to_numpy(dtype=np.int64)
+            np.bitwise_or.at(bm, p // 8, (1 << (p % 8)).astype(np.uint8))
+        if seen_any:
+            yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    partials = pos_df.mapInPandas(to_bitmap, "bm binary").toPandas()
+    out = np.zeros(n_bits // 8, dtype=np.uint8)
+    for b in partials["bm"]:
+        out |= np.frombuffer(bytes(b), dtype=np.uint8)
+    return out.tobytes()
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    key_col: str = "h",
+    n_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Rows of ``new_df`` whose ``key_col`` does not occur in ``seen_df``.
+
+    Exact result (Bloom prefilter + exact anti-join verification of the
+    positives); only bloom-positive rows reach the shuffle.
+    """
+    spark = new_df.sparkSession
+    bitmap = bloom_build(seen_df, key_col, n_bits, k)
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    @F.pandas_udf("boolean")
+    def might_contain(pos: pd.Series) -> pd.Series:
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        idx = np.stack(pos.to_numpy())  # (rows, k) positions
+        bits = (bm[idx // 8] >> (idx % 8).astype(np.uint8)) & 1
+        return pd.Series(bits.all(axis=1).astype(bool))
+
+    flagged = new_df.withColumn(
+        "__maybe", might_contain(_bloom_positions(F.col(key_col), n_bits, k))
+    )
+    definite_new = flagged.filter(~F.col("__maybe")).drop("__maybe")
+    survivors = (
+        flagged.filter(F.col("__maybe"))
+        .drop("__maybe")
+        .join(seen_df.select(key_col).distinct(), key_col, "left_anti")
+    )
+    return definite_new.unionByName(survivors)

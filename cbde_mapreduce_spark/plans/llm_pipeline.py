@@ -220,3 +220,49 @@ def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_pq_topk(emb, k=5, n_clusters=8, n_probe=3, m=8, n_centroids=16)
+
+
+@query(
+    "incremental_dedup_docs",
+    oracle="""
+        WITH seen AS (SELECT md5(text) AS h FROM documents),
+        newb AS (
+            SELECT doc_id + 100000 AS new_id, text
+            FROM documents WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT doc_id + 200000 AS new_id, text || ' fresh' AS text
+            FROM documents WHERE doc_id % 11 = 0
+        )
+        SELECT new_id FROM newb
+        WHERE md5(text) NOT IN (SELECT h FROM seen)
+    """,
+    category="llm_pipeline",
+)
+def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch incremental dedup with a Bloom-filter prefilter
+    (operators/dedup.py::incremental_dedup).
+
+    The new batch mixes exact re-crawls (doc_id % 7 — must be dropped) with
+    genuinely new revisions (doc_id % 11, text + ' fresh' — must survive),
+    so both join outcomes are exercised (non-vacuous by construction). The
+    Bloom stage answers 'definitely new' executor-side with zero shuffle;
+    only bloom-positives reach the exact anti-join. Exactness is guaranteed
+    (no false negatives), asserted against the NOT IN oracle.
+    """
+    from cbde_mapreduce_spark.operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.encode("text", "UTF-8")).alias("h")
+    seen = docs.select(h)
+    newb = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 100000).alias("new_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 200000).alias("new_id"),
+                F.concat(F.col("text"), F.lit(" fresh")).alias("text"),
+            )
+        )
+        .select("new_id", h)
+    )
+    return incremental_dedup(newb, seen, key_col="h").select("new_id")

@@ -24,3 +24,21 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (AvailableNow backfill, memory sink) — checked against the same batch
     SQL oracle as its batch twin."""
     return run_streaming_tumbling(spark, sf_dir)
+
+
+@query(
+    "streaming_dedup_users",
+    oracle="""
+        SELECT event_type, count(DISTINCT user_id)::bigint AS n_users
+        FROM events
+        GROUP BY event_type
+    """,
+    category="streaming",
+)
+def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful dedup (dropDuplicates on the live stream) with the
+    batch COUNT(DISTINCT) as its oracle — the streaming face of the dedup
+    family (streaming/streams.py::run_streaming_dedup)."""
+    from cbde_mapreduce_spark.streaming import run_streaming_dedup
+
+    return run_streaming_dedup(spark, sf_dir)

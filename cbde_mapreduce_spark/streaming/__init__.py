@@ -11,5 +11,6 @@ from cbde_mapreduce_spark.streaming.streams import (  # noqa: F401
     events_file_ingest,
     events_stream,
     kafka_events_stream,
+    run_streaming_dedup,
     run_streaming_tumbling,
 )

@@ -157,3 +157,30 @@ def run_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(sink)
+
+
+def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: dropDuplicates over the event stream, then
+    per-type distinct-user counts — run to completion as a real stream.
+
+    ``dropDuplicates`` keeps one state row per (user_id, event_type) seen;
+    with AvailableNow the backfill is bounded, so state is too. Unbounded
+    deployments use ``dropDuplicatesWithinWatermark`` so state is evicted
+    after the lateness horizon (demonstrated in tests/test_streaming.py).
+    """
+    stream = events_stream(spark, sf_dir)
+    deduped = stream.dropDuplicates(["user_id", "event_type"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    sink = f"dedup_{uuid.uuid4().hex[:12]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_dedup_"))
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink)

@@ -51,3 +51,45 @@ def test_minhash_is_deterministic(spark, sf_smoke):
     a = minhash_lsh_neardup(docs).toPandas().sort_values(["doc_a", "doc_b"])
     b = minhash_lsh_neardup(docs).toPandas().sort_values(["doc_a", "doc_b"])
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark, sf_oracle):
+    """Bloom prefilter contract: every seen key tests positive; unseen keys
+    rarely do (the false-positive sliver that reaches the exact verify)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cbde_mapreduce_spark.operators.dedup import (
+        _bloom_positions,
+        bloom_build,
+        incremental_dedup,
+    )
+    from cbde_mapreduce_spark.sources import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    seen = docs.select(F.md5(F.encode("text", "UTF-8")).alias("h"))
+    n_bits, k = 1 << 20, 5
+    bitmap = np.frombuffer(bloom_build(seen, "h", n_bits, k), dtype=np.uint8)
+
+    def contains(pos_rows):
+        idx = np.stack(pos_rows)
+        return ((bitmap[idx // 8] >> (idx % 8).astype(np.uint8)) & 1).all(axis=1)
+
+    seen_pos = seen.select(_bloom_positions(F.col("h"), n_bits, k).alias("p")).toPandas()
+    assert contains(seen_pos.p.to_numpy()).all(), "false negative — impossible"
+
+    unseen = docs.select(
+        F.md5(F.encode(F.concat("text", F.lit(" zz")), "UTF-8")).alias("h")
+    )
+    unseen_pos = unseen.select(_bloom_positions(F.col("h"), n_bits, k).alias("p")).toPandas()
+    fp_rate = contains(unseen_pos.p.to_numpy()).mean()
+    assert fp_rate < 0.05, f"false-positive rate {fp_rate} too high for 2^20 bits"
+
+    # end-to-end: planted dups all dropped, novel rows all kept
+    dup = docs.limit(50).select(F.md5(F.encode("text", "UTF-8")).alias("h"))
+    novel = docs.limit(50).select(
+        F.md5(F.encode(F.concat("text", F.lit(" qq")), "UTF-8")).alias("h")
+    )
+    out = incremental_dedup(dup.unionByName(novel), seen, key_col="h").toPandas()
+    assert set(out.h) == set(novel.toPandas().h)

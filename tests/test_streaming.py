@@ -8,6 +8,7 @@ import uuid
 from pyspark.sql import functions as F
 
 from cbde_mapreduce_spark.plans import REGISTRY
+from cbde_mapreduce_spark.sources import load_table
 from cbde_mapreduce_spark.streaming import (
     events_file_ingest,
     events_stream,
@@ -202,3 +203,51 @@ def test_foreach_batch_parquet_sink(spark, sf_smoke, tmp_path):
     from cbde_mapreduce_spark.sources import load_table
 
     assert back.count() == load_table(spark, sf_smoke, "events").count()
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, sf_smoke):
+    """Stateful stream dedup == batch COUNT(DISTINCT)."""
+    from cbde_mapreduce_spark.streaming import run_streaming_dedup
+
+    got = run_streaming_dedup(spark, sf_smoke).toPandas().set_index("event_type")
+    batch = (
+        load_table(spark, sf_smoke, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .toPandas()
+        .set_index("event_type")
+    )
+    assert got.n_users.to_dict() == batch.n_users.to_dict()
+
+
+def test_drop_duplicates_within_watermark_bounds_state(spark, sf_smoke):
+    """dropDuplicatesWithinWatermark: the unbounded-deployment dedup — state
+    is evictable past the lateness horizon, and on the bounded fixture (all
+    rows inside one run) it must still drop every in-horizon duplicate."""
+    stream = events_stream(spark, sf_smoke).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    sink = f"wmdedup_{uuid.uuid4().hex[:12]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_wmd_"))
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(sink).toPandas()
+    n_exact = (
+        load_table(spark, sf_smoke, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    # within-watermark dedup can only re-admit a key after the horizon
+    # passes; it must never emit fewer than the exact distinct count
+    assert n_exact <= len(got)
+    assert len(got) <= load_table(spark, sf_smoke, "events").count()
