@@ -1,0 +1,106 @@
+"""Graph analytics over the relational fixture (SURVEY.md §2 iterative).
+
+PageRank is THE canonical iterative MapReduce benchmark (the original
+motivating workload of the Pregel/iteration literature): each round is one
+join (rank flows along edges) + one groupBy (sum incoming mass) — exactly
+the shape of a chained MR job, with Spark keeping the loop in one lineage.
+
+The graph is the customer↔supplier trade graph derived from
+lineitem ⋈ orders (bipartite, symmetrized so every vertex has out-degree
+≥ 1 — no dangling-mass correction needed). A FIXED iteration count keeps
+the computation oracle-expressible: the DuckDB twin unrolls the same three
+rounds as chained CTEs, so this iterative algorithm gets a full
+value-hash differential check, not just a rows-only pass.
+
+100 TB shape: per round, ranks shuffle once on the join key and the
+contribution sum is map-side combinable; degree and rank tables are
+vertex-sized (≪ edges). Convergence-to-fixpoint (vs fixed rounds) adds only
+a driver-side delta check per round (same pattern as
+operators/iterative.py::connected_components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cbde_mapreduce_spark.plans.registry import query
+from cbde_mapreduce_spark.sources import load_table
+
+DAMPING = 0.85
+N_ITERS = 3
+TOP_N = 20
+
+_PR_ORACLE = f"""
+    WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    e AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+    v AS (SELECT DISTINCT a AS v FROM e),
+    nn AS (SELECT count(*)::double AS n FROM v),
+    deg AS (SELECT a, count(*)::double AS d FROM e GROUP BY a),
+    r0 AS (SELECT v, 1.0 / (SELECT n FROM nn) AS r FROM v),
+    r1 AS (SELECT e.b AS v,
+                  {1 - DAMPING} / (SELECT n FROM nn)
+                  + {DAMPING} * sum(r0.r / deg.d) AS r
+           FROM e JOIN r0 ON r0.v = e.a JOIN deg ON deg.a = e.a
+           GROUP BY e.b),
+    r2 AS (SELECT e.b AS v,
+                  {1 - DAMPING} / (SELECT n FROM nn)
+                  + {DAMPING} * sum(r1.r / deg.d) AS r
+           FROM e JOIN r1 ON r1.v = e.a JOIN deg ON deg.a = e.a
+           GROUP BY e.b),
+    r3 AS (SELECT e.b AS v,
+                  {1 - DAMPING} / (SELECT n FROM nn)
+                  + {DAMPING} * sum(r2.r / deg.d) AS r
+           FROM e JOIN r2 ON r2.v = e.a JOIN deg ON deg.a = e.a
+           GROUP BY e.b)
+    SELECT v, round(r, 6) AS pr
+    FROM r3
+    ORDER BY round(r, 6) DESC, v
+    LIMIT {TOP_N}
+"""
+
+
+@query("pagerank_trade_graph", oracle=_PR_ORACLE, category="graph")
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round PageRank (d=0.85) on the symmetrized customer↔supplier trade
+    graph; top-20 vertices by rounded rank (tiebreak: vertex id).
+
+    Ranks are rounded BEFORE the final sort so cross-engine float noise
+    (~1e-15 from summation order) cannot reorder near-ties at the cutoff.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    e = e0.unionByName(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    # edges drive every round: materialize once, reuse three times
+    e = e.cache()
+    verts = e.select(F.col("a").alias("v")).distinct()
+    n = verts.count()
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).cast("double").alias("d"))
+    base = (1.0 - DAMPING) / n
+
+    ranks = verts.withColumn("r", F.lit(1.0 / n))
+    for _ in range(N_ITERS):
+        contrib = (
+            e.join(ranks.withColumnRenamed("v", "a"), "a")
+            .join(deg, "a")
+            .select(F.col("b").alias("v"), (F.col("r") / F.col("d")).alias("c"))
+        )
+        ranks = contrib.groupBy("v").agg(
+            (F.lit(base) + F.lit(DAMPING) * F.sum("c")).alias("r")
+        )
+    return (
+        ranks.select("v", F.round("r", 6).alias("pr"))
+        .orderBy(F.desc("pr"), F.asc("v"))
+        .limit(TOP_N)
+    )

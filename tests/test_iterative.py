@@ -112,3 +112,16 @@ def test_ivf_auto_sizes_clusters_to_sqrt_n(spark, sf_oracle):
     got = ivf_topk(emb, k=5, n_clusters=None).toPandas()
     assert got.rn.max() <= 5
     assert got.qid.nunique() == emb.count()
+
+
+def test_pagerank_mass_conservation_and_shape(spark, sf_smoke):
+    """Symmetric graph + no dangling nodes => top-k ranks are a proper
+    probability mass fragment: positive, descending, each below 1."""
+    from cbde_mapreduce_spark.plans import REGISTRY
+
+    out = REGISTRY["pagerank_trade_graph"].fn(spark, sf_smoke).toPandas()
+    assert len(out) == 20
+    assert (out.pr > 0).all() and (out.pr < 1).all()
+    assert (out.pr.to_numpy()[:-1] >= out.pr.to_numpy()[1:]).all()
+    # bipartite id encoding keeps customer/supplier spaces disjoint
+    assert set(out.v % 2) <= {0, 1}
