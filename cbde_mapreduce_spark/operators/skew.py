@@ -56,3 +56,34 @@ def salted_aggregate(
             for name, (how, _) in aggs.items()
         ]
     )
+
+
+def salted_broadcast_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-proof equi-join: replicate the dim side ``n_salts`` times and
+    spread each hot fact key over ``n_salts`` shuffle partitions.
+
+    The MR hand-pattern for a hot join key (one reducer receives the whole
+    key's rows): fact rows get salt = hash(row) % n_salts, the dim side is
+    cross-joined with the salt domain, and the join key becomes
+    (key, salt) — the hot key's traffic fans out n_salts ways. Values are
+    unchanged (the salt never reaches the output), so the operator stays
+    oracle-checkable against the plain join.
+
+    At 100 TB this is the manual fallback when AQE's skew-join splitting
+    can't apply (e.g. broadcast-disabled aggregations downstream, or
+    pre-AQE engines); dim replication cost is n_salts × |dim|, so it suits
+    dims small enough to replicate but too hot-keyed to shuffle naively.
+    Deterministic: the salt is a hash of stable fact columns, not rand().
+    """
+    salt_values = F.array(*[F.lit(i) for i in range(n_salts)])
+    fact_salted = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(*fact.columns), F.lit(n_salts)).cast("int")
+    )
+    dim_salted = dim.withColumn("__salt", F.explode(salt_values))
+    out = fact_salted.join(dim_salted, [key, "__salt"])
+    return out.drop("__salt")

@@ -190,3 +190,38 @@ def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "salted_join_order_priority",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*)                          AS n_items,
+               round(sum(l_extendedprice), 2)    AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    category="scale",
+)
+def salted_join_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof salted equi-join (operators/skew.py::salted_broadcast_join):
+    lineitem⋈orders with the join key widened to (key, salt) so a hot
+    orderkey would fan out over 16 partitions instead of one reducer.
+
+    The salt changes partitioning, never values — the oracle is the PLAIN
+    join, and equality is the whole point of the check.
+    """
+    from cbde_mapreduce_spark.operators.skew import salted_broadcast_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    joined = salted_broadcast_join(li, orders, "k", n_salts=16)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )

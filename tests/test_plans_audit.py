@@ -204,3 +204,12 @@ def test_pack_sequences_no_single_partition_stage(spark, sf_oracle):
     df = REGISTRY["pack_sequences_chunked"].fn(spark, sf_oracle)
     plan = _executed_plan(df)
     assert "SinglePartition" not in plan, plan
+
+
+def test_salted_join_widens_key_and_hides_salt(spark, sf_oracle):
+    """The salted join must actually join on (key, salt) — fanning hot keys
+    over n_salts partitions — while the salt never reaches the output."""
+    df = REGISTRY["salted_join_order_priority"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    assert "__salt" in plan
+    assert "__salt" not in df.columns
