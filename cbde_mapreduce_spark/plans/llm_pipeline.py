@@ -157,8 +157,11 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     document bodies. 19 docs flagged at sf0.01 (non-vacuous, selective).
     """
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id", F.explode(shingles(tokens("text"), 4)).alias("ng")
+    # materialize tokens before shingling: the shingle expression references
+    # the array ~4x per gram; an inlined split() would re-evaluate each time
+    toked = docs.select("doc_id", tokens("text").alias("__toks"))
+    grams = toked.select(
+        "doc_id", F.explode(shingles(F.col("__toks"), 4)).alias("ng")
     )
     bench = (
         grams.filter(F.col("doc_id") % 50 == 0).select("ng").distinct()
@@ -198,7 +201,8 @@ def repetition_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     One explode + two groupBys, both map-side combinable; no joins.
     """
     docs = load_table(spark, sf_dir, "documents")
-    g = docs.select("doc_id", F.explode(shingles(tokens("text"), 2)).alias("ng"))
+    toked = docs.select("doc_id", tokens("text").alias("__toks"))
+    g = toked.select("doc_id", F.explode(shingles(F.col("__toks"), 2)).alias("ng"))
     c = g.groupBy("doc_id", "ng").agg(F.count(F.lit(1)).alias("cnt"))
     return c.groupBy("doc_id").agg(
         F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_frac"),

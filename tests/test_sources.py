@@ -141,3 +141,24 @@ def test_avro_guarded(spark, sf_smoke, tmp_path):
         return
     back = spark.read.format("avro").load(path)  # package present
     assert back.count() == 10
+
+
+def test_multifile_scan_parallelism_same_results(spark, sf_oracle, tmp_path):
+    """A table split over many files scans in parallel partitions and
+    produces identical query results (ROADMAP #6: scan parallelism)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_oracle, "documents")
+    out = str(tmp_path / "docs_multi")
+    docs.repartition(16).write.parquet(out)
+    multi = spark.read.parquet(out)
+    assert multi.rdd.getNumPartitions() > 1
+    a = (
+        docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+        .toPandas().set_index("source").n.to_dict()
+    )
+    b = (
+        multi.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+        .toPandas().set_index("source").n.to_dict()
+    )
+    assert a == b

@@ -251,3 +251,47 @@ def test_drop_duplicates_within_watermark_bounds_state(spark, sf_smoke):
     # passes; it must never emit fewer than the exact distinct count
     assert n_exact <= len(got)
     assert len(got) <= load_table(spark, sf_smoke, "events").count()
+
+
+def test_streaming_session_window_matches_batch(spark, sf_smoke):
+    """Native session_window on the live stream (update mode, watermark) ==
+    the batch session_window twin on the same bounded data."""
+    stream = events_stream(spark, sf_smoke).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            "n_events",
+        )
+    )
+    sink = f"sess_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_sess_"))
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.table(sink)
+        .toPandas()
+        .sort_values(["user_id", "win_start"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        REGISTRY["session_window_events"].fn(spark, sf_smoke)
+        .select("user_id", "win_start", "n_events")
+        .toPandas()
+        .sort_values(["user_id", "win_start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(batch)
+    assert (got.user_id == batch.user_id).all()
+    assert (got.n_events == batch.n_events).all()
