@@ -270,3 +270,94 @@ def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_id", h)
     )
     return incremental_dedup(newb, seen, key_col="h").select("new_id")
+
+
+@query(
+    "curriculum_buckets_docs",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id,
+                   len(list_distinct(string_split(text, ' '))) * 1.0
+                     / len(string_split(text, ' ')) AS qual
+            FROM documents),
+        t AS (SELECT quantile_cont(qual, [0.25, 0.5, 0.75]) AS th FROM s)
+        SELECT CASE WHEN qual < th[1] THEN 0
+                    WHEN qual < th[2] THEN 1
+                    WHEN qual < th[3] THEN 2
+                    ELSE 3 END        AS bucket,
+               count(*)               AS n_docs,
+               round(avg(qual), 6)    AS avg_quality
+        FROM s, t GROUP BY 1
+    """,
+    category="llm_pipeline",
+)
+def curriculum_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: split the corpus into quality quartiles by
+    GLOBAL quantile thresholds, not ntile — the scale-correct shape.
+
+    ``ntile(4) OVER (ORDER BY qual)`` would funnel every row through one
+    partition (the round-1 verdict's single-partition trap); computing the
+    three interpolated quartile THRESHOLDS first (one aggregate ⇒ 24
+    doubles) and broadcasting them back turns bucketing into an
+    embarrassingly parallel CASE expression. Same linear-interpolation
+    percentile definition on both engines (proven by
+    ``percentiles_order_value``).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    s = docs.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks)).alias("qual"),
+    )
+    th = s.agg(
+        F.expr("percentile(qual, array(0.25, 0.5, 0.75))").alias("th")
+    )
+    bucket = (
+        F.when(F.col("qual") < F.element_at("th", 1), 0)
+        .when(F.col("qual") < F.element_at("th", 2), 1)
+        .when(F.col("qual") < F.element_at("th", 3), 2)
+        .otherwise(3)
+    )
+    return (
+        s.crossJoin(F.broadcast(th))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("qual"), 6).alias("avg_quality"),
+        )
+    )
+
+
+@query(
+    "source_cap_sample",
+    oracle="""
+        WITH r AS (SELECT doc_id, source,
+                          row_number() OVER (PARTITION BY source
+                                             ORDER BY md5(text), doc_id) AS rn
+                   FROM documents)
+        SELECT source, count(*) AS n_kept, min(doc_id) AS min_doc
+        FROM r WHERE rn <= 10 GROUP BY source
+    """,
+    category="llm_pipeline",
+)
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping: keep at most 10 docs per source, chosen by
+    content-hash order — the deterministic downsampling of over-represented
+    domains during corpus balancing.
+
+    Hash order (not doc_id order) so the kept subset is unbiased w.r.t.
+    crawl/insert order and stable across engines; the window partitions by
+    source, so the sort is per-source-parallel, never global.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.encode("text", "UTF-8")), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_doc"))
+    )
