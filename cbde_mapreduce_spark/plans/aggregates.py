@@ -376,3 +376,28 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (o_orderstatus, o_orderpriority))
         """
     )
+
+
+@query("cm_sketch_heavy_hitters", oracle=None, category="aggregation")
+def cm_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch (operators/sketches.py): words
+    whose ESTIMATED frequency is >= 0.5% of the token stream.
+
+    Sketch counters are one map-side-combinable groupBy over (row, bucket) —
+    depth·width cells total, independent of corpus size; estimation probes
+    the broadcast sketch. Rows-only by design (the sketch's one-sided
+    overcount is engine-specific); tests/test_aggregates.py asserts the
+    count-min guarantees against exact counts: est >= truth for every word,
+    and every true heavy hitter is returned.
+    """
+    from cbde_mapreduce_spark.operators.sketches import cm_build, cm_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+    sketch = cm_build(tok, "word")
+    n_tokens = tok.count()
+    return (
+        cm_estimate(tok, "word", sketch)
+        .filter(F.col("est") >= 0.005 * n_tokens)
+        .orderBy(F.desc("est"), F.asc("word"))
+    )

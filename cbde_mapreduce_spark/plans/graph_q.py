@@ -104,3 +104,57 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pr"), F.asc("v"))
         .limit(TOP_N)
     )
+
+
+CO_OCCUR_MIN = 30  # edge = supplier pair sharing >= this many orders (sf0.01-tuned)
+
+
+@query(
+    "triangle_count_cosupplier",
+    oracle=f"""
+        WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+        e AS (SELECT x.s AS a, y.s AS b
+              FROM os x JOIN os y ON x.o = y.o AND x.s < y.s
+              GROUP BY 1, 2 HAVING count(*) >= {CO_OCCUR_MIN})
+        SELECT (SELECT count(*) FROM e)::bigint AS n_edges,
+               count(*)::bigint AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+    """,
+    category="graph",
+)
+def triangle_count_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (the second canonical MR graph benchmark after
+    PageRank) on the supplier co-occurrence graph: an edge links suppliers
+    that ship in >= CO_OCCUR_MIN common orders; triangles are closed trios.
+
+    Classic two-join algorithm on id-oriented edges (a < b): wedges
+    (a→b)⋈(b→c) closed by probing (a→c). Orientation makes every triangle
+    count exactly once with no direction dedup. At 100 TB one orients by
+    DEGREE instead of id (highest-degree vertex last), which bounds each
+    vertex's out-list by √|E| and tames the wedge blow-up on skewed graphs —
+    same join shape, different orientation key. Edge building groups the
+    (order, supplier) incidence list on the order key, so the shuffle moves
+    incidence pairs, never the n² supplier matrix.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    x, y = os_.alias("x"), os_.alias("y")
+    e = (
+        x.join(y, (F.col("x.o") == F.col("y.o")) & (F.col("x.s") < F.col("y.s")))
+        .groupBy(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= CO_OCCUR_MIN)
+        .select("a", "b")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    n_edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return n_edges.crossJoin(tri)

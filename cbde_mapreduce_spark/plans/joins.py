@@ -237,3 +237,68 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("value").alias("click_value"))
     )
     return asof_join(purchases, clicks, by="user_id", ts="ts", value_cols=["click_value"])
+
+
+@query(
+    "binned_range_join_orders",
+    oracle="""
+        SELECT year(a.o_orderdate)::int AS o_year,
+               count(*)::bigint AS n_pairs,
+               round(avg(datediff('day', a.o_orderdate, b.o_orderdate)), 6)
+                   AS avg_gap_days
+        FROM orders a JOIN orders b
+          ON b.o_orderdate >= a.o_orderdate
+         AND b.o_orderdate < a.o_orderdate + INTERVAL 3 DAY
+         AND a.o_orderkey <> b.o_orderkey
+        GROUP BY 1
+    """,
+    category="join",
+)
+def binned_range_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range (non-equi, no equi key) self-join via BIN BUCKETING — the
+    scale path for interval joins that would otherwise fall to a
+    BroadcastNestedLoopJoin / O(n·m) theta join.
+
+    Pairs of orders placed within 3 days of each other: the interval side
+    [d, d+3) explodes to the (at most 2) 3-day-wide bins it overlaps, the
+    point side maps to exactly ONE bin, and the match becomes an EQUI join
+    on bin + residual predicate. Each qualifying pair joins exactly once
+    (the point's bin is unique), so no post-join dedup. This is the
+    binned-range-join rewrite (DuckDB/Databricks range-join optimization)
+    expressed in plain DataFrame ops: shuffle is hash(bin), work per bin is
+    |a∩bin|·|b∩bin| — local, bounded by bin width, never n·m. At 100 TB the
+    bin width is the tuning knob (≈ interval length keeps the fan-out ≤ 2).
+
+    DuckDB's oracle runs its native IEJoin over the same predicate — a
+    genuinely different physical algorithm checking the same semantics.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    jd = F.datediff("o_orderdate", F.lit("1990-01-01").cast("date"))
+    w = 3  # bin width (days) == interval length -> each interval spans <= 2 bins
+    a = o.select(
+        F.col("o_orderkey").alias("a_key"),
+        F.col("o_orderdate").alias("a_date"),
+        jd.alias("a_jd"),
+        F.explode(
+            F.sequence(F.floor(jd / w), F.floor((jd + (w - 1)) / w))
+        ).alias("bin"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_orderdate").alias("b_date"),
+        jd.alias("b_jd"),
+        F.floor(jd / w).alias("bin"),
+    )
+    return (
+        a.join(b, "bin")
+        .filter(
+            (F.col("b_jd") >= F.col("a_jd"))
+            & (F.col("b_jd") < F.col("a_jd") + w)
+            & (F.col("a_key") != F.col("b_key"))
+        )
+        .groupBy(F.year("a_date").cast("int").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg(F.col("b_jd") - F.col("a_jd")), 6).alias("avg_gap_days"),
+        )
+    )

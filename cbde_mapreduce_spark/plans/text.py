@@ -344,3 +344,43 @@ def bpe_regex_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(pieces).cast("bigint").alias("n_pieces"),
         F.size(F.array_distinct(pieces)).cast("bigint").alias("n_unique_pieces"),
     )
+
+
+@query(
+    "token_entropy_docs",
+    oracle="""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                     FROM documents),
+        c AS (SELECT doc_id, t, count(*)::double AS c
+              FROM tok GROUP BY doc_id, t)
+        SELECT doc_id,
+               sum(c)::bigint AS n_tokens,
+               round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS token_entropy
+        FROM c GROUP BY doc_id
+    """,
+    category="text",
+)
+def token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon token entropy — the information-density quality
+    signal (low entropy = repetitive/boilerplate text, a standard corpus
+    filter alongside the Gopher repetition rules).
+
+    Uses the algebraic identity  −Σ pᵢ·ln pᵢ = ln S − (Σ cᵢ·ln cᵢ)/S  with
+    S = Σ cᵢ, so the whole thing is two chained map-side-combinable
+    aggregations (token counts, then per-doc sums) — no per-doc total join,
+    no window. Both engines evaluate the identical formula on doubles and
+    round at 6 digits, far above the ~1e-15 summation-order noise.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("t"))
+    c = (
+        tok.groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    s = F.sum("c")
+    return c.groupBy("doc_id").agg(
+        s.cast("bigint").alias("n_tokens"),
+        F.round(F.log(s) - F.sum(F.col("c") * F.log("c")) / s, 6).alias(
+            "token_entropy"
+        ),
+    )

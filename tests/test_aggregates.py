@@ -51,3 +51,27 @@ def test_freq_items_contains_true_heavy_hitters(spark, sf_oracle):
     # freqItems guarantees superset of items above the support threshold
     for w in top_true[:5]:
         assert w in got, (w, sorted(got)[:10])
+
+
+def test_cm_sketch_guarantees(spark, sf_oracle):
+    """Count-min invariants: never undercounts; all true heavy hitters kept."""
+    from pyspark.sql import functions as F
+
+    from cbde_mapreduce_spark.operators.sketches import cm_build, cm_estimate
+    from cbde_mapreduce_spark.sources import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    tok = docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+    exact = {r["word"]: r["n"] for r in tok.groupBy("word").agg(F.count(F.lit(1)).alias("n")).collect()}
+    est = {
+        r["word"]: r["est"]
+        for r in cm_estimate(tok, "word", cm_build(tok, "word")).collect()
+    }
+    assert set(est) == set(exact)
+    for w, n in exact.items():
+        assert est[w] >= n, f"count-min undercounted {w}: {est[w]} < {n}"
+    n_tokens = sum(exact.values())
+    hh = REGISTRY["cm_sketch_heavy_hitters"].fn(spark, sf_oracle)
+    kept = {r["word"] for r in hh.collect()}
+    true_hh = {w for w, n in exact.items() if n >= 0.005 * n_tokens}
+    assert true_hh <= kept, f"missing true heavy hitters: {true_hh - kept}"
