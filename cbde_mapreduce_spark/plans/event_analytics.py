@@ -1,0 +1,163 @@
+"""Product/event analytics over the events table (SURVEY.md §2.10 batch
+event-time family, widened): funnels, cohort retention, sliding distinct
+counts — the three queries every clickstream warehouse runs daily.
+
+All three are chained groupBy/join plans shuffled on user_id or day —
+map-side combinable, no windows over a global sort, no Python. The
+events side is always aggregated FIRST (per user-day / per user-week
+distinct) so the join inputs are bounded by |users|·|days|, not |events|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cbde_mapreduce_spark.plans.registry import query
+from cbde_mapreduce_spark.sources import load_table
+
+
+@query(
+    "funnel_user_day",
+    oracle="""
+        WITH d AS (SELECT user_id, ts::date AS day, event_type, ts FROM events),
+        t1 AS (SELECT user_id, day, min(ts) AS t1
+               FROM d WHERE event_type = 'view' GROUP BY 1, 2),
+        t2 AS (SELECT d.user_id, d.day, min(d.ts) AS t2
+               FROM d JOIN t1 USING (user_id, day)
+               WHERE d.event_type = 'click' AND d.ts > t1.t1 GROUP BY 1, 2),
+        t3 AS (SELECT d.user_id, d.day, min(d.ts) AS t3
+               FROM d JOIN t2 USING (user_id, day)
+               WHERE d.event_type = 'purchase' AND d.ts > t2.t2 GROUP BY 1, 2)
+        SELECT 1 AS stage, (SELECT count(*) FROM t1)::bigint AS n_units
+        UNION ALL
+        SELECT 2, (SELECT count(*) FROM t2)::bigint
+        UNION ALL
+        SELECT 3, (SELECT count(*) FROM t3)::bigint
+    """,
+    category="event-analytics",
+)
+def funnel_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel (view → click → purchase) per user-day:
+    a unit advances to stage k+1 only via an event strictly AFTER its
+    stage-k timestamp on the same day.
+
+    Stage k+1 depends on stage k's min-timestamp, so the plan is a chain of
+    (filter → groupBy → join) hops, every one shuffled on the same
+    (user_id, day) key — AQE/Catalyst reuses the partitioning instead of
+    re-shuffling, and each stage's input shrinks (1617 → 345 → 56 units at
+    sf0.01). The alternative single-pass sessionized scan needs a per-key
+    sort; this join chain is the shuffle-light MR expression.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type", "ts"
+    )
+    keys = ["user_id", "day"]
+    t1 = (
+        d.filter(F.col("event_type") == "view")
+        .groupBy(*keys)
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        d.filter(F.col("event_type") == "click")
+        .join(t1, keys)
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy(*keys)
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        d.filter(F.col("event_type") == "purchase")
+        .join(t2, keys)
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy(*keys)
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, k: int) -> DataFrame:
+        return df.agg(
+            F.lit(k).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        )
+
+    return stage(t1, 1).unionAll(stage(t2, 2)).unionAll(stage(t3, 3))
+
+
+@query(
+    "cohort_retention_purchases",
+    oracle="""
+        WITH p AS (SELECT DISTINCT user_id, date_trunc('week', ts)::date AS w
+                   FROM events WHERE event_type = 'purchase'),
+        fp AS (SELECT user_id, min(w) AS cw FROM p GROUP BY 1)
+        SELECT fp.cw AS cohort_week,
+               (datediff('day', fp.cw, p.w) // 7)::int AS week_offset,
+               count(*)::bigint AS n_active
+        FROM p JOIN fp USING (user_id)
+        GROUP BY 1, 2
+    """,
+    category="event-analytics",
+)
+def cohort_retention_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-purchase week, counted
+    in every later week they purchased again.
+
+    (user, week) is distinct-ed BEFORE the cohort join, so join input is
+    |users|·|weeks|, never |events|; both sides shuffle on user_id once.
+    Week offsets are day-arithmetic (both engines' weeks start Monday via
+    date_trunc), floor-divided — no weekofyear, which is locale/ISO-trapped.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", F.date_trunc("week", "ts").cast("date").alias("w")
+        )
+        .distinct()
+    )
+    fp = p.groupBy("user_id").agg(F.min("w").alias("cw"))
+    return (
+        p.join(fp, "user_id")
+        .groupBy(
+            F.col("cw").cast("timestamp_ntz").alias("cohort_week"),
+            F.floor(F.datediff("w", "cw") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+
+
+@query(
+    "sliding_distinct_users",
+    oracle="""
+        WITH ud AS (SELECT DISTINCT user_id, ts::date AS day FROM events),
+        days AS (SELECT DISTINCT day FROM ud)
+        SELECT d.day AS win_end, count(DISTINCT u.user_id)::bigint AS n_users_7d
+        FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY 1
+    """,
+    category="event-analytics",
+)
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (the DAU/WAU family) —
+    EXACT distinct over a sliding window, which no window function gives.
+
+    Day-expansion rewrite: each distinct (user, day) pair is exploded to the
+    <= 7 window-end days it can serve, then a plain two-phase countDistinct
+    per window-end. Shuffle volume is 7·|user-days| tiny pairs — independent
+    of raw event count — where the naive range join is |days|·|user-days|
+    comparisons. The DuckDB oracle runs that naive range join (its IEJoin),
+    so the differential crosses two genuinely different algorithms.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    bounds = ud.agg(F.max("day").alias("max_day"))
+    exp = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence("day", F.date_add("day", 6), F.expr("INTERVAL 1 DAY"))
+        ).alias("win_end"),
+    )
+    return (
+        exp.join(F.broadcast(bounds), exp.win_end <= F.col("max_day"))
+        .groupBy(F.col("win_end").cast("timestamp_ntz").alias("win_end"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users_7d"))
+    )

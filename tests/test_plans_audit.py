@@ -213,3 +213,32 @@ def test_salted_join_widens_key_and_hides_salt(spark, sf_oracle):
     plan = _executed_plan(df)
     assert "__salt" in plan
     assert "__salt" not in df.columns
+
+
+def test_binned_range_join_is_equi_not_nested_loop(spark, sf_oracle):
+    """The bin-bucketing rewrite must plan as a hash/sort-merge EQUI join on
+    bin — never the BroadcastNestedLoopJoin a raw range predicate forces."""
+    df = REGISTRY["binned_range_join_orders"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_token_entropy_partial_aggregates(spark, sf_oracle):
+    """Both aggregation levels (token counts, per-doc sums) must partial-
+    aggregate map-side before their shuffles."""
+    df = REGISTRY["token_entropy_docs"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    assert "partial_count" in plan or "partial_" in plan
+    assert "*(" in plan  # stays inside whole-stage codegen
+
+
+def test_triangle_count_no_cartesian(spark, sf_oracle):
+    """Wedge closure is two equi joins on edge endpoints; the n² supplier
+    cross product must never materialize."""
+    df = REGISTRY["triangle_count_cosupplier"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
