@@ -171,3 +171,77 @@ def sql_entry_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         """
     )
+
+
+@query(
+    "merge_upsert_customers",
+    oracle="""
+        WITH ch AS (
+            SELECT c_custkey AS k, 'D' AS op,
+                   NULL::double AS acctbal, NULL::varchar AS seg
+            FROM customer WHERE c_custkey % 17 = 0
+            UNION ALL
+            SELECT c_custkey, 'U', round(c_acctbal + 100.0, 2), c_mktsegment
+            FROM customer WHERE c_custkey % 17 <> 0 AND c_custkey % 10 = 0
+            UNION ALL
+            SELECT c_custkey + 1000000, 'I', 500.0, 'NEWSEG'
+            FROM customer WHERE c_custkey % 23 = 0
+        ),
+        merged AS (
+            SELECT coalesce(ch.k, c.c_custkey) AS k,
+                   coalesce(ch.acctbal, c.c_acctbal) AS acctbal,
+                   coalesce(ch.seg, c.c_mktsegment) AS seg
+            FROM customer c FULL OUTER JOIN ch ON c.c_custkey = ch.k
+            WHERE ch.op IS NULL OR ch.op <> 'D'
+        )
+        SELECT seg AS c_mktsegment, count(*)::bigint AS n_customers,
+               round(sum(acctbal), 2) AS total_acctbal
+        FROM merged GROUP BY 1
+    """,
+    category="merge",
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (matched-delete / matched-update / not-matched-
+    insert) as ONE full-outer join — the CDC-apply operator core Spark
+    lacks as a primitive (Delta/Iceberg implement exactly this plan shape).
+
+    The change batch is derived deterministically from the base table
+    (deletes: key%17, updates: key%10 +100 balance, inserts: key%23 under
+    shifted keys), so the differential is self-contained. One shuffle on the
+    merge key for both sides; at 100 TB the same plan benefits from
+    pre-bucketed storage on the key, and AQE handles the typically tiny
+    change side via broadcast conversion.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    deletes = c.filter(k % 17 == 0).select(
+        k.alias("k"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("acctbal"),
+        F.lit(None).cast("string").alias("seg"),
+    )
+    updates = c.filter((k % 17 != 0) & (k % 10 == 0)).select(
+        k.alias("k"),
+        F.lit("U").alias("op"),
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("acctbal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    inserts = c.filter(k % 23 == 0).select(
+        (k + 1000000).alias("k"),
+        F.lit("I").alias("op"),
+        F.lit(500.0).alias("acctbal"),
+        F.lit("NEWSEG").alias("seg"),
+    )
+    ch = deletes.unionAll(updates).unionAll(inserts)
+    merged = (
+        c.join(ch, c.c_custkey == ch.k, "full_outer")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.coalesce("acctbal", "c_acctbal").alias("acctbal"),
+            F.coalesce("seg", "c_mktsegment").alias("seg"),
+        )
+    )
+    return merged.groupBy(F.col("seg").alias("c_mktsegment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(F.sum("acctbal"), 2).alias("total_acctbal"),
+    )

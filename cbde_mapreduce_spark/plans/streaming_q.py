@@ -42,3 +42,25 @@ def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cbde_mapreduce_spark.streaming import run_streaming_dedup
 
     return run_streaming_dedup(spark, sf_dir)
+
+
+@query(
+    "streaming_sliding_counts",
+    oracle="""
+        SELECT make_timestamp(epoch_us(ts) // 900000000 * 900000000)
+                 - INTERVAL 15 MINUTE * k.i AS win_start,
+               count(*)             AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events, (SELECT unnest(range(0, 4)) AS i) k
+        GROUP BY 1
+    """,
+    category="streaming",
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation executed as a Structured Streaming query
+    (streaming/streams.py::run_streaming_sliding) — overlapping-window STATE
+    maintained by the engine, checked against the batch multi-emit oracle
+    (same SQL as the batch twin sliding_window_events)."""
+    from cbde_mapreduce_spark.streaming import run_streaming_sliding
+
+    return run_streaming_sliding(spark, sf_dir)

@@ -12,5 +12,6 @@ from cbde_mapreduce_spark.streaming.streams import (  # noqa: F401
     events_stream,
     kafka_events_stream,
     run_streaming_dedup,
+    run_streaming_sliding,
     run_streaming_tumbling,
 )

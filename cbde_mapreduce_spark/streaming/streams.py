@@ -184,3 +184,38 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(sink)
+
+
+def run_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h width, 15 min slide) as a real streaming query.
+
+    Each event updates 4 overlapping windows' state rows; with a watermark
+    (demonstrated in tests/test_streaming.py) closed windows are evicted, so
+    state is bounded by (width/slide) · active-window count, not stream
+    length. Complete mode + AvailableNow here for the bounded-fixture parity
+    check against the batch twin's oracle.
+    """
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            "n",
+            "sum_value",
+        )
+    )
+    sink = f"sliding_{uuid.uuid4().hex[:12]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_sliding_"))
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink)
