@@ -401,3 +401,78 @@ def cm_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est") >= 0.005 * n_tokens)
         .orderBy(F.desc("est"), F.asc("word"))
     )
+
+
+@query("hll_rollup_daily_users", oracle=None, category="aggregation")
+def hll_rollup_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counts: per-day HLL sketches of user_id,
+    MERGED up to per-week estimates with hll_union_agg — the sketch-rollup
+    pattern that makes 100 TB distinct-count dashboards incremental (store
+    tiny daily sketches, never rescan raw events for a coarser grain).
+
+    Merging is lossless at equal precision (register-wise max), so the
+    rolled-up weekly estimate is EXACTLY the direct weekly sketch's — that
+    invariant plus a <2% error bound vs exact COUNT(DISTINCT) is asserted in
+    tests/test_aggregates.py. Rows-only: sketch binaries/estimates are
+    engine-specific (Apache DataSketches).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.date_trunc("week", "ts").cast("date").alias("week"),
+            F.col("ts").cast("date").alias("day"),
+            "user_id",
+        )
+        .groupBy("week", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    )
+    return (
+        daily.groupBy("week")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+            .cast("bigint")
+            .alias("est_distinct_users")
+        )
+        .select(F.col("week").cast("timestamp_ntz").alias("week"), "est_distinct_users")
+    )
+
+
+@query(
+    "table_fingerprint_orders",
+    oracle="""
+        SELECT count(*)::bigint AS n_rows,
+               sum(('0x' || substr(md5(
+                     o_orderkey::varchar || '|' || o_custkey::varchar || '|' ||
+                     o_orderstatus || '|' || o_orderpriority || '|' ||
+                     o_orderdate::date::varchar),
+                   1, 8))::bigint)::bigint AS fingerprint
+        FROM orders
+    """,
+    category="aggregation",
+)
+def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint: SUM of a per-row content hash —
+    the anti-entropy / replication-integrity check (compare fingerprints of
+    two copies without moving either). One scan, map-side-combinable global
+    agg, zero shuffle of data rows; commutative sum makes it partitioning-
+    and order-insensitive by construction.
+
+    md5 is identical in both engines, so this is a genuine cross-engine
+    differential of the whole canonicalize→hash→fold chain. Floats stay OUT
+    of the canonical string (engine float-formatting differs); keys, codes,
+    and dates only.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
+    return o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(h).cast("bigint").alias("fingerprint"),
+    )

@@ -278,3 +278,54 @@ def range_frame_hourly_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.sum("value").over(w), 2).alias("hour_sum"),
     )
+
+
+@query(
+    "scd2_customer_status",
+    oracle="""
+        WITH s AS (
+            SELECT o_custkey, o_orderstatus AS status, o_orderdate AS d,
+                   o_orderkey,
+                   lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey)
+                       AS prev
+            FROM orders),
+        c AS (SELECT o_custkey, status, d, o_orderkey
+              FROM s WHERE prev IS NULL OR status <> prev)
+        SELECT o_custkey, status,
+               d AS valid_from,
+               lead(d) OVER (PARTITION BY o_custkey
+                             ORDER BY d, o_orderkey) AS valid_to
+        FROM c
+    """,
+    category="window",
+)
+def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from an event log: compress
+    each customer's order-status sequence to its CHANGE points, then stitch
+    [valid_from, valid_to) intervals with lead() — valid_to NULL marks the
+    current row. The warehouse history-table build as two chained window
+    passes over ONE shuffle key (both windows partition on o_custkey, so the
+    second reuses the first's partitioning+sort — no extra exchange; the
+    100 TB cost is one sort-shuffle of the change log).
+
+    Determinism: ties inside a (customer, date) are broken by o_orderkey in
+    both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    s = o.select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("d"),
+        "o_orderkey",
+        F.lag("o_orderstatus").over(w).alias("prev"),
+    )
+    c = s.filter(F.col("prev").isNull() | (F.col("status") != F.col("prev")))
+    w2 = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    return c.select(
+        "o_custkey",
+        "status",
+        F.col("d").cast("timestamp_ntz").alias("valid_from"),
+        F.lead("d").over(w2).cast("timestamp_ntz").alias("valid_to"),
+    )

@@ -75,3 +75,32 @@ def test_cm_sketch_guarantees(spark, sf_oracle):
     kept = {r["word"] for r in hh.collect()}
     true_hh = {w for w, n in exact.items() if n >= 0.005 * n_tokens}
     assert true_hh <= kept, f"missing true heavy hitters: {true_hh - kept}"
+
+
+def test_hll_rollup_lossless_merge_and_accuracy(spark, sf_oracle):
+    """Union of daily sketches == direct weekly sketch (register-wise max is
+    lossless at equal precision), and estimates land within 2% of exact."""
+    from pyspark.sql import functions as F
+
+    from cbde_mapreduce_spark.sources import load_table
+
+    rolled = {
+        r["week"]: r["est_distinct_users"]
+        for r in REGISTRY["hll_rollup_daily_users"].fn(spark, sf_oracle).collect()
+    }
+    ev = load_table(spark, sf_oracle, "events").select(
+        F.date_trunc("week", "ts").cast("timestamp_ntz").alias("week"), "user_id"
+    )
+    direct = {
+        r["week"]: r["est"]
+        for r in ev.groupBy("week")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("bigint").alias("est"))
+        .collect()
+    }
+    exact = {
+        r["week"]: r["n"]
+        for r in ev.groupBy("week").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    assert rolled == direct, "daily-sketch rollup diverged from direct sketch"
+    for wk, n in exact.items():
+        assert abs(rolled[wk] - n) <= max(2, 0.02 * n), (wk, rolled[wk], n)

@@ -242,3 +242,13 @@ def test_triangle_count_no_cartesian(spark, sf_oracle):
     df = REGISTRY["triangle_count_cosupplier"].fn(spark, sf_oracle)
     plan = _executed_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_two_windows_one_exchange(spark, sf_oracle):
+    """Both window passes partition on o_custkey — the second must reuse the
+    first's shuffle+sort, leaving exactly one exchange in the plan."""
+    df = REGISTRY["scd2_customer_status"].fn(spark, sf_oracle)
+    # AQE plan strings append the pre-adaptive "Initial Plan" copy — count
+    # exchanges in the final plan section only.
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange") == 1, plan
