@@ -161,3 +161,50 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("win_end").cast("timestamp_ntz").alias("win_end"))
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_users_7d"))
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+        WITH s AS (SELECT user_id, event_type,
+                          lag(event_type) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS prev
+                   FROM events),
+        c AS (SELECT prev, event_type AS next, count(*)::bigint AS n
+              FROM s WHERE prev IS NOT NULL GROUP BY 1, 2)
+        SELECT prev, next, n,
+               round(n * 1.0 / sum(n) OVER (PARTITION BY prev), 6) AS p
+        FROM c
+    """,
+    category="event-analytics",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event stream:
+    counts and row-normalized probabilities of (previous type → next type).
+
+    The lag() pass is the MR secondary-sort job (one shuffle on user_id);
+    the 5×5 count matrix then row-normalizes with a window over a
+    25-row aggregate — trivially small at any corpus scale, since the
+    matrix is |event types|², independent of event count.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    c = (
+        s.filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wp = Window.partitionBy("prev")
+    return c.select(
+        "prev",
+        "next",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
+    )

@@ -384,3 +384,125 @@ def token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_entropy"
         ),
     )
+
+
+@query(
+    "inverted_index_terms",
+    oracle="""
+        WITH tok AS (SELECT DISTINCT doc_id,
+                            unnest(string_split(text, ' ')) AS term
+                     FROM documents)
+        SELECT term,
+               count(*)::bigint AS df,
+               array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings_head
+        FROM tok GROUP BY term
+    """,
+    category="text",
+)
+def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (the search-engine side of wordcount): for every
+    term, its document frequency and the head of its sorted posting list.
+
+    One explode + per-(doc, term) dedup + one groupBy on term — the posting
+    list is assembled where the term's rows already live after the shuffle.
+    Postings are string-serialized (array output columns break value
+    hashing — the round-1 collect_set lesson) and truncated to 10: at
+    corpus scale full posting lists are written as data files, not returned
+    through a driver; df itself is the complete aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    ).distinct()
+    return tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.concat_ws(
+            ",", F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10)
+        ).alias("postings_head"),
+    )
+
+
+@query(
+    "pmi_bigrams_top",
+    oracle="""
+        WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        big AS (SELECT unnest(list_transform(range(1, len(toks)),
+                                             i -> [toks[i], toks[i + 1]])) AS bg
+                FROM t),
+        bc AS (SELECT bg[1] AS w1, bg[2] AS w2, count(*)::double AS c_xy
+               FROM big GROUP BY 1, 2),
+        uc AS (SELECT unnest(toks) AS w, count(*) OVER () AS _dummy FROM t),
+        u AS (SELECT w, count(*)::double AS c FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+        n AS (SELECT (SELECT sum(c) FROM u) AS n_tok,
+                     (SELECT sum(c_xy) FROM bc) AS n_big)
+        SELECT w1, w2, c_xy::bigint AS c_xy,
+               round(ln(c_xy * n_tok * n_tok / (n_big * u1.c * u2.c)), 6) AS pmi
+        FROM bc, n
+        JOIN u u1 ON bc.w1 = u1.w
+        JOIN u u2 ON bc.w2 = u2.w
+        WHERE c_xy >= 10
+        ORDER BY pmi DESC, w1, w2
+        LIMIT 20
+    """,
+    category="text",
+)
+def pmi_bigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top adjacent word pairs by pointwise mutual
+    information, PMI = ln(p(xy) / (p(x)·p(y))) with bigram and unigram
+    probabilities from their own totals.
+
+    Bigram and unigram counts are two aggregations over one token scan; the
+    unigram table is vocabulary-sized, so the two enrichment joins shuffle
+    only the distinct-bigram table (vocab², not corpus). PMI is rounded
+    BEFORE the top-20 sort (cross-engine float noise cannot reorder the
+    cutoff — same rule as pagerank), with a (w1, w2) tiebreak.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = docs.select(toks.alias("toks"))
+    big = t.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("w1"),
+                    F.element_at("toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bc = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c_xy")
+    )
+    u = (
+        t.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    totals = u.agg(F.sum("c").alias("n_tok")).crossJoin(
+        bc.agg(F.sum("c_xy").alias("n_big"))
+    )
+    u1 = u.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = u.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bc.filter(F.col("c_xy") >= 10)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("bigint").alias("c_xy"),
+            F.round(
+                F.log(
+                    F.col("c_xy")
+                    * F.col("n_tok")
+                    * F.col("n_tok")
+                    / (F.col("n_big") * F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )
