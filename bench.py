@@ -7,7 +7,7 @@ Prints ONE JSON line:
 
 Methodology (mirrors BASELINE.md's DuckDB warm median-of-3):
 - one shared SparkSession; per query the DataFrame is built once, then
-  executed 3 times; per-query time = median execution wall-clock, with
+  executed 5 times; per-query time = median execution wall-clock, with
   results materialized via the Arrow path (toPandas).
 - driver-side plan construction (py4j + Catalyst analysis, ~0.3-0.8 s per
   query) is reported separately as ``planning_sec``: it is a fixed,
@@ -43,7 +43,7 @@ HEADLINE = [
     "dedup_exact_docs",
 ]
 
-RUNS = 3
+RUNS = 5
 
 
 def main() -> None:
