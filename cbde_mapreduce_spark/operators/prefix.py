@@ -32,21 +32,32 @@ from pyspark.sql import functions as F
 
 def exclusive_prefix_sum(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     value_col: str,
     out_col: str = "start_off",
     num_partitions: int = 32,
 ) -> DataFrame:
     """Add ``out_col`` = sum of ``value_col`` over all rows strictly before
-    this row in ``order_col`` order. ``order_col`` must be unique.
+    this row in ``order_col`` order. ``order_col`` may be one column name or
+    a list (lexicographic composite order); the (composite) key must be
+    unique.
 
-    Deterministic: range partitioning on a fixed column with locally sorted
+    Deterministic: range partitioning on fixed columns with locally sorted
     partitions; the per-partition offset table is keyed by the partition's
     minimum order value (not by the physical partition id, which is not a
     stable identity across recomputations).
     """
-    part = df.repartitionByRange(num_partitions, F.col(order_col)).withColumn(
-        "__pid", F.spark_partition_id()
+    cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    # localCheckpoint PINS one materialized partitioning: RangePartitioner
+    # samples with an RDD-id-derived seed, so re-executing the exchange in a
+    # second job can draw DIFFERENT boundaries — and the offset table would
+    # then describe a partitioning the cumsum pass never saw (off-by-a-few
+    # global offsets, both signs). Steps 2 and 3 below are separate jobs
+    # over `part`, so the partitioning must be computed exactly once.
+    part = (
+        df.repartitionByRange(num_partitions, *[F.col(c) for c in cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
     )
 
     # Step 2: local exclusive cumsum. Window.partitionBy(__pid) keeps each
@@ -54,7 +65,7 @@ def exclusive_prefix_sum(
     # global sort partition.
     local_w = (
         Window.partitionBy("__pid")
-        .orderBy(order_col)
+        .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = part.withColumn(
@@ -65,7 +76,7 @@ def exclusive_prefix_sum(
     totals = (
         part.groupBy("__pid")
         .agg(
-            F.min(order_col).alias("__lo"),
+            F.min(F.struct(*cols)).alias("__lo"),
             F.sum(value_col).cast("bigint").alias("__tot"),
         )
         .orderBy("__lo")

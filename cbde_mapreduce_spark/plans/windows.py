@@ -329,3 +329,41 @@ def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("timestamp_ntz").alias("valid_from"),
         F.lead("d").over(w2).cast("timestamp_ntz").alias("valid_to"),
     )
+
+
+@query(
+    "global_rank_prefix_orders",
+    oracle="""
+        SELECT o_orderkey, o_totalprice,
+               row_number() OVER (ORDER BY o_totalprice, o_orderkey)::bigint
+                   AS rn
+        FROM orders
+    """,
+    category="window",
+)
+def global_rank_prefix_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL row_number at scale: rank every order by (price, key) using
+    the two-phase distributed prefix sum (operators/prefix.py) — counting
+    ones over the global order — instead of an empty-partitionBy window.
+
+    This is the scale-correct re-expression of what
+    ``ntile_percentile_orders`` deliberately demos the single-partition way:
+    range-partition + P-way local cumsum + a P-row offset table; no stage
+    sees more than 1/P of the data. The DuckDB oracle runs a true global
+    row_number() — same semantics, different algorithm. Plan-asserted
+    SinglePartition-free in tests/test_plans_audit.py.
+    """
+    from cbde_mapreduce_spark.operators.prefix import exclusive_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = exclusive_prefix_sum(
+        o.withColumn("__one", F.lit(1)),
+        ["o_totalprice", "o_orderkey"],
+        "__one",
+        out_col="rn0",
+    )
+    return ranked.select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("rn0") + 1).cast("bigint").alias("rn"),
+    )

@@ -252,3 +252,11 @@ def test_scd2_two_windows_one_exchange(spark, sf_oracle):
     # exchanges in the final plan section only.
     plan = _executed_plan(df).split("== Initial Plan ==")[0]
     assert plan.count("Exchange") == 1, plan
+
+
+def test_global_rank_no_single_partition(spark, sf_oracle):
+    """The distributed global rank must never collapse to one partition —
+    no SinglePartition exchange, unlike the naive global window."""
+    df = REGISTRY["global_rank_prefix_orders"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    assert "SinglePartition" not in plan, plan

@@ -162,3 +162,25 @@ def test_multifile_scan_parallelism_same_results(spark, sf_oracle, tmp_path):
         .toPandas().set_index("source").n.to_dict()
     )
     assert a == b
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    """Schema evolution on a landing directory: files written before a column
+    was added coexist with evolved files; mergeSchema unions the schemas and
+    back-fills the missing column with NULLs — the additive-evolution
+    contract a long-lived 100 TB table relies on."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "evolving")
+    spark.range(0, 10).select(
+        F.col("id"), (F.col("id") * 2).alias("a")
+    ).write.parquet(base + "/batch=1")
+    spark.range(10, 20).select(
+        F.col("id"), (F.col("id") * 2).alias("a"), F.lit("v2").alias("b")
+    ).write.parquet(base + "/batch=2")
+
+    df = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(df.columns) == {"id", "a", "b", "batch"}
+    assert df.count() == 20
+    assert df.filter(F.col("b").isNull()).count() == 10  # pre-evolution rows
+    assert df.filter(F.col("batch") == 1).agg(F.max("id")).first()[0] == 9

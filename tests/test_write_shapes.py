@@ -110,3 +110,49 @@ def test_zorder_write_tightens_multi_column_stats(spark, sf_oracle, tmp_path):
     # unordered files see nearly every row group as a candidate; z-order
     # must prune strictly better
     assert hit_z < hit_p, f"z-order did not prune: {hit_z}/{tot_z} vs {hit_p}/{tot_p}"
+
+
+def test_compaction_bounds_files_and_preserves_rows(spark, sf_oracle, tmp_path):
+    """Small-files compaction: a 64-file shattered copy of orders compacts to
+    the planned bounded file count, preserves every row, and leaves each
+    file covering a disjoint sort-key range (tight min/max for pruning)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cbde_mapreduce_spark.sources.compact import compact_files, plan_target_files
+
+    orders = load_table(spark, sf_oracle, "orders")
+    shattered = str(tmp_path / "shattered")
+    orders.repartition(64).write.parquet(shattered)
+    assert len(glob.glob(f"{shattered}/part-*.parquet")) == 64
+
+    n = orders.count()
+    dest = str(tmp_path / "compacted")
+    target = compact_files(spark, shattered, dest, "o_orderkey", rows_per_file=4000)
+    assert target == plan_target_files(n, 4000)
+
+    files = sorted(glob.glob(f"{dest}/part-*.parquet"))
+    assert len(files) == target < 64
+    back = spark.read.parquet(dest)
+    assert back.count() == n
+    assert back.select(F.sum("o_orderkey")).first()[0] == orders.select(F.sum("o_orderkey")).first()[0]
+
+    # disjoint key ranges across files => post-compaction point/range scans
+    # prune at file granularity
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "o_orderkey"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
