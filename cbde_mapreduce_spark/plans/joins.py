@@ -269,12 +269,21 @@ def binned_range_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     |a∩bin|·|b∩bin| — local, bounded by bin width, never n·m. At 100 TB the
     bin width is the tuning knob (≈ interval length keeps the fan-out ≤ 2).
 
+    Physical shape is pinned explicitly, because the optimizer mis-sizes
+    this join BOTH ways: the pre-join shuffles are tiny (n rows) so AQE
+    coalesces them toward one partition, but the probe EXPLODES to ~n·w·
+    density pairs after the join — an explicit fixed-count repartition on
+    bin keeps the probe P-way parallel (3.3× at sf0.1), and shuffle_hash on
+    the point side builds the per-bin hash map from the smaller input
+    instead of broadcasting the exploded interval side.
+
     DuckDB's oracle runs its native IEJoin over the same predicate — a
     genuinely different physical algorithm checking the same semantics.
     """
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     jd = F.datediff("o_orderdate", F.lit("1990-01-01").cast("date"))
     w = 3  # bin width (days) == interval length -> each interval spans <= 2 bins
+    n_part = 2 * int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     a = o.select(
         F.col("o_orderkey").alias("a_key"),
         F.col("o_orderdate").alias("a_date"),
@@ -282,15 +291,15 @@ def binned_range_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.sequence(F.floor(jd / w), F.floor((jd + (w - 1)) / w))
         ).alias("bin"),
-    )
+    ).repartition(n_part, "bin")
     b = o.select(
         F.col("o_orderkey").alias("b_key"),
         F.col("o_orderdate").alias("b_date"),
         jd.alias("b_jd"),
         F.floor(jd / w).alias("bin"),
-    )
+    ).repartition(n_part, "bin")
     return (
-        a.join(b, "bin")
+        a.join(b.hint("shuffle_hash"), "bin")
         .filter(
             (F.col("b_jd") >= F.col("a_jd"))
             & (F.col("b_jd") < F.col("a_jd") + w)
