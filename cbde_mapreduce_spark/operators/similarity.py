@@ -236,45 +236,67 @@ def ann_lsh_topk(
     Output (qid, nid, sim, rn): for each qid, its top-k candidates by exact
     cosine among LSH-colliding vectors. Deterministic given the seed.
     """
-    buckets = lsh_buckets(emb, n_tables, n_bits, seed)
-    l, r = buckets.alias("l"), buckets.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.table_id") == F.col("r.table_id"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.vec_id") != F.col("r.vec_id")),
-        )
-        .select(F.col("l.vec_id").alias("qid"), F.col("r.vec_id").alias("nid"))
-        .distinct()
-    )
-    from cbde_mapreduce_spark.functions.vectors import dot, l2_norm
-
-    # precompute norms once per vector; candidate re-rank then costs a
-    # single dot fold per pair
-    n = emb.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("e"),
-        l2_norm(F.col("embedding")).alias("nrm"),
-    )
-    e1 = n.select(F.col("vec_id").alias("qid"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
-    e2 = n.select(F.col("vec_id").alias("nid"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
-    scored = (
-        cand.join(e1, "qid")
-        .join(e2, "nid")
-        .select(
-            "qid",
-            "nid",
-            F.round(
-                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), digits
-            ).alias("sim"),
+    pairs = _lsh_pair_scores(emb, n_tables, n_bits, seed, digits)
+    # undirected scored pairs -> both query directions for per-qid top-k
+    both = pairs.unionAll(
+        pairs.select(
+            F.col("nid").alias("qid"), F.col("qid").alias("nid"), "sim"
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (
-        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        both.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= k)
     )
+
+
+def _lsh_pair_scores(
+    emb: DataFrame, n_tables: int, n_bits: int, seed: int, digits: int
+) -> DataFrame:
+    """Deduped (qid < nid, sim) cosine scores of all LSH-colliding pairs.
+
+    The kernel is BUCKET-LOCAL: vectors ride with their bucket rows
+    (n·n_tables rows cross Arrow once), and each (table, bucket) group
+    scores its members with ONE normalized matmul — per-pair work never
+    touches Python row-wise and embedding arrays never shuffle onto
+    candidate pairs (both earlier shapes measured Arrow-transfer-bound at
+    ~6 GB; this moves ~20 MB of vectors + scalar pair rows). A pair
+    colliding in several tables is scored identically per collision and
+    deduped by max. At 100 TB, n_bits is the bucket-width knob; the skew
+    guard is the same salting used elsewhere (operators/skew.py).
+    """
+    buckets = lsh_buckets(emb, n_tables, n_bits, seed).join(
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        ),
+        "vec_id",
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"qid": [], "nid": [], "sim": []}).astype(
+                {"qid": np.int64, "nid": np.int64, "sim": np.float64}
+            )
+        m = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(m, axis=1)
+        nrm[nrm == 0] = 1.0
+        g = (m / nrm[:, None]) @ (m / nrm[:, None]).T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        qi, ni = ids[iu], ids[ju]
+        swap = qi > ni
+        return pd.DataFrame(
+            {
+                "qid": np.where(swap, ni, qi),
+                "nid": np.where(swap, qi, ni),
+                "sim": np.round(g[iu, ju], digits),
+            }
+        )
+
+    scored = buckets.groupBy("table_id", "bucket").applyInPandas(
+        score, "qid bigint, nid bigint, sim double"
+    )
+    return scored.groupBy("qid", "nid").agg(F.max("sim").alias("sim"))
 
 
 def embedding_neardup_lsh(
@@ -297,36 +319,7 @@ def embedding_neardup_lsh(
     (sign-LSH collision probability rises with cosine, so high-sim pairs are
     the least likely to be missed).
     """
-    from cbde_mapreduce_spark.functions.vectors import dot, l2_norm
-
-    buckets = lsh_buckets(emb, n_tables, n_bits, seed)
-    l, r = buckets.alias("l"), buckets.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.table_id") == F.col("r.table_id"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.vec_id") < F.col("r.vec_id")),
-        )
-        .select(F.col("l.vec_id").alias("qid"), F.col("r.vec_id").alias("nid"))
-        .distinct()
-    )
-    n = emb.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("e"),
-        l2_norm(F.col("embedding")).alias("nrm"),
-    )
-    e1 = n.select(F.col("vec_id").alias("qid"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
-    e2 = n.select(F.col("vec_id").alias("nid"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
-    return (
-        cand.join(e1, "qid")
-        .join(e2, "nid")
-        .select(
-            "qid",
-            "nid",
-            F.round(
-                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), digits
-            ).alias("sim"),
-        )
-        .filter(F.col("sim") >= threshold)
+    # same bucket-local matmul kernel as ann_lsh_topk (see _lsh_pair_scores)
+    return _lsh_pair_scores(emb, n_tables, n_bits, seed, digits).filter(
+        F.col("sim") >= threshold
     )
