@@ -140,3 +140,48 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "time_weighted_avg_user",
+    oracle="""
+        WITH s AS (SELECT user_id, value, epoch_us(ts) AS us,
+                          lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id) AS nxt
+                   FROM events)
+        SELECT user_id,
+               round(sum(value * (nxt - us)) / sum(nxt - us), 6) AS tw_avg,
+               count(*)::bigint AS n_intervals
+        FROM s WHERE nxt IS NOT NULL
+        GROUP BY user_id
+    """,
+    category="event-time",
+)
+def time_weighted_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (the hypertable/irregular-sampling
+    aggregate): each reading is weighted by how long it was current —
+    Σ vᵢ·Δtᵢ / Σ Δtᵢ over [tᵢ, tᵢ₊₁) holds, last reading open-ended and
+    excluded.
+
+    One window shuffle on user_id (lead for the next timestamp), then a
+    combinable weighted-sum aggregate. Weights are exact integer
+    microseconds (ts_ns div 1000 == DuckDB epoch_us — the fixture's ns
+    discipline), so both engines weight identically; only the final ratio
+    is floating and it is rounded on both sides.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("ts_ns div 1000")
+    s = ev.select(
+        "user_id",
+        "value",
+        us.alias("us"),
+        F.lead(us).over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    dt = F.col("nxt") - F.col("us")
+    return s.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value") * dt) / F.sum(dt), 6).alias("tw_avg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+    )

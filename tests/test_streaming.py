@@ -295,3 +295,52 @@ def test_streaming_session_window_matches_batch(spark, sf_smoke):
     assert len(got) == len(batch)
     assert (got.user_id == batch.user_id).all()
     assert (got.n_events == batch.n_events).all()
+
+
+def test_streaming_restart_exactly_once(spark, sf_smoke, tmp_path):
+    """Checkpointed file-source restart: a second AvailableNow run over the
+    same checkpoint processes ONLY files that landed after the first run —
+    no reprocessing, no duplicates in the sink (the exactly-once contract a
+    production landing zone depends on)."""
+    import glob
+    import shutil
+
+    from cbde_mapreduce_spark.session import apply_runtime_conf
+    from cbde_mapreduce_spark.streaming.streams import _RAW_EVENTS_SCHEMA
+
+    apply_runtime_conf(spark)
+    land = tmp_path / "landing"
+    land.mkdir()
+    shutil.copy(f"{sf_smoke}/events.parquet", land / "batch1.parquet")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            events_file_ingest(spark, str(land))
+            .select("event_id", "user_id", "value")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(f"{sf_smoke}/events.parquet").count()
+    assert spark.read.parquet(out).count() == n1
+
+    # a new file lands (same rows, shifted ids); restart from the checkpoint
+    raw = spark.read.schema(_RAW_EVENTS_SCHEMA).parquet(f"{sf_smoke}/events.parquet")
+    raw.withColumn("event_id", F.col("event_id") + 10_000_000).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "b2"))
+    shutil.copy(
+        glob.glob(str(tmp_path / "b2" / "part-*.parquet"))[0],
+        land / "batch2.parquet",
+    )
+    run_once()
+
+    sink = spark.read.parquet(out)
+    assert sink.count() == 2 * n1, "restart reprocessed or dropped a file"
+    assert sink.select("event_id").distinct().count() == 2 * n1
