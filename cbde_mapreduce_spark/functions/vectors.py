@@ -66,3 +66,18 @@ def pair_cosine_pandas():
         return pd.Series(num / den)
 
     return _pair_cosine
+
+
+def pair_l2_pandas():
+    """Arrow-batched numpy squared-L2 distance for candidate-pair re-ranking
+    (same rationale and shape as ``pair_cosine_pandas``)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _pair_l2(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        a = np.stack(ea.to_numpy())
+        b = np.stack(eb.to_numpy())
+        d = a - b
+        return pd.Series(np.einsum("ij,ij->i", d, d))
+
+    return _pair_l2

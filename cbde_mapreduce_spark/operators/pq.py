@@ -278,3 +278,38 @@ def pq_adc_topk(
     return pairs.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(
         F.col("rn") <= k
     )
+
+
+def ivf_pq_rerank_topk(
+    emb: DataFrame,
+    k: int = 10,
+    rerank: int = 30,
+    **ivf_kwargs,
+) -> DataFrame:
+    """IVF-PQ with an exact re-rank tail: ADC proposes ``rerank`` candidates
+    per query (compressed-domain scan over probed clusters), then the TRUE
+    squared-L2 distance is computed for only those n·rerank pairs and the
+    final top-k re-sorted on it (Jégou et al. 2011 §V.C).
+
+    This kills the PQ quantization error in the final ordering at a cost
+    linear in ``rerank``, not corpus size: the exact-distance join touches
+    candidate pairs only — the original vectors are never scanned
+    per-query. Recall-vs-exact strictly improves over raw ADC
+    (asserted in tests/test_pq.py).
+    """
+    from cbde_mapreduce_spark.functions.vectors import pair_l2_pandas
+
+    cand = ivf_pq_topk(emb, k=rerank, **ivf_kwargs).select("qid", "nid")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    pair_l2 = pair_l2_pandas()
+    exact = (
+        cand.join(e.select(F.col("vec_id").alias("qid"), F.col("e").alias("ea")), "qid")
+        .join(e.select(F.col("vec_id").alias("nid"), F.col("e").alias("eb")), "nid")
+        .select(
+            "qid", "nid", F.round(pair_l2(F.col("ea"), F.col("eb")), 6).alias("l2_dist")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("l2_dist"), F.asc("nid"))
+    return exact.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rn") <= k
+    )

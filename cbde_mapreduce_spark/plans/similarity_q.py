@@ -181,3 +181,16 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, k=10, n_clusters=10, n_probe=3)
+
+
+@query("ivf_pq_rerank_topk", oracle=None, category="similarity")
+def ivf_pq_rerank_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + exact re-rank tail (operators/pq.py::ivf_pq_rerank_topk):
+    compressed-domain ADC proposes 3k candidates per query, true L2 re-sorts
+    them — quantization error leaves the final ordering while per-query
+    exact work stays O(rerank), independent of corpus size. Rows-only;
+    recall-dominance over raw ADC asserted in tests/test_pq.py."""
+    from cbde_mapreduce_spark.operators.pq import ivf_pq_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_rerank_topk(emb, k=10, rerank=30)

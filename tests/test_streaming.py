@@ -344,3 +344,48 @@ def test_streaming_restart_exactly_once(spark, sf_smoke, tmp_path):
     sink = spark.read.parquet(out)
     assert sink.count() == 2 * n1, "restart reprocessed or dropped a file"
     assert sink.select("event_id").distinct().count() == 2 * n1
+
+
+def test_stream_static_join_matches_batch(spark, sf_smoke):
+    """Stream-static enrichment: the live event stream joins a STATIC
+    dimension (per-user total order spend) without watermarks — the static
+    side is re-read per micro-batch, planned as a broadcast. Result must
+    equal the batch twin exactly."""
+    static_dim = (
+        load_table(spark, sf_smoke, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    enriched = (
+        events_stream(spark, sf_smoke)
+        .join(static_dim, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("spend"), 2).alias("sum_spend"),
+        )
+    )
+    sink = f"ss_join_{uuid.uuid4().hex[:12]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ssj_"))
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(sink).toPandas().sort_values("event_type").reset_index(drop=True)
+    want = (
+        load_table(spark, sf_smoke, "events")
+        .join(static_dim, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("spend"), 2).alias("sum_spend"),
+        )
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want), f"\n{got}\nvs\n{want}"
