@@ -361,3 +361,36 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_doc"))
     )
+
+
+@query(
+    "seq_len_histogram",
+    oracle="""
+        WITH t AS (SELECT len(string_split(text, ' '))::bigint AS n_tok
+                   FROM documents)
+        SELECT floor(log2(n_tok))::int AS log2_bucket,
+               count(*)::bigint        AS n_docs,
+               min(n_tok)              AS min_tok,
+               max(n_tok)              AS max_tok,
+               sum(n_tok)::bigint      AS total_tok
+        FROM t GROUP BY 1
+    """,
+    category="llm_pipeline",
+)
+def seq_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution in log2 buckets — the first chart of
+    every tokenization report (truncation/padding budgeting, packing
+    efficiency). One narrow scan + combinable aggregate; the bucket key is
+    floor(log2 n), exact for power-of-two boundaries in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens("text")).cast("bigint")
+    return (
+        docs.select(n_tok.alias("n_tok"))
+        .groupBy(F.floor(F.log2("n_tok")).cast("int").alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_tok").alias("min_tok"),
+            F.max("n_tok").alias("max_tok"),
+            F.sum("n_tok").cast("bigint").alias("total_tok"),
+        )
+    )
