@@ -313,3 +313,135 @@ def ivf_pq_rerank_topk(
     return exact.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(
         F.col("rn") <= k
     )
+
+
+def ivf_rpq_topk(
+    emb: DataFrame,
+    k: int = 10,
+    n_clusters: int = 8,
+    n_probe: int = 3,
+    m: int = 8,
+    n_centroids: int = 16,
+    n_sample: int = 2048,
+    kmeans_iters: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-ADC with RESIDUAL quantization (Jégou et al. 2011 §V.A): PQ
+    codebooks are trained on, and codes encode, x − centroid(cluster(x))
+    instead of x. Residuals concentrate around 0 with far less variance
+    than raw vectors, so the same code budget quantizes finer; at query
+    time each probed cluster scores ADC against the QUERY's residual for
+    that cluster (q − centroid), computed cluster-locally.
+
+    Same distribution contract as ivf_pq_topk: codes partitioned by
+    cluster, queries routed to n_probe clusters, cogrouped per-cluster ADC,
+    no driver collect, no code broadcast — only the k×d centroid matrix and
+    the m×k×(d/m) codebooks ride broadcasts.
+    """
+    from cbde_mapreduce_spark.operators.iterative import kmeans_fit
+
+    spark = emb.sparkSession
+    src = emb.select("vec_id", "embedding")
+
+    centroids, assigned = kmeans_fit(emb, k=n_clusters, iters=kmeans_iters)
+    bc_cent = spark.sparkContext.broadcast(centroids)
+
+    with_cluster = src.join(assigned.select("vec_id", "cluster"), "vec_id")
+
+    def residualize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc_cent.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cl = pdf["cluster"].to_numpy(dtype=np.int64)
+            r = x - cents[cl]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cluster": cl.astype(np.int32),
+                    "embedding": list(r),
+                }
+            )
+
+    resid = with_cluster.mapInPandas(
+        residualize, "vec_id bigint, cluster int, embedding array<double>"
+    )
+    books = pq_train_codebooks(
+        resid, m=m, k=n_centroids, n_sample=n_sample, seed=seed
+    )
+    sub = books.shape[2]
+    codes = pq_encode(resid, books).join(
+        assigned.select("vec_id", "cluster"), "vec_id"
+    ).select("cluster", F.col("vec_id").alias("nid"), "codes")
+
+    def probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc_cent.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d2 = (
+                (x * x).sum(axis=1, keepdims=True)
+                - 2.0 * (x @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            near = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+            idx = np.repeat(np.arange(len(x)), n_probe)
+            yield pd.DataFrame(
+                {
+                    "cluster": near.ravel().astype(np.int32),
+                    "qid": pdf["vec_id"].to_numpy(dtype=np.int64)[idx],
+                    "embedding": pdf["embedding"].to_numpy()[idx],
+                }
+            )
+
+    routed = src.mapInPandas(
+        probes, "cluster int, qid bigint, embedding array<float>"
+    )
+    bc_books = spark.sparkContext.broadcast(books)
+
+    def adc_cluster(queries: pd.DataFrame, cl_codes: pd.DataFrame) -> pd.DataFrame:
+        if not len(queries) or not len(cl_codes):
+            return pd.DataFrame(
+                {"qid": pd.Series(dtype="int64"), "nid": pd.Series(dtype="int64"),
+                 "adc_dist": pd.Series(dtype="float64")}
+            )
+        bks, cents = bc_books.value, bc_cent.value
+        mm = bks.shape[0]
+        cl = int(queries["cluster"].iloc[0])
+        t_ids = cl_codes["nid"].to_numpy(dtype=np.int64)
+        t_codes = np.stack(
+            [np.frombuffer(b, dtype=np.uint8) for b in cl_codes["codes"]]
+        )
+        q = np.stack(queries["embedding"].to_numpy()).astype(np.float64)
+        q = q - cents[cl]  # the query residual for THIS cluster
+        q_ids = queries["qid"].to_numpy(dtype=np.int64)
+        out = []
+        for qi in range(len(q)):
+            tables = np.stack(
+                [
+                    ((bks[j] - q[qi, j * sub : (j + 1) * sub]) ** 2).sum(axis=1)
+                    for j in range(mm)
+                ]
+            )
+            dists = tables[np.arange(mm)[None, :], t_codes].sum(axis=1)
+            mask = t_ids != q_ids[qi]
+            order = np.lexsort((t_ids[mask], dists[mask]))[:k]
+            out.append(
+                pd.DataFrame(
+                    {"qid": q_ids[qi], "nid": t_ids[mask][order],
+                     "adc_dist": np.round(dists[mask][order], 6)}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    local_topk = (
+        routed.groupBy("cluster")
+        .cogroup(codes.groupBy("cluster"))
+        .applyInPandas(adc_cluster, "qid bigint, nid bigint, adc_dist double")
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("nid"))
+    return local_topk.withColumn(
+        "rn", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rn") <= k)

@@ -105,3 +105,27 @@ def test_ivf_pq_rerank_improves_recall(spark, sf_oracle):
     for _, row in sample.iterrows():
         true = d2[lookup[row.qid], lookup[row.nid]]
         assert abs(row.l2_dist - true) < 1e-4, (row.qid, row.nid, row.l2_dist, true)
+
+
+def test_residual_ivf_pq_noninferior_recall(spark, sf_oracle):
+    """Residual quantization (IVFADC): codes over x − centroid must recall
+    at least as well as raw-vector IVF-PQ (minus noise slack) — residuals
+    have less variance, so the same code budget quantizes finer."""
+    from cbde_mapreduce_spark.operators.pq import ivf_pq_topk, ivf_rpq_topk
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf.vec_id.to_numpy()
+    m = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    d2 = ((m[:, None, :] - m[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d2, np.inf)
+    exact = {ids[i]: set(ids[np.argsort(d2[i])[:10]]) for i in range(len(ids))}
+
+    def recall(df):
+        got = df.toPandas().groupby("qid")["nid"].apply(set).to_dict()
+        return np.mean([len(exact[q] & got.get(q, set())) / 10 for q in exact])
+
+    r_plain = recall(ivf_pq_topk(emb, k=10, n_clusters=8, n_probe=3))
+    r_resid = recall(ivf_rpq_topk(emb, k=10, n_clusters=8, n_probe=3))
+    assert r_resid >= r_plain - 0.02, f"residual {r_resid:.3f} << plain {r_plain:.3f}"
+    assert r_resid >= 0.25
