@@ -184,3 +184,42 @@ def test_schema_evolution_merge_schema(spark, tmp_path):
     assert df.count() == 20
     assert df.filter(F.col("b").isNull()).count() == 10  # pre-evolution rows
     assert df.filter(F.col("batch") == 1).agg(F.max("id")).first()[0] == 9
+
+
+def test_python_datasource_custom_inputformat(spark):
+    """Custom Python DataSource (the MR custom-InputFormat extension point):
+    declared splits scan in parallel, per-split readers are deterministic,
+    and an event_type equality is absorbed source-side via pushFilters."""
+    from pyspark.sql import functions as F
+
+    from cbde_mapreduce_spark.sources.pydatasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("partitions", 6)
+        .option("rowsPerPartition", 500)
+        .load()
+    )
+    assert df.count() == 6 * 500
+    # splits became real scan partitions
+    assert (
+        df.select(F.spark_partition_id().alias("p")).distinct().count() == 6
+    )
+    # deterministic regeneration: same seed -> identical dataset
+    again = (
+        spark.read.format("synthetic_events")
+        .option("partitions", 6)
+        .option("rowsPerPartition", 500)
+        .load()
+    )
+    assert (
+        df.exceptAll(again).count() == 0 and again.exceptAll(df).count() == 0
+    )
+    # pushed filter result == post-scan filter result (same semantics,
+    # evaluated at the source)
+    pushed = df.filter(F.col("event_type") == "click")
+    n_clicks = pushed.count()
+    assert 0 < n_clicks < 6 * 500
+    total_by_type = {r["event_type"]: r["n"] for r in df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert n_clicks == total_by_type["click"]
