@@ -115,3 +115,25 @@ def except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority")
     )
     return open_p.exceptAll(done_p)
+
+
+@query(
+    "intersect_all_priorities",
+    oracle="""
+        SELECT o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'F'
+    """,
+    category="setop",
+)
+def intersect_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection (min multiplicity per value),
+    completing the §2.7 multiset pair with except_all_priorities."""
+    orders = load_table(spark, sf_dir, "orders")
+    open_p = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    done_p = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    return open_p.intersectAll(done_p)

@@ -389,3 +389,66 @@ def test_stream_static_join_matches_batch(spark, sf_smoke):
         .reset_index(drop=True)
     )
     assert got.equals(want), f"\n{got}\nvs\n{want}"
+
+
+def test_foreach_batch_streaming_merge_upsert(spark, sf_smoke, tmp_path):
+    """Streaming CDC-apply: each micro-batch MERGEs into a keyed state table
+    via foreachBatch (latest value per user wins by event time) — the
+    streaming face of merge_upsert_customers. Final state must equal the
+    batch argmax over the whole stream."""
+    from pyspark.sql import Window
+
+    state_dir = str(tmp_path / "state")
+
+    def merge_batch(batch_df, batch_id):
+        incoming = batch_df.groupBy("user_id").agg(
+            F.max_by("value", F.col("ts_ns")).alias("value"),
+            F.max("ts_ns").alias("ts_ns"),
+        )
+        try:
+            current = batch_df.sparkSession.read.parquet(state_dir)
+            merged = (
+                current.unionByName(incoming)
+                .groupBy("user_id")
+                .agg(
+                    F.max_by("value", F.col("ts_ns")).alias("value"),
+                    F.max("ts_ns").alias("ts_ns"),
+                )
+            )
+        except Exception:  # first batch: no state yet
+            merged = incoming
+        merged.write.mode("overwrite").parquet(state_dir + "_next")
+        # atomic-ish swap for the test (a real deployment uses a table
+        # format's transactional MERGE here)
+        import shutil
+
+        shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.move(state_dir + "_next", state_dir)
+
+    q = (
+        events_stream(spark, sf_smoke)
+        .select("user_id", "value", "ts_ns")
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_merge_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = (
+        spark.read.parquet(state_dir)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts_ns"))
+    want = (
+        load_table(spark, sf_smoke, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "value", "ts_ns")
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want), "streaming merge state diverged from batch argmax"
