@@ -98,3 +98,74 @@ def exclusive_prefix_sum(
     return local.withColumn(
         out_col, (F.col("__local_off") + F.coalesce(offset_expr, F.lit(0))).cast("bigint")
     ).drop("__pid", "__local_off")
+
+
+def exclusive_prefix_min(
+    df: DataFrame,
+    order_col: str | list[str],
+    value_col: str,
+    out_col: str = "prefix_min",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Min-monoid twin of :func:`exclusive_prefix_sum`: ``out_col`` = min of
+    ``value_col`` over all rows strictly before this row in ``order_col``
+    order (NULL for the global first row — the empty-prefix identity).
+
+    Same two-phase shape: range partition + per-partition window (P-way
+    parallel), then a P-row driver-side exclusive scan of partition minima
+    broadcast back as a pid→min map. This is the scale-safe realization of
+    ``min().over(Window.orderBy(...))`` — which Spark executes in ONE
+    partition — and powers dominance/skyline queries (plans/agg_ext.py).
+    """
+    cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    part = (
+        df.repartitionByRange(num_partitions, *[F.col(c) for c in cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()  # pin the sampled range boundaries (see above)
+    )
+
+    local_w = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = part.withColumn("__local_min", F.min(value_col).over(local_w))
+
+    totals = (
+        part.groupBy("__pid")
+        .agg(
+            F.min(F.struct(*cols)).alias("__lo"),
+            F.min(value_col).alias("__min"),
+        )
+        .orderBy("__lo")
+        .collect()
+    )
+    if not totals:
+        vtype = df.schema[value_col].dataType
+        return df.withColumn(out_col, F.lit(None).cast(vtype))
+
+    running = None
+    prefix: list = []
+    for r in totals:
+        prefix.append(running)
+        v = r["__min"]
+        if v is not None:
+            running = v if running is None else min(running, v)
+
+    vtype = df.schema[value_col].dataType
+    pairs = [
+        (F.lit(r["__pid"]), F.lit(p).cast(vtype))
+        for r, p in zip(totals, prefix)
+        if p is not None
+    ]
+    if pairs:
+        offset_expr: Column = F.element_at(
+            F.create_map(*itertools.chain.from_iterable(pairs)), F.col("__pid")
+        )
+    else:
+        offset_expr = F.lit(None).cast(vtype)
+    # least() skips NULLs, so empty-prefix rows keep NULL and interior rows
+    # take min(local prefix min, prior-partition min).
+    return local.withColumn(out_col, F.least("__local_min", offset_expr)).drop(
+        "__pid", "__local_min"
+    )

@@ -28,3 +28,5 @@ from cbde_mapreduce_spark.plans import scale_ops  # noqa: F401,E402
 from cbde_mapreduce_spark.plans import llm_pipeline  # noqa: F401,E402
 from cbde_mapreduce_spark.plans import graph_q  # noqa: F401,E402
 from cbde_mapreduce_spark.plans import event_analytics  # noqa: F401,E402
+from cbde_mapreduce_spark.plans import agg_ext  # noqa: F401,E402
+from cbde_mapreduce_spark.plans import clean_ext  # noqa: F401,E402

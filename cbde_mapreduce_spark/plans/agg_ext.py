@@ -1,0 +1,209 @@
+"""Aggregate/scalar surface extensions (SURVEY.md §2.4/§2.8 depth):
+boolean/bitwise aggregates, linear-regression aggregates, conditional
+counting (``count_if``), safe-cast ingestion parsing (``try_cast``), and a
+dominance (skyline/Pareto-front) query built on the distributed prefix-min
+operator.
+
+All follow the registry's hash-matching discipline: identical aliases on
+both engine sides, floats rounded on both sides, deterministic orderings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cbde_mapreduce_spark.operators.prefix import exclusive_prefix_min
+from cbde_mapreduce_spark.plans.registry import query
+from cbde_mapreduce_spark.sources import load_table
+
+
+@query(
+    "bool_bit_aggs_lineitem",
+    oracle="""
+        SELECT l_returnflag,
+               bool_and(l_quantity < 49.0)            AS all_small,
+               bool_or(l_discount > 0.09)             AS any_deep_disc,
+               bit_and(CAST(l_linenumber AS BIGINT))  AS line_mask_and,
+               bit_or(CAST(l_linenumber AS BIGINT))   AS line_mask_or,
+               bit_xor(CAST(l_suppkey AS BIGINT))     AS supp_xor
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    category="aggregate",
+)
+def bool_bit_aggs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and/bool_or + bit_and/bit_or/bit_xor aggregates.
+
+    All five are map-side-combinable monoids, so the partial-aggregate
+    before the shuffle moves one row per (partition, flag) — the same 100×
+    shape as SUM. bit_xor over a key column doubles as an order-independent
+    group fingerprint (cf. ``fingerprint_table``).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") < 49.0).alias("all_small"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_disc"),
+        F.bit_and(F.col("l_linenumber").cast("bigint")).alias("line_mask_and"),
+        F.bit_or(F.col("l_linenumber").cast("bigint")).alias("line_mask_or"),
+        F.bit_xor(F.col("l_suppkey").cast("bigint")).alias("supp_xor"),
+    )
+
+
+@query(
+    "regr_aggs_lineitem",
+    oracle="""
+        SELECT l_returnflag,
+               round(regr_slope(l_extendedprice, l_quantity), 4)     AS price_qty_slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 2) AS price_qty_icept,
+               round(regr_r2(l_extendedprice, l_quantity), 6)        AS price_qty_r2,
+               regr_count(l_extendedprice, l_quantity)               AS n_pairs
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    category="aggregate",
+)
+def regr_aggs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares fit via the SQL-standard regr_* aggregates.
+
+    One pass, one shuffle: the regr_* family decomposes into the six
+    combinable moments (n, Σx, Σy, Σxx, Σyy, Σxy), so Catalyst runs it as
+    an ordinary partial-agg → final-agg pipeline — a distributed linear
+    regression with no iteration and no driver math.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 4).alias("price_qty_slope"),
+        F.round(F.regr_intercept(y, x), 2).alias("price_qty_icept"),
+        F.round(F.regr_r2(y, x), 6).alias("price_qty_r2"),
+        F.regr_count(y, x).alias("n_pairs"),
+    )
+
+
+@query(
+    "count_if_priority_orders",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*)                                 AS n_orders,
+               CAST(count_if(o_totalprice > 250000.0) AS BIGINT) AS n_big,
+               CAST(count_if(o_orderstatus = 'F') AS BIGINT)     AS n_finished,
+               round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice
+                              ELSE 0.0 END), 2)         AS finished_price
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    category="aggregate",
+)
+def count_if_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional counting — count_if and filtered-CASE sums in one agg."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.count_if(F.col("o_totalprice") > 250000.0).alias("n_big"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.round(
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(
+                    0.0
+                )
+            ),
+            2,
+        ).alias("finished_price"),
+    )
+
+
+@query(
+    "safe_cast_mixed_events",
+    oracle="""
+        WITH mixed AS (
+            SELECT event_id, event_type,
+                   CASE WHEN event_id % 3 = 0 THEN CAST(value AS VARCHAR)
+                        ELSE event_type END AS raw
+            FROM events
+        )
+        SELECT event_type,
+               count(*)                                              AS n_events,
+               count(try_cast(raw AS DOUBLE))                        AS n_parsed,
+               round(sum(coalesce(try_cast(raw AS DOUBLE), 0.0)), 2) AS parsed_sum
+        FROM mixed
+        GROUP BY event_type
+    """,
+    category="scalar",
+)
+def safe_cast_mixed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_cast over a deliberately mixed string column — safe ingestion.
+
+    A third of the rows carry a castable numeric string, the rest a word;
+    try_cast yields NULL (never an error) for the junk, so count(parsed)
+    measures parse yield. The double→string→double round trip is exact on
+    both engines (shortest-round-trip float formatting), so parsed_sum is
+    engine-comparable after rounding.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mixed = ev.withColumn(
+        "raw",
+        F.when(F.col("event_id") % 3 == 0, F.col("value").cast("string")).otherwise(
+            F.col("event_type")
+        ),
+    )
+    parsed = F.col("raw").try_cast("double")
+    return mixed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count(parsed).alias("n_parsed"),
+        F.round(F.sum(F.coalesce(parsed, F.lit(0.0))), 2).alias("parsed_sum"),
+    )
+
+
+@query(
+    "skyline_orders",
+    oracle="""
+        WITH f AS (
+            SELECT o_orderkey, o_totalprice, o_orderdate
+            FROM orders WHERE o_totalprice > 450000.0
+        )
+        SELECT a.o_orderkey, a.o_totalprice, a.o_orderdate
+        FROM f a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM f b
+            WHERE b.o_totalprice > a.o_totalprice
+              AND b.o_orderdate  < a.o_orderdate
+        )
+    """,
+    category="window",
+)
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto front): maximize price, minimize date — orders not
+    strictly dominated by any other.
+
+    The oracle is the O(n²) NOT-EXISTS dominance definition; the Spark plan
+    is the sort-based O(n log n) realization: group rows by price (one
+    shuffle), take each price's min date, then an EXCLUSIVE running min of
+    date over strictly-higher prices — computed with the distributed
+    prefix-min operator (operators/prefix.py), NOT a single-partition global
+    window, so the scan stays P-way parallel at any distinct-price count. A
+    row is on the front iff its date ≤ every strictly-higher-priced row's
+    min date (vacuously true for the top price group, where the exclusive
+    prefix is NULL).
+    """
+    f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000.0)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+    grp = (
+        f.groupBy("o_totalprice")
+        .agg(F.min("o_orderdate").alias("grp_min_date"))
+        .withColumn("__ord", -F.col("o_totalprice"))
+    )
+    pm = exclusive_prefix_min(
+        grp, "__ord", "grp_min_date", out_col="prev_min_date", num_partitions=16
+    )
+    return (
+        f.join(pm.select("o_totalprice", "prev_min_date"), "o_totalprice")
+        .filter(
+            F.col("prev_min_date").isNull()
+            | (F.col("o_orderdate") <= F.col("prev_min_date"))
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )

@@ -1,0 +1,184 @@
+"""Corpus-cleaning surface extensions (LLM-pipeline family, round-2 batch 3):
+chunk-level exact dedup, edit-distance near-dup under blocking, and
+stopword/array set-operations profiling.
+
+These complement operators/dedup.py (doc-level exact/MinHash/SimHash) with
+the sub-document granularity real cleaning pipelines use: repeated
+boilerplate chunks dedup at chunk level even when whole documents differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cbde_mapreduce_spark.plans.registry import query
+from cbde_mapreduce_spark.sources import load_table
+
+CHUNK = 4  # tokens per chunk; sized so the sf0.01 fixture has real dups
+
+
+@query(
+    "chunk_dedup_docs",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, ts,
+                   unnest(generate_series(0, len(ts)//{CHUNK} - 1)) AS i
+            FROM toks
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   array_to_string(ts[(i*{CHUNK}+1):((i+1)*{CHUNK})], ' ') AS chunk
+            FROM idx
+        )
+        SELECT chunk, count(*) AS n_occ, min(doc_id) AS keep_doc
+        FROM chunks
+        GROUP BY chunk
+        HAVING count(*) > 1
+    """,
+    category="llm-pipeline",
+)
+def chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup: fixed-size token windows that occur in more
+    than one place, with the keep-first (min doc_id) policy.
+
+    Sub-document dedup is how boilerplate (headers, license blocks, nav
+    text) is stripped when whole-document hashes differ. The plan is a
+    single explode → groupBy(chunk-text): at 100 TB you'd group on
+    xxhash64(chunk) so the shuffle moves 8-byte keys (the exact trick
+    dedup_exact_docs uses); here the chunk text IS the output so it stays
+    the key. Chunks are non-overlapping (stride = width), so the explode
+    is a 1→(len/4) fan-out, not the 1→len shingle fan-out of MinHash.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("ts")).withColumn(
+        "nc", F.floor(F.size("ts") / CHUNK).cast("int")
+    )
+    chunks = (
+        toks.filter(F.col("nc") >= 1)
+        .select(
+            "doc_id",
+            "ts",
+            F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.array_join(
+                F.slice("ts", F.col("i") * CHUNK + 1, CHUNK), " "
+            ).alias("chunk"),
+        )
+    )
+    return (
+        chunks.groupBy("chunk")
+        .agg(F.count("*").alias("n_occ"), F.min("doc_id").alias("keep_doc"))
+        .filter(F.col("n_occ") > 1)
+    )
+
+
+@query(
+    "edit_distance_neardup",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, lang, n_chars // 50 AS len_bucket,
+                   substr(text, 1, 40) AS prefix
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               levenshtein(a.prefix, b.prefix) AS dist
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+         AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.prefix, b.prefix) <= 18
+    """,
+    category="llm-pipeline",
+)
+def edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by Levenshtein distance on a 40-char prefix,
+    under (lang, length-bucket) blocking.
+
+    Edit distance is the classic fuzzy-match for short fields (titles,
+    URLs, names). All-pairs levenshtein is O(n²·L²) and never survives
+    scale; the standard fix is blocking — the equi-join on
+    (lang, len_bucket) bounds candidates to same-block pairs, and the
+    length bucket is sound because |len(a)−len(b)| is a levenshtein lower
+    bound. At corpus scale the block key would be an LSH bucket
+    (operators/dedup.py) instead of a length bucket; the join shape is
+    identical. levenshtein() is a JVM built-in on both engines.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 50).cast("long").alias("len_bucket"),
+        F.substring("text", 1, 40).alias("prefix"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(dist <= 18)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("dist"),
+        )
+    )
+
+
+_STOPWORDS = ["a", "the", "value", "table"]
+
+
+@query(
+    "stopword_array_ops_docs",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        d AS (
+            SELECT doc_id, ts, list_distinct(ts) AS dts FROM t
+        )
+        SELECT doc_id,
+               len(ts)  AS n_tokens,
+               len(dts) AS n_distinct,
+               len(list_filter(dts,
+                   t -> list_contains({_STOPWORDS!r}, t)))   AS n_stop,
+               array_to_string(list_sort(list_filter(dts,
+                   t -> NOT list_contains({_STOPWORDS!r}, t))), ' ')
+                                                             AS content_terms
+        FROM d
+    """,
+    category="scalar",
+)
+def stopword_array_ops_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set operations per document: distinct vocabulary, stopword
+    overlap (array_intersect) and the sorted residue (array_except).
+
+    Everything is JVM array built-ins against a 4-element literal array —
+    no shuffle at all: this is a pure map-side projection, the cheapest
+    possible 100 TB shape. The array-valued intermediate never reaches the
+    output; content_terms is serialized to a sorted space-joined string so
+    the driver's canonicalizer hashes scalars (the collect_set_priorities
+    round-1 lesson).
+    """
+    stop = F.array(*[F.lit(w) for w in _STOPWORDS])
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.split("text", " ").alias("ts")
+    ).withColumn("dts", F.array_distinct("ts"))
+    return d.select(
+        "doc_id",
+        F.size("ts").alias("n_tokens"),
+        F.size("dts").alias("n_distinct"),
+        F.size(F.array_intersect("dts", stop)).alias("n_stop"),
+        F.array_join(F.array_sort(F.array_except("dts", stop)), " ").alias(
+            "content_terms"
+        ),
+    )
