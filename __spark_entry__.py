@@ -34,11 +34,9 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #: never-checked no-oracle names (rows-only checks) roll to round 4.
 _PRIORITY = [
     "binned_range_join_orders",
-    "bool_bit_aggs_lineitem",
     "bpe_regex_token_counts",
     "chunk_dedup_docs",
     "cohort_retention_purchases",
-    "count_if_priority_orders",
     "curriculum_buckets_docs",
     "data_quality_checks",
     "decontaminate_docs",
@@ -51,13 +49,15 @@ _PRIORITY = [
     "global_rank_prefix_orders",
     "grouping_sets_orders",
     "incremental_dedup_docs",
-    "intersect_all_priorities",
     "inverted_index_terms",
     "mad_outlier_orders",
     "merge_upsert_customers",
     "pack_sequences_chunked",
     "pagerank_trade_graph",
     "pmi_bigrams_top",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q20_excess_stock_suppliers",
     "q12_shipmode_priority",
     "q13_order_distribution",
     "q15_top_supplier",

@@ -185,3 +185,80 @@ def time_weighted_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("value") * dt) / F.sum(dt), 6).alias("tw_avg"),
         F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
     )
+
+
+@query(
+    "window_dedup_events",
+    oracle="""
+        WITH r AS (
+            SELECT event_type, value,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type, date_trunc('hour', ts)
+                       ORDER BY ts, event_id) AS rn
+            FROM events)
+        SELECT event_type, count(*) AS n_kept,
+               round(sum(value), 2) AS sum_value
+        FROM r WHERE rn = 1
+        GROUP BY event_type
+    """,
+    category="event-time",
+)
+def window_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-horizon dedup: keep the FIRST event per (user, type) within each
+    1-hour event-time bucket — the batch twin of streaming
+    ``dropDuplicatesWithinWatermark`` (state bounded by the horizon, not the
+    stream). One shuffle on the dedup key; the tiebreak (ts, event_id) makes
+    the kept row deterministic across engines and partitionings.
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", "event_type", F.date_trunc("hour", "ts")
+    ).orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "hierarchical_time_rollup",
+    oracle="""
+        SELECT date_trunc('day', ts)  AS day_start,
+               date_trunc('hour', ts) AS hour_start,
+               count(*)               AS n,
+               round(sum(value), 2)   AS sum_value,
+               count(DISTINCT user_id)::bigint AS n_users
+        FROM events
+        GROUP BY GROUPING SETS ((date_trunc('day', ts), date_trunc('hour', ts)),
+                                (date_trunc('day', ts)))
+    """,
+    category="event-time",
+)
+def hierarchical_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: hourly AND daily aggregates
+    of the same measures in ONE pass (rollup over the day→hour hierarchy,
+    grand-total slice excluded to keep exactly the two granularities).
+
+    At 100 TB this is the continuous-aggregate pattern: the fact is scanned
+    once, partial aggregates combine map-side per grouping set, and the
+    coarser granularity rides the same shuffle rather than re-scanning.
+    """
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("timestamp_ntz")
+    hour = F.date_trunc("hour", "ts").cast("timestamp_ntz")
+    return (
+        events.rollup(day.alias("day_start"), hour.alias("hour_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .filter(F.col("day_start").isNotNull())
+    )

@@ -158,3 +158,79 @@ def triangle_count_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     return n_edges.crossJoin(tri)
+
+
+_BFS_ROUNDS = 3
+_BFS_SOURCE = 0  # customer 0's vertex id in the 2k/2k+1 encoding
+
+_BFS_ORACLE = f"""
+    WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    e AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+    s0 AS (SELECT {_BFS_SOURCE}::bigint AS v),
+    n1 AS (SELECT DISTINCT e.b AS v FROM e JOIN s0 ON e.a = s0.v),
+    s1 AS (SELECT v FROM s0 UNION SELECT v FROM n1),
+    n2 AS (SELECT DISTINCT e.b AS v FROM e JOIN s1 ON e.a = s1.v),
+    s2 AS (SELECT v FROM s1 UNION SELECT v FROM n2),
+    n3 AS (SELECT DISTINCT e.b AS v FROM e JOIN s2 ON e.a = s2.v),
+    s3 AS (SELECT v FROM s2 UNION SELECT v FROM n3),
+    lv AS (SELECT v, CASE WHEN v IN (SELECT v FROM s0) THEN 0
+                          WHEN v IN (SELECT v FROM s1) THEN 1
+                          WHEN v IN (SELECT v FROM s2) THEN 2
+                          ELSE 3 END AS hop
+           FROM s3)
+    SELECT hop, count(*) AS n_vertices, min(v) AS min_v, max(v) AS max_v
+    FROM lv GROUP BY hop
+"""
+
+
+@query("bfs_hops_trade_graph", oracle=_BFS_ORACLE, category="graph")
+def bfs_hops_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first search layers from one vertex of the trade graph —
+    three frontier-expansion rounds, reporting per-hop layer sizes.
+
+    The iterative-join MR chain: each round is frontier ⋈ edges (one shuffle
+    on the frontier key) + anti-join against the visited set, with
+    localCheckpoint truncating lineage per round (same discipline as
+    operators/iterative.py::connected_components — without it the plan
+    doubles per round). The DuckDB twin unrolls the same rounds as chained
+    CTEs, so the iteration gets a full value-hash check.
+
+    100 TB shape: frontier and visited are vertex-sized. The frontier is
+    broadcast while it stays dimension-sized (early hops); a frontier that
+    outgrows the broadcast threshold falls back to a shuffle join on the
+    edge's source endpoint — drop the explicit hint and AQE picks per round.
+    Unbounded-diameter variants swap the fixed rounds for an empty-frontier
+    convergence check (one cheap count per round).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    e = e0.unionByName(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    visited = spark.range(1).select(
+        F.lit(_BFS_SOURCE).cast("long").alias("v"), F.lit(0).alias("hop")
+    )
+    frontier = visited.select("v")
+    for k in range(1, _BFS_ROUNDS + 1):
+        nxt = (
+            e.join(F.broadcast(frontier), e.a == frontier.v)
+            .select(F.col("b").alias("v"))
+            .distinct()
+        )
+        new = nxt.join(visited, "v", "left_anti").withColumn("hop", F.lit(k))
+        visited = visited.unionByName(new).localCheckpoint()
+        frontier = new.select("v")
+    return visited.groupBy("hop").agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )

@@ -208,3 +208,66 @@ def ivf_rpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_rpq_topk(emb, k=10)
+
+
+@query(
+    "maxsim_label_topk",
+    oracle="""
+        WITH n AS (
+            SELECT vec_id, label, embedding,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> x::double * x::double))) AS nrm
+            FROM embeddings),
+        sim AS (
+            SELECT a.vec_id AS qid, a.label AS ql, b.label AS dl,
+                   list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                            z -> z[1]::double * z[2]::double))
+                       / (a.nrm * b.nrm) AS s
+            FROM n a JOIN n b ON a.label <> b.label),
+        mx AS (SELECT qid, ql, dl, max(s) AS m FROM sim GROUP BY 1, 2, 3)
+        SELECT ql AS qlabel, dl AS dlabel, round(avg(m), 6) AS maxsim
+        FROM mx GROUP BY 1, 2
+    """,
+    category="similarity",
+)
+def maxsim_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector (ColBERT-style) MaxSim scoring between label groups:
+    score(Q, D) = avg over query vectors of (max over doc vectors of cosine).
+
+    The late-interaction retrieval primitive: each label's vector set is a
+    multi-vector document. Norms are computed once per vector before the
+    pair join (single dot-fold per pair); the max and avg are two combinable
+    aggregations riding one shuffle each. The declarative O(n²) form is the
+    oracle twin — at corpus scale the pair stage swaps for the same
+    block-matmul kernel as cosine_topk_sharded with the max/avg reduction
+    unchanged.
+
+    Rounding happens AFTER the avg so cross-engine float noise in individual
+    cosines (≈1e-15) stays far below the 1e-6 cutoff.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    a = n.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("ql"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        F.col("label").alias("dl"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    sim = a.join(b, F.col("ql") != F.col("dl")).select(
+        "qid",
+        "ql",
+        "dl",
+        (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("s"),
+    )
+    mx = sim.groupBy("qid", "ql", "dl").agg(F.max("s").alias("m"))
+    return mx.groupBy(
+        F.col("ql").alias("qlabel"), F.col("dl").alias("dlabel")
+    ).agg(F.round(F.avg("m"), 6).alias("maxsim"))

@@ -64,3 +64,38 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cbde_mapreduce_spark.streaming import run_streaming_sliding
 
     return run_streaming_sliding(spark, sf_dir)
+
+
+@query(
+    "streaming_session_counts",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                          OR lag(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sess
+            FROM g
+        )
+        SELECT user_id,
+               min(ts)                          AS win_start,
+               max(ts) + INTERVAL 30 MINUTE     AS win_end,
+               count(*)                         AS n_events,
+               round(sum(value), 2)             AS sum_value
+        FROM s GROUP BY user_id, sess
+    """,
+    category="streaming",
+)
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window aggregation executed as a Structured Streaming query
+    (streaming/streams.py::run_streaming_session) — the engine's merging
+    session state, checked against the batch lag/cumsum oracle (same SQL as
+    the batch twin session_window_events)."""
+    from cbde_mapreduce_spark.streaming import run_streaming_session
+
+    return run_streaming_session(spark, sf_dir)

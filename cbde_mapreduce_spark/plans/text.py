@@ -506,3 +506,68 @@ def pmi_bigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(20)
     )
+
+
+@query(
+    "bigram_lm_score_docs",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, w,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM (SELECT doc_id,
+                         unnest(string_split(text, ' ')) AS w,
+                         generate_subscripts(string_split(text, ' '), 1) AS pos
+                  FROM documents)),
+        big AS (SELECT doc_id, w AS w1, w2 FROM t WHERE w2 IS NOT NULL),
+        bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+        pc AS (SELECT w1, w2, c12, sum(c12) OVER (PARTITION BY w1) AS c1 FROM bc)
+        SELECT big.doc_id, count(*) AS n_bigrams,
+               round(avg(ln(c12::double / c1)), 6) AS avg_logp
+        FROM big JOIN pc USING (w1, w2)
+        GROUP BY big.doc_id
+    """,
+    category="text",
+)
+def bigram_lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model fluency score per document —
+    avg ln P(w2|w1) with MLE probabilities from the corpus itself. The
+    perplexity-style quality signal of an LLM data pipeline, minus the
+    external model: low scores flag repetitive or out-of-distribution docs.
+
+    Two aggregations over one token scan (per-doc bigrams; corpus bigram
+    counts), conditional counts via a window over the bigram table (vocab²
+    rows, not corpus rows), then one shuffle join on (w1, w2) to score.
+    Rounded AFTER the aggregate so cross-engine libm noise stays sub-cutoff.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    big = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("w1"),
+                        F.element_at("toks", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    pc = bc.withColumn(
+        "c1", F.sum("c12").over(Window.partitionBy("w1"))
+    )
+    return (
+        big.join(pc, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("c12").cast("double") / F.col("c1"))), 6
+            ).alias("avg_logp"),
+        )
+    )

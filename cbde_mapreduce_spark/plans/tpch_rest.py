@@ -1,9 +1,11 @@
-"""Remaining TPC-H-shaped queries (round 2): Q7, Q8, Q12, Q13, Q15, Q17,
-Q21, Q22 — adapted to the fixture schema.
+"""Remaining TPC-H-shaped queries: Q7, Q8, Q12, Q13, Q15, Q17, Q21, Q22
+(round 2) and Q9, Q11, Q20 (round 3) — adapted to the fixture schema.
 
-With these the registry covers every TPC-H plan shape expressible on the
-fixture tables; Q9/Q11/Q20 are the only omissions, because all three hinge
-on the ``partsupp`` table, which the fixtures do not ship.
+With these the registry covers every one of the 22 TPC-H plan shapes. The
+fixtures ship no ``partsupp`` table, so Q9/Q11/Q20 substitute it with
+derivable surrogates that keep the *plan shape* intact: Q9 prices supply
+cost off ``p_retailprice``; Q11/Q20 use the grouped (suppkey, partkey)
+lineitem relation as the holdings table.
 
 Adaptations (the *plan shapes* are the point, per tpch_more.py): fixtures
 lack l_shipmode/l_commitdate/l_receiptdate, c_phone, o_comment — predicates
@@ -130,6 +132,145 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share")
         )
     )
+
+
+@query(
+    "q9_product_type_profit",
+    oracle="""
+        SELECT n.n_name AS nation, year(o.o_orderdate)::int AS o_year,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.8 * p.p_retailprice * l.l_quantity / 100.0), 2)
+                   AS sum_profit
+        FROM lineitem l
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        WHERE contains(p.p_name, 'red')
+        GROUP BY 1, 2
+    """,
+    category="join",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year for parts matching
+    a name token. ``partsupp.ps_supplycost`` is absent — a deterministic
+    surrogate (0.8 · p_retailprice / 100 per unit) keeps the profit
+    expression's join-and-subtract shape. Part filter pushes to the scan;
+    part/supplier/nation broadcast; the fact shuffles once per equi key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.8) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") / F.lit(100.0)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+        WITH holdings AS (
+            SELECT l.l_partkey,
+                   sum(l.l_extendedprice * l.l_quantity) AS value
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_regionkey = 1
+            GROUP BY l.l_partkey)
+        SELECT l_partkey, round(value, 2) AS value
+        FROM holdings
+        WHERE value > (SELECT 1.5 * avg(value) FROM holdings)
+    """,
+    category="aggregation",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part holdings value within one region, kept only
+    where it exceeds a fraction of the global total — group-agg + scalar
+    aggregate subquery over the SAME aggregate (no second scan of the fact:
+    the global sum is a window over the per-part relation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
+    holdings = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("__value"))
+    )
+    total = Window.partitionBy()
+    return (
+        holdings.withColumn("__avg", F.avg("__value").over(total))
+        .filter(F.col("__value") > F.lit(1.5) * F.col("__avg"))
+        .select("l_partkey", F.round("__value", 2).alias("value"))
+    )
+
+
+@query(
+    "q20_excess_stock_suppliers",
+    oracle="""
+        WITH stock AS (
+            SELECT l_suppkey, l_partkey, sum(l_quantity) AS total_qty
+            FROM lineitem GROUP BY 1, 2),
+        year_ship AS (
+            SELECT l_suppkey, l_partkey, sum(l_quantity) AS yr_qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY 1, 2)
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        WHERE s.s_suppkey IN (
+            SELECT st.l_suppkey
+            FROM stock st
+            JOIN year_ship y ON st.l_suppkey = y.l_suppkey
+                            AND st.l_partkey = y.l_partkey
+            WHERE st.l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 15)
+              AND st.total_qty > 4 * y.yr_qty)
+    """,
+    category="join",
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding excess stock of qualifying parts —
+    nested IN-subqueries collapsing to semi joins, with the availability
+    comparison (``ps_availqty > 0.5 · yearly shipped``) re-expressed over the
+    grouped (suppkey, partkey) lineitem surrogate for the absent partsupp.
+    Both aggs share one shuffle key; part and the qualifying-supplier set
+    broadcast into the semi joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    stock = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("total_qty")
+    )
+    year_ship = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("yr_qty"))
+    )
+    qualifying = (
+        stock.join(year_ship, ["l_suppkey", "l_partkey"])
+        .join(F.broadcast(p), stock.l_partkey == p.p_partkey, "left_semi")
+        .filter(F.col("total_qty") > 4 * F.col("yr_qty"))
+        .select("l_suppkey")
+    )
+    return s.join(
+        F.broadcast(qualifying), s.s_suppkey == qualifying.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
 
 
 @query(

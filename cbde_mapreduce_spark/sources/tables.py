@@ -1,15 +1,16 @@
 """Fixture-table loaders (SURVEY.md §1.2, FIXTURES.md).
 
 Ten parquet tables per scale-factor directory. The one non-trivial read is
-``events``: its ``ts`` column is parquet TIMESTAMP(NANOS), which Spark's
-vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]); we read it as epoch-nanos
-long (``spark.sql.legacy.parquet.nanosAsLong``) and expose BOTH:
+``events``: the fixture generations have stored ``ts`` as either parquet
+TIMESTAMP(NANOS) (round 1-2 — Spark's vectorized reader rejects it, so it is
+read as epoch-nanos long via ``spark.sql.legacy.parquet.nanosAsLong``) or
+TIMESTAMP(MICROS) (round 3+ — reads natively as timestamp_ntz). The loader
+detects which generation it got and exposes BOTH canonical columns either way:
 
-- ``ts``     timestamp_ntz, truncated to microseconds — matches what DuckDB
-             yields when casting its TIMESTAMP_NS read to TIMESTAMP, so
-             oracle value-hashes line up;
-- ``ts_ns``  the raw epoch-nanos bigint — exact integer event-time arithmetic
-             with no timezone dependence (sessionization, gap detection).
+- ``ts``     timestamp_ntz at microsecond precision — matches DuckDB's read
+             of the same file, so oracle value-hashes line up;
+- ``ts_ns``  epoch-nanos bigint — exact integer event-time arithmetic with no
+             timezone dependence (sessionization, gap detection).
 
 At 100 TB these are plain parquet scans: filters/projections push down, and a
 directory of many files parallelizes across executors for free.
@@ -58,7 +59,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        df = (
+        df = _canonical_events(df)
+    memo[key] = df
+    return df
+
+
+def _canonical_events(df: DataFrame) -> DataFrame:
+    """Normalize either events generation to (ts timestamp_ntz, ts_ns bigint).
+
+    Session timezone is pinned to UTC (session.REQUIRED_CONF), so the
+    ntz->timestamp cast under ``unix_micros`` is epoch-exact.
+    """
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) file read via nanosAsLong
+        return (
             df.withColumnRenamed("ts", "ts_ns")
             .withColumn(
                 "ts",
@@ -66,8 +80,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
             .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
         )
-    memo[key] = df
-    return df
+    return (  # TIMESTAMP(MICROS) file: native timestamp_ntz read
+        df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        .withColumn("ts_ns", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
+        .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

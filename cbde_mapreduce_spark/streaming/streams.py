@@ -25,32 +25,24 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 from cbde_mapreduce_spark.session import apply_runtime_conf
+from cbde_mapreduce_spark.sources.tables import _canonical_events as _project_events
 
-#: Raw parquet schema of events (ts is epoch-nanos long, see sources/tables.py).
+#: Raw parquet schema of events (ts is TIMESTAMP(MICROS) — the round-3+
+#: fixture generation; see sources/tables.py for the dual-generation story).
 _RAW_EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
         StructField("props", StringType()),
     ]
 )
-
-
-def _project_events(raw: DataFrame) -> DataFrame:
-    """Canonical events column set from the raw (epoch-nanos ts) layout."""
-    return (
-        raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn(
-            "ts", F.timestamp_micros(F.expr("ts_ns div 1000")).cast("timestamp_ntz")
-        )
-        .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
-    )
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,6 +172,44 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .outputMode("complete")
         .trigger(availableNow=True)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_dedup_"))
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink)
+
+
+def run_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) as a real streaming query.
+
+    ``session_window`` state is per (user, open-session) and windows merge
+    as late events bridge gaps; with a watermark the closed sessions are
+    finalized and evicted (demonstrated in tests/test_streaming.py), so
+    state is bounded by the number of concurrently-open sessions, not by
+    stream length. Complete mode + AvailableNow for the bounded-fixture
+    parity check against the batch twin's lag/cumsum oracle.
+    """
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("win_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = f"session_{uuid.uuid4().hex[:12]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_session_"))
         .start()
     )
     query.awaitTermination()
