@@ -207,3 +207,34 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_totalprice", "o_orderdate")
     )
+
+
+@query(
+    "listagg_priority_profile",
+    oracle="""
+        WITH pc AS (SELECT o_orderstatus, o_orderpriority AS p, count(*) AS c
+                    FROM orders GROUP BY 1, 2)
+        SELECT o_orderstatus,
+               string_agg(p || ':' || c, ',' ORDER BY p) AS priorities
+        FROM pc GROUP BY o_orderstatus
+    """,
+    category="aggregation",
+)
+def listagg_priority_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL:2023 LISTAGG ... WITHIN GROUP):
+    per-status 'priority:count' profile as one deterministic string.
+
+    The two-level shape keeps the aggregated strings bounded: counts
+    collapse first (map-side combinable), LISTAGG runs over the tiny
+    (status × priority) relation — never concatenate the fact table.
+    DuckDB's ordered string_agg is the oracle twin.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    pc = o.groupBy("o_orderstatus", F.col("o_orderpriority").alias("p")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return pc.groupBy("o_orderstatus").agg(
+        F.expr(
+            "listagg(p || ':' || c, ',') WITHIN GROUP (ORDER BY p)"
+        ).alias("priorities")
+    )

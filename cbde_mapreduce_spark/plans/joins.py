@@ -311,3 +311,40 @@ def binned_range_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.col("b_jd") - F.col("a_jd")), 6).alias("avg_gap_days"),
         )
     )
+
+
+@query(
+    "lateral_top_customers_per_nation",
+    oracle="""
+        SELECT n.n_name, x.c_name, x.c_acctbal
+        FROM nation n, LATERAL (
+            SELECT c_name, c_acctbal FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name LIMIT 2) x
+    """,
+    category="join",
+)
+def lateral_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join: each nation's top-2 customers by balance —
+    the per-row-subquery shape (SQL-standard LATERAL / CROSS APPLY).
+
+    Catalyst decorrelates the correlated ORDER BY + LIMIT subquery into a
+    rank-over-partition + filter (no per-nation re-scan of customer, one
+    window shuffle on the correlation key) — the plan a hand-written
+    topk_window_per_user produces, reached from declarative SQL. DuckDB
+    runs the identical LATERAL syntax as the oracle.
+    """
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(f"n_{tag}")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(f"c_{tag}")
+    return spark.sql(
+        f"""
+        SELECT n.n_name, x.c_name, x.c_acctbal
+        FROM n_{tag} n JOIN LATERAL (
+            SELECT c_name, c_acctbal FROM c_{tag} c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name LIMIT 2) x
+        """
+    )

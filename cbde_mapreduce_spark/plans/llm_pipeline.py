@@ -394,3 +394,119 @@ def seq_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("total_tok"),
         )
     )
+
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_round_cte(i: int) -> str:
+    """One unrolled BPE round for the DuckDB twin: count pairs, pick the
+    (count desc, pair asc) argmax, merge it in every sequence."""
+    prev, cur = f"w{i - 1}", f"w{i}"
+    return f"""
+        p{i} AS (SELECT z[1] || ' ' || z[2] AS pair, sum(n)::bigint AS c
+                 FROM (SELECT unnest(list_zip(toks, toks[2:])) AS z, n
+                       FROM (SELECT string_split(seq, ' ') AS toks, n FROM {prev}))
+                 WHERE z[2] IS NOT NULL GROUP BY 1),
+        b{i} AS (SELECT pair, c FROM p{i} ORDER BY c DESC, pair LIMIT 1),
+        {cur} AS (SELECT trim(replace(' ' || seq || ' ',
+                                      ' ' || (SELECT pair FROM b{i}) || ' ',
+                                      ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' '))
+                      AS seq, n
+                  FROM {prev})"""
+
+
+_BPE_ORACLE = (
+    """
+    WITH wc AS (SELECT word, count(*)::bigint AS n
+                FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+                WHERE word <> '' GROUP BY word),
+    w0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq, n FROM wc),"""
+    + ",".join(_bpe_round_cte(i) for i in range(1, _BPE_ROUNDS + 1))
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT {i}::int AS round, pair, c AS pair_count FROM b{i}"
+        for i in range(1, _BPE_ROUNDS + 1)
+    )
+)
+
+
+@query("bpe_merges_vocab", oracle=_BPE_ORACLE, category="llm_pipeline")
+def bpe_merges_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training on the corpus: 3 merge rounds, emitting the
+    merge table (round, merged pair, weighted pair count) — the artifact a
+    tokenizer ships.
+
+    The MapReduce chain per round: pair-count aggregation over the
+    (distinct-word, frequency) table, a deterministic argmax
+    (count desc, pair asc — TakeOrdered, never a full sort), and a
+    broadcast-join rewrite applying the merge to every sequence. Iteration
+    state is the vocabulary-sized word table, NOT the corpus: the corpus is
+    scanned once for word counts and never again — this is why BPE training
+    scales to 100 TB (the loop runs over ~10⁵ distinct words however big
+    the input).
+
+    Merge semantics are greedy non-overlapping left-to-right within a
+    round (both engines' ``replace``), which diverges from per-occurrence
+    BPE only on immediately-adjacent repeats of the same pair — absent
+    from this corpus and rare in natural text.
+
+    The DuckDB twin unrolls the same rounds as chained CTEs, so the whole
+    iterative computation is value-hash checked.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    words = wc.select(
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"), "n"
+    )
+    merges = None
+    for r in range(1, _BPE_ROUNDS + 1):
+        toks = F.split("seq", " ")
+        pairs = (
+            # single-symbol sequences yield no pairs; filtering them also
+            # guards Spark's sequence(1, 0), which counts DOWN when start>stop
+            words.filter(F.size(toks) > 1)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - 1),
+                        lambda i: F.concat_ws(
+                            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                        ),
+                    )
+                ).alias("pair"),
+                "n",
+            )
+            .groupBy("pair")
+            .agg(F.sum("n").alias("c"))
+        )
+        best = (
+            pairs.orderBy(F.desc("c"), F.asc("pair"))
+            .limit(1)
+            .select(
+                F.lit(r).cast("int").alias("round"),
+                "pair",
+                F.col("c").alias("pair_count"),
+            )
+        )
+        merges = best if merges is None else merges.unionByName(best)
+        words = (
+            words.crossJoin(F.broadcast(best.select("pair")))
+            .withColumn(
+                "seq",
+                F.trim(
+                    F.expr(
+                        "replace(' ' || seq || ' ', ' ' || pair || ' ', "
+                        "' ' || replace(pair, ' ', '') || ' ')"
+                    )
+                ),
+            )
+            .select("seq", "n")
+            .localCheckpoint()  # truncate per-round lineage, same as CC/BFS
+        )
+    return merges

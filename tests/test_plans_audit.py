@@ -260,3 +260,44 @@ def test_global_rank_no_single_partition(spark, sf_oracle):
     df = REGISTRY["global_rank_prefix_orders"].fn(spark, sf_oracle)
     plan = _executed_plan(df)
     assert "SinglePartition" not in plan, plan
+
+
+def test_runtime_bloom_filter_injection(spark, sf_oracle):
+    """At cluster scale Spark injects a runtime bloom filter from the
+    selective side of a shuffle join into the probe side's scan (config
+    spark.sql.optimizer.runtime.bloomFilter.*). The size thresholds that
+    gate it are tuned for real clusters, so this audit lowers them to
+    prove the rewrite fires on the same plans we ship — the mechanism the
+    engine relies on instead of a hand-built bloom-semi-join operator."""
+    from pyspark.sql import functions as F
+
+    from cbde_mapreduce_spark.sources import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_oracle, "lineitem")
+        o = load_table(spark, sf_oracle, "orders").filter(
+            F.col("o_totalprice") > 400000  # selective creation side
+        )
+        df = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:2000]
+        df.collect()  # and the plan still executes correctly with the filter
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
