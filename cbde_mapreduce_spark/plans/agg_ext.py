@@ -238,3 +238,40 @@ def listagg_priority_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "listagg(p || ':' || c, ',') WITHIN GROUP (ORDER BY p)"
         ).alias("priorities")
     )
+
+
+@query(
+    "incremental_agg_merge",
+    oracle="""
+        SELECT o_orderstatus, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY o_orderstatus
+    """,
+    category="aggregation",
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup maintenance: the base partition's aggregate and
+    the delta partition's aggregate are MERGED (re-aggregated), never
+    recomputed from raw — and the merge must equal the from-scratch
+    aggregate, which is exactly what the oracle checks.
+
+    This is the incremental pattern behind every continuously-maintained
+    100 TB rollup: sums/counts are associative, so yesterday's aggregate +
+    today's delta aggregate costs O(|delta| + |groups|), not O(|base|).
+    The date split simulates the base/delta landing boundary.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1999-01-01 00:00:00").cast("timestamp_ntz")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total")
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < cut))
+    delta = partial(o.filter(F.col("o_orderdate") >= cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("n").alias("n"), F.round(F.sum("total"), 2).alias("total"))
+    )

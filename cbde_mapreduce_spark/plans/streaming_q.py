@@ -99,3 +99,24 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cbde_mapreduce_spark.streaming import run_streaming_session
 
     return run_streaming_session(spark, sf_dir)
+
+
+@query(
+    "streaming_interval_join",
+    oracle="""
+        SELECT p.event_id AS p_id, c.event_id AS c_id
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    category="streaming",
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join executed as a real append-mode streaming
+    query (streaming/streams.py::run_streaming_interval_join) — watermarked
+    two-sided join state, checked pair-for-pair against the batch interval
+    join in DuckDB."""
+    from cbde_mapreduce_spark.streaming.streams import run_streaming_interval_join
+
+    return run_streaming_interval_join(spark, sf_dir)

@@ -249,3 +249,51 @@ def run_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(sink)
+
+
+def run_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream equi+interval join (purchase ⋈ preceding-30-min clicks)
+    as a real append-mode streaming query.
+
+    Both sides carry watermarks, so join state is evicted once the event
+    time horizon passes — the condition's interval bounds tell the engine
+    exactly how long a row can still match. On the bounded fixture
+    (one file → one micro-batch) the emitted pairs equal the batch join,
+    which is what the oracle checks.
+    """
+    base = events_stream(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("p_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("c_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr("p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"),
+    ).select("p_id", "c_id")
+    sink = f"ssjoin_{uuid.uuid4().hex[:12]}"
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ssjoin_"))
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink)
