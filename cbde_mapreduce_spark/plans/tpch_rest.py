@@ -139,8 +139,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT n.n_name AS nation, year(o.o_orderdate)::int AS o_year,
                round(sum(l.l_extendedprice * (1 - l.l_discount)
-                         - 0.8 * p.p_retailprice * l.l_quantity / 100.0), 2)
-                   AS sum_profit
+                         - 0.8 * p.p_retailprice * l.l_quantity / 100.0)
+                     / 1000000.0, 6) AS profit_m
         FROM lineitem l
         JOIN part p     ON l.l_partkey = p.p_partkey
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -156,7 +156,13 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a name token. ``partsupp.ps_supplycost`` is absent — a deterministic
     surrogate (0.8 · p_retailprice / 100 per unit) keeps the profit
     expression's join-and-subtract shape. Part filter pushes to the scan;
-    part/supplier/nation broadcast; the fact shuffles once per equi key."""
+    part/supplier/nation broadcast; the fact shuffles once per equi key.
+
+    Profit is reported in millions rounded at 6dp: the subtraction makes
+    the raw sum cancellation-prone, and at sf0.1 a 2dp rounding of the
+    ~1e7-magnitude sum landed exactly on a .005 boundary across engines;
+    scaling first restores a ~10^5 safety margin between float noise and
+    the rounding granularity."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
     s = load_table(spark, sf_dir, "supplier")
@@ -174,7 +180,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(F.round(F.sum(profit) / F.lit(1000000.0), 6).alias("profit_m"))
     )
 
 

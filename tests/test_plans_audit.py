@@ -262,42 +262,21 @@ def test_global_rank_no_single_partition(spark, sf_oracle):
     assert "SinglePartition" not in plan, plan
 
 
-def test_runtime_bloom_filter_injection(spark, sf_oracle):
-    """At cluster scale Spark injects a runtime bloom filter from the
-    selective side of a shuffle join into the probe side's scan (config
-    spark.sql.optimizer.runtime.bloomFilter.*). The size thresholds that
-    gate it are tuned for real clusters, so this audit lowers them to
-    prove the rewrite fires on the same plans we ship — the mechanism the
-    engine relies on instead of a hand-built bloom-semi-join operator."""
-    from pyspark.sql import functions as F
+def test_lateral_decorrelates_to_window_group_limit(spark, sf_oracle):
+    """The correlated LATERAL (ORDER BY + LIMIT) subquery must decorrelate
+    to a rank-over-partition with partial WindowGroupLimit pushdown — never
+    a per-outer-row rescan (BroadcastNestedLoopJoin/CartesianProduct)."""
+    df = REGISTRY["lateral_top_customers_per_nation"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan  # rank-limit pushed below the shuffle
+    assert "row_number()" in plan
 
-    from cbde_mapreduce_spark.sources import load_table
 
-    confs = {
-        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
-        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
-    }
-    saved = {k: spark.conf.get(k, None) for k in confs}
-    try:
-        for k, v in confs.items():
-            spark.conf.set(k, v)
-        li = load_table(spark, sf_oracle, "lineitem")
-        o = load_table(spark, sf_oracle, "orders").filter(
-            F.col("o_totalprice") > 400000  # selective creation side
-        )
-        df = (
-            li.join(o, li.l_orderkey == o.o_orderkey)
-            .groupBy("o_orderstatus")
-            .agg(F.sum("l_quantity").alias("q"))
-        )
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
-        assert "bloom" in plan.lower(), plan[:2000]
-        df.collect()  # and the plan still executes correctly with the filter
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+def test_window_dedup_rank_limit_pushdown(spark, sf_oracle):
+    """Keep-first-per-bucket dedup compiles to WindowGroupLimit with a
+    PARTIAL phase before the shuffle — per-partition top-1 pre-pruning, so
+    the exchange moves at most one row per (key, bucket) per partition."""
+    df = REGISTRY["window_dedup_events"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    assert "WindowGroupLimit" in plan and "Partial" in plan
