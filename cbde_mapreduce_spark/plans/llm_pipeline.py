@@ -510,3 +510,69 @@ def bpe_merges_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()  # truncate per-round lineage, same as CC/BFS
         )
     return merges
+
+
+@query(
+    "corpus_prep_pipeline",
+    oracle="""
+        WITH kept AS (
+            SELECT doc_id, text, lang, md5(text) AS h
+            FROM documents
+            WHERE n_chars >= 100
+              AND len(string_split(text, ' ')) >= 20),
+        dedup AS (
+            SELECT doc_id, text, lang FROM (
+                SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+                FROM kept)
+            WHERE rn = 1),
+        assigned AS (
+            SELECT lang,
+                   CASE WHEN (ascii(substr(md5(text), 1, 1)) * 256
+                              + ascii(substr(md5(text), 2, 1))) % 100 < 80 THEN 'train'
+                        WHEN (ascii(substr(md5(text), 1, 1)) * 256
+                              + ascii(substr(md5(text), 2, 1))) % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   length(text) AS n_chars
+            FROM dedup)
+        SELECT split, lang, count(*) AS n_docs,
+               sum(n_chars)::bigint AS total_chars
+        FROM assigned GROUP BY 1, 2
+    """,
+    category="llm_pipeline",
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preparation, composed from the pipeline's own
+    stages in ONE lazy plan: quality gate (length + token floor) → exact
+    content dedup (keep min doc_id per md5) → leakage-safe hash split →
+    per-(split, lang) accounting.
+
+    The composition is the point: every stage is the same operator the
+    registry checks in isolation (quality_score_docs, dedup_exact_keep_first,
+    dataset_split_assignment), and chaining them stays one Catalyst plan —
+    the filter pushes to the scan, the dedup window and the final
+    aggregation are the only shuffles, and nothing materializes in between.
+    That is the 100 TB shape of a corpus-prep job: stage boundaries are
+    logical, not physical.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("n_chars") >= 100) & (F.size(F.split("text", " ")) >= 20)
+    )
+    h = F.md5(F.encode("text", "UTF-8"))
+    w = Window.partitionBy(h).orderBy("doc_id")
+    dedup = (
+        docs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % 100
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    return (
+        dedup.select(split.alias("split"), "lang", F.length("text").alias("nc"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nc").alias("total_chars"),
+        )
+    )

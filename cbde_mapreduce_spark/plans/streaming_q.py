@@ -120,3 +120,25 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cbde_mapreduce_spark.streaming.streams import run_streaming_interval_join
 
     return run_streaming_interval_join(spark, sf_dir)
+
+
+@query(
+    "streaming_stateful_profiles",
+    oracle="""
+        SELECT user_id, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY user_id
+    """,
+    category="streaming",
+)
+def streaming_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary keyed state via applyInPandasWithState: per-user running
+    profiles maintained in the state store across micro-batches
+    (streaming/stateful.py::run_stateful_user_profiles). On the bounded
+    single-batch backfill each user's final update equals the batch
+    aggregate — the DuckDB oracle. This is the working custom-stateful
+    path in this container (transformWithState needs protobuf; see the
+    module docstring for the pinned repro)."""
+    from cbde_mapreduce_spark.streaming.stateful import run_stateful_user_profiles
+
+    return run_stateful_user_profiles(spark, sf_dir)

@@ -61,3 +61,23 @@ def test_dedup_idempotent(spark, a):
     d1 = da.distinct()
     assert d1.count() == d1.distinct().count()
     assert d1.exceptAll(da.distinct()).count() == 0
+
+
+@given(
+    s=st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200
+    )
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_clean_text_idempotent(spark, s):
+    """clean_text is a projection: applying it twice equals once, for ANY
+    input — the invariant that makes re-running a cleaning pass safe."""
+    from cbde_mapreduce_spark.functions.cleaning import clean_text
+
+    df = spark.createDataFrame([(s,)], "t string")
+    row = df.select(
+        clean_text("t").alias("once"),
+    ).select(
+        "once", clean_text(F.col("once")).alias("twice")
+    ).first()
+    assert row["twice"] == row["once"]
