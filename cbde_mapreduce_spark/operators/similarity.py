@@ -323,3 +323,81 @@ def embedding_neardup_lsh(
     return _lsh_pair_scores(emb, n_tables, n_bits, seed, digits).filter(
         F.col("sim") >= threshold
     )
+
+
+MAXSIM_PARTIAL_SCHEMA = "qid bigint, ql int, dl int, m double"
+
+
+def maxsim_label_scores_sharded(
+    emb: DataFrame, digits: int = 6, n_shards: int = 4
+) -> DataFrame:
+    """Multi-vector MaxSim between label groups — the block-matmul scale
+    path: avg over query vectors of (max over doc vectors of cosine),
+    with NO broadcast of either vector set and NO driver collect.
+
+    Unlike top-k pairs, MaxSim's reduction is fully combinable: max (per
+    (query vector, doc label)) and avg (per label pair) are associative, so
+    hash-shard both sides, run the S² cross blocks independently (each a
+    (|q-shard| × |d-shard|) matmul emitting PARTIAL per-(qid, dlabel)
+    maxima), and let two ordinary groupBy stages finish the job. No
+    candidate loss is possible — every (q vector, d vector) product is
+    computed in exactly one block and max/avg see all of them.
+
+    Scale: each vector is shipped to 2S blocks (S as query, S as doc) —
+    the standard exact all-pairs communication trade; pick S so two shards
+    fit one executor. The declarative twin (plans/similarity_q.py::
+    maxsim_label_topk) is the value oracle.
+    """
+    spark = emb.sparkSession
+    src = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_shards)).cast("int").alias("__shard"),
+    )
+    roles = []
+    for bi in range(n_shards):
+        for bj in range(n_shards):
+            block = bi * n_shards + bj
+            roles.append((block, bi, 0))
+            if bi != bj:
+                roles.append((block, bj, 1))
+    role_df = spark.createDataFrame(roles, "block_id int, __shard int, role int")
+    tagged = src.join(F.broadcast(role_df), "__shard")
+
+    def block_max(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"qid": [], "ql": [], "dl": [], "m": []})
+        q = pdf[pdf["role"] == 0]
+        d = pdf if (pdf["role"] == 1).sum() == 0 else pdf[pdf["role"] == 1]
+        if q.empty or d.empty:
+            return empty
+        q_ids, qm = _norm_rows(q)
+        q_lab = q["label"].to_numpy(dtype=np.int32)
+        d_ids, dm = (q_ids, qm) if d is pdf else _norm_rows(d)
+        d_lab = q_lab if d is pdf else d["label"].to_numpy(dtype=np.int32)
+        sims = qm @ dm.T  # (nq, nd)
+        out_q, out_ql, out_dl, out_m = [], [], [], []
+        for dl in np.unique(d_lab):
+            cols = d_lab == dl
+            col_max = sims[:, cols].max(axis=1)
+            keep = q_lab != dl  # same-label pairs are excluded from MaxSim
+            out_q.append(q_ids[keep])
+            out_ql.append(q_lab[keep])
+            out_dl.append(np.full(int(keep.sum()), dl, dtype=np.int32))
+            out_m.append(col_max[keep])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "qid": np.concatenate(out_q),
+                "ql": np.concatenate(out_ql),
+                "dl": np.concatenate(out_dl),
+                "m": np.concatenate(out_m),
+            }
+        )
+
+    partial = tagged.groupBy("block_id").applyInPandas(block_max, MAXSIM_PARTIAL_SCHEMA)
+    mx = partial.groupBy("qid", "ql", "dl").agg(F.max("m").alias("m"))
+    return mx.groupBy(
+        F.col("ql").alias("qlabel"), F.col("dl").alias("dlabel")
+    ).agg(F.round(F.avg("m"), digits).alias("maxsim"))

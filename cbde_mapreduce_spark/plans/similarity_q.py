@@ -210,26 +210,25 @@ def ivf_rpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_rpq_topk(emb, k=10)
 
 
-@query(
-    "maxsim_label_topk",
-    oracle="""
-        WITH n AS (
-            SELECT vec_id, label, embedding,
-                   sqrt(list_sum(list_transform(embedding,
-                        x -> x::double * x::double))) AS nrm
-            FROM embeddings),
-        sim AS (
-            SELECT a.vec_id AS qid, a.label AS ql, b.label AS dl,
-                   list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                            z -> z[1]::double * z[2]::double))
-                       / (a.nrm * b.nrm) AS s
-            FROM n a JOIN n b ON a.label <> b.label),
-        mx AS (SELECT qid, ql, dl, max(s) AS m FROM sim GROUP BY 1, 2, 3)
-        SELECT ql AS qlabel, dl AS dlabel, round(avg(m), 6) AS maxsim
-        FROM mx GROUP BY 1, 2
-    """,
-    category="similarity",
-)
+_MAXSIM_ORACLE = """
+    WITH n AS (
+        SELECT vec_id, label, embedding,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> x::double * x::double))) AS nrm
+        FROM embeddings),
+    sim AS (
+        SELECT a.vec_id AS qid, a.label AS ql, b.label AS dl,
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        z -> z[1]::double * z[2]::double))
+                   / (a.nrm * b.nrm) AS s
+        FROM n a JOIN n b ON a.label <> b.label),
+    mx AS (SELECT qid, ql, dl, max(s) AS m FROM sim GROUP BY 1, 2, 3)
+    SELECT ql AS qlabel, dl AS dlabel, round(avg(m), 6) AS maxsim
+    FROM mx GROUP BY 1, 2
+"""
+
+
+@query("maxsim_label_topk", oracle=_MAXSIM_ORACLE, category="similarity")
 def maxsim_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-vector (ColBERT-style) MaxSim scoring between label groups:
     score(Q, D) = avg over query vectors of (max over doc vectors of cosine).
@@ -271,3 +270,17 @@ def maxsim_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mx.groupBy(
         F.col("ql").alias("qlabel"), F.col("dl").alias("dlabel")
     ).agg(F.round(F.avg("m"), 6).alias("maxsim"))
+
+
+@query("maxsim_label_sharded", oracle=_MAXSIM_ORACLE, category="similarity")
+def maxsim_label_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same label-pair MaxSim, forced through the block-matmul scale path
+    (operators/similarity.py::maxsim_label_scores_sharded): hash-sharded
+    S² cross blocks, per-block partial maxima, two combinable groupBy
+    stages — no broadcast of either vector set, no driver collect.
+    Value-checked against the same O(n²) SQL oracle as the declarative
+    twin, so both paths are proven cell-identical."""
+    from cbde_mapreduce_spark.operators.similarity import maxsim_label_scores_sharded
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return maxsim_label_scores_sharded(emb, digits=6, n_shards=4)
