@@ -280,3 +280,15 @@ def test_window_dedup_rank_limit_pushdown(spark, sf_oracle):
     df = REGISTRY["window_dedup_events"].fn(spark, sf_oracle)
     plan = _executed_plan(df)
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_corpus_prep_pipeline_fused(spark, sf_oracle):
+    """The composed corpus-prep pipeline (quality gate -> dedup -> split ->
+    accounting) must stay ONE plan: the quality filter reaches the parquet
+    scan, the dedup's keep-first compiles to WindowGroupLimit, and no join
+    or per-stage materialization appears anywhere."""
+    df = REGISTRY["corpus_prep_pipeline"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    assert "n_chars" in plan.split("DataFilters: [")[1][:120]  # gate at the scan
+    assert "WindowGroupLimit" in plan  # dedup keep-first pre-pruned
+    assert "Join" not in plan and "CartesianProduct" not in plan
