@@ -476,3 +476,36 @@ def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(h).cast("bigint").alias("fingerprint"),
     )
+
+
+@query("hll_intersect_estimate", oracle=None, category="aggregation")
+def hll_intersect_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra: estimate |clickers ∩ purchasers| by
+    inclusion-exclusion over three HLL cardinalities (|A| + |B| − |A∪B|)
+    — the distinct-overlap question answered WITHOUT ever shuffling user
+    sets, the way audience-overlap runs at 100 TB (three mergeable
+    sketches over one scan; the union sketch is the merge of the others
+    in a sketch store, re-aggregated here).
+
+    No oracle: HLL estimates are engine-specific. Accuracy vs the exact
+    intersection is asserted in tests/test_aggregates.py.
+    """
+    events = load_table(spark, sf_dir, "events")
+    both = events.filter(F.col("event_type").isin("click", "purchase"))
+    est = both.agg(
+        F.approx_count_distinct(
+            F.when(F.col("event_type") == "click", F.col("user_id")), 0.02
+        ).alias("est_click"),
+        F.approx_count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id")), 0.02
+        ).alias("est_purchase"),
+        F.approx_count_distinct("user_id", 0.02).alias("est_union"),
+    )
+    return est.select(
+        "est_click",
+        "est_purchase",
+        "est_union",
+        (F.col("est_click") + F.col("est_purchase") - F.col("est_union")).alias(
+            "est_intersect"
+        ),
+    )

@@ -208,3 +208,71 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
     )
+
+
+@query(
+    "assoc_rules_event_pairs",
+    oracle="""
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+        item AS (SELECT event_type, count(*) AS c FROM ut GROUP BY 1),
+        pair AS (SELECT a.event_type AS ante, b.event_type AS cons,
+                        count(*) AS cp
+                 FROM ut a JOIN ut b ON a.user_id = b.user_id
+                                    AND a.event_type <> b.event_type
+                 GROUP BY 1, 2)
+        SELECT ante, cons,
+               round(cp::double / (SELECT n_users FROM n), 6) AS support,
+               round(cp::double / ia.c, 6) AS confidence,
+               round(cp::double * (SELECT n_users FROM n)
+                     / (ia.c::double * ic.c), 6) AS lift
+        FROM pair
+        JOIN item ia ON pair.ante = ia.event_type
+        JOIN item ic ON pair.cons = ic.event_type
+    """,
+    category="event-analytics",
+)
+def assoc_rules_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over per-user event baskets: support, confidence,
+    and lift for every ordered (antecedent → consequent) event-type pair —
+    the frequent-itemset/market-basket core, the original chained-MapReduce
+    workload.
+
+    Scale shape: the basket relation collapses to DISTINCT (user, item)
+    FIRST (combinable, one shuffle), so the pair self-join fans out per
+    user by basket size — bounded by the item vocabulary, never by event
+    volume. Item counts and the user total are dimension-sized broadcasts
+    into the final enrichment. Ratios are rounded AFTER all arithmetic.
+    """
+    events = load_table(spark, sf_dir, "events")
+    ut = events.select("user_id", "event_type").distinct()
+    n_users = events.select(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    item = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = ut.select("user_id", F.col("event_type").alias("ante"))
+    b = ut.select("user_id", F.col("event_type").alias("cons"))
+    pair = (
+        a.join(b, "user_id")
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("cp"))
+    )
+    ia = item.select(F.col("event_type").alias("ante"), F.col("c").alias("ca"))
+    ic = item.select(F.col("event_type").alias("cons"), F.col("c").alias("cc"))
+    return (
+        pair.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "ante",
+            "cons",
+            F.round(F.col("cp") / F.col("n_users"), 6).alias("support"),
+            F.round(F.col("cp") / F.col("ca"), 6).alias("confidence"),
+            F.round(
+                F.col("cp") * F.col("n_users")
+                / (F.col("ca").cast("double") * F.col("cc")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -348,3 +348,63 @@ def lateral_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFr
             ORDER BY c_acctbal DESC, c_name LIMIT 2) x
         """
     )
+
+
+@query(
+    "point_in_time_status_join",
+    oracle="""
+        WITH s AS (
+            SELECT o_custkey, o_orderstatus AS status, o_orderdate AS d,
+                   o_orderkey,
+                   lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey)
+                       AS prev
+            FROM orders),
+        c AS (SELECT o_custkey, status, d, o_orderkey
+              FROM s WHERE prev IS NULL OR status <> prev),
+        h AS (SELECT o_custkey, status,
+                     d AS valid_from,
+                     lead(d) OVER (PARTITION BY o_custkey
+                                   ORDER BY d, o_orderkey) AS valid_to
+              FROM c),
+        li AS (SELECT l.l_quantity, l.l_shipdate, o.o_custkey
+               FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        SELECT h.status AS status_at_ship, count(*) AS n_lines,
+               round(sum(li.l_quantity), 2) AS total_qty
+        FROM li JOIN h
+          ON li.o_custkey = h.o_custkey
+         AND li.l_shipdate >= h.valid_from
+         AND (h.valid_to IS NULL OR li.l_shipdate < h.valid_to)
+        GROUP BY 1
+    """,
+    category="join",
+)
+def point_in_time_status_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time correct enrichment (the feature-store lookup): each
+    lineitem joined to the customer-status SCD2 interval that was valid AT
+    ITS SHIP DATE — ship happens after order, so this is a genuine temporal
+    lookup, not an identity.
+
+    Composes the registry's own scd2_customer_status build, then an
+    equi+interval join: the equi key (custkey) carries the shuffle, the
+    interval predicate is a post-join residual, and [from, to) chaining
+    guarantees exactly one match per fact row. At 100 TB this is one
+    fact-sized shuffle on the equi key; the history side is change-points
+    only (vastly smaller than the fact), so AQE typically broadcasts it.
+    """
+    from cbde_mapreduce_spark.plans.windows import scd2_customer_status
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    hist = scd2_customer_status(spark, sf_dir).withColumnRenamed("o_custkey", "h_custkey")
+    facts = li.join(o, li.l_orderkey == o.o_orderkey)
+    joined = facts.join(
+        hist,
+        (F.col("o_custkey") == F.col("h_custkey"))
+        & (F.col("l_shipdate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("l_shipdate") < F.col("valid_to"))),
+    )
+    return joined.groupBy(F.col("status").alias("status_at_ship")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )

@@ -104,3 +104,22 @@ def test_hll_rollup_lossless_merge_and_accuracy(spark, sf_oracle):
     assert rolled == direct, "daily-sketch rollup diverged from direct sketch"
     for wk, n in exact.items():
         assert abs(rolled[wk] - n) <= max(2, 0.02 * n), (wk, rolled[wk], n)
+
+
+def test_hll_intersect_estimate_accuracy(spark, sf_oracle):
+    """Inclusion-exclusion over HLL sketches must land within the combined
+    sketch error of the exact |clickers ∩ purchasers|: three 2% sketches
+    stack, so assert a conservative 10% relative bound."""
+    from pyspark.sql import functions as F
+
+    from cbde_mapreduce_spark.plans import REGISTRY
+    from cbde_mapreduce_spark.sources import load_table
+
+    est = REGISTRY["hll_intersect_estimate"].fn(spark, sf_oracle).first()
+    ev = load_table(spark, sf_oracle, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = clickers.join(purchasers, "user_id").count()
+    assert exact > 0, "fixture has no overlap — test is vacuous"
+    rel = abs(est["est_intersect"] - exact) / exact
+    assert rel < 0.10, f"est={est['est_intersect']} exact={exact} rel={rel:.3f}"
