@@ -367,3 +367,56 @@ def global_rank_prefix_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         (F.col("rn0") + 1).cast("bigint").alias("rn"),
     )
+
+
+@query(
+    "gapfill_weekly_orders",
+    oracle="""
+        WITH RECURSIVE weeks(ws) AS (
+            SELECT TIMESTAMP '1996-01-01 00:00:00'  -- a Monday: date_trunc('week') alignment
+            UNION ALL
+            SELECT ws + INTERVAL 7 DAY FROM weeks
+            WHERE ws + INTERVAL 7 DAY < TIMESTAMP '1998-01-06 00:00:00'
+        )
+        SELECT w.ws AS week_start, count(o.o_orderkey) AS n_orders
+        FROM weeks w LEFT JOIN orders o
+          ON date_trunc('week', o.o_orderdate) = w.ws
+         AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o.o_orderdate <  TIMESTAMP '1998-01-05 00:00:00'
+        GROUP BY 1
+    """,
+    category="window",
+)
+def gapfill_weekly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled weekly order counts via a RECURSIVE CTE date scaffold
+    (Spark 4 WITH RECURSIVE): generate every week between min and max order
+    date, left-join the facts, so ZERO-activity weeks appear as 0 rows —
+    the time-series gap-filling pattern a plain GROUP BY cannot produce.
+
+    A fixed two-year scaffold (1996-01-01, a Monday, so the anchor equals
+    its own date_trunc('week') and fact weeks align) keeps the recursion depth bounded;
+    Spark's MAX RECURSION LEVEL is raised explicitly, DuckDB runs the same
+    recursion uncapped — a genuine differential of two recursive-CTE
+    engines. The scaffold is tiny (one row per week) and the fact side is
+    joined ONCE after generation, never re-scanned per level.
+    """
+    import uuid
+
+    view = f"orders_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE weeks(ws) MAX RECURSION LEVEL 200 AS (
+            SELECT TIMESTAMP '1996-01-01 00:00:00'
+            UNION ALL
+            SELECT ws + INTERVAL 7 DAY FROM weeks
+            WHERE ws + INTERVAL 7 DAY < TIMESTAMP '1998-01-06 00:00:00'
+        )
+        SELECT w.ws AS week_start, count(o.o_orderkey) AS n_orders
+        FROM weeks w LEFT JOIN {view} o
+          ON date_trunc('week', o.o_orderdate) = w.ws
+         AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o.o_orderdate <  TIMESTAMP '1998-01-05 00:00:00'
+        GROUP BY 1
+        """
+    )
