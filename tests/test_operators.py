@@ -153,3 +153,17 @@ def test_unicode_text_handling(spark):
            FROM t ORDER BY doc_id"""
     ).df()
     assert got.equals(want), f"\n{got}\nvs\n{want}"
+
+
+def test_gapfill_scaffold_nonvacuous(spark, sf_oracle):
+    """The recursive date scaffold must actually align with fact weeks
+    (a misaligned anchor zeroes every week on BOTH engines and the
+    differential passes vacuously — this guards the semantics)."""
+    from cbde_mapreduce_spark.plans import REGISTRY
+
+    rows = REGISTRY["gapfill_weekly_orders"].fn(spark, sf_oracle).collect()
+    total = sum(r["n_orders"] for r in rows)
+    zeros = sum(1 for r in rows if r["n_orders"] == 0)
+    assert len(rows) == 106
+    assert total > 4000, f"scaffold misaligned: only {total} orders matched"
+    assert zeros >= 1, "no empty week survived — left-join semantics unexercised"
