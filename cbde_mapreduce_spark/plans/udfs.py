@@ -167,3 +167,50 @@ def python_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs_{tag} d, LATERAL cbde_tokenize_{tag}(d.text) t
         """
     )
+
+
+@query(
+    "udtf_table_arg_lang_stats",
+    oracle="""
+        SELECT lang, count(*) AS n_docs, sum(n_chars)::bigint AS total_chars
+        FROM documents GROUP BY lang
+    """,
+    category="udf",
+)
+def udtf_table_arg_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic table-argument UDTF (Spark 4): a custom REDUCER invoked
+    from SQL as ``f(TABLE(t) PARTITION BY lang)`` — one UDTF instance per
+    partition group accumulating in ``eval`` and emitting on ``terminate``,
+    the Hive-TRANSFORM / MR-Reducer shape surfaced declaratively.
+
+    Each group's rows stream through the instance (no per-group
+    materialized list), and PARTITION BY carries the one shuffle exactly
+    like a groupBy. The oracle is the plain GROUP BY twin — the escape
+    hatch must agree with the declarative form.
+    """
+    import uuid
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="lang string, n_docs bigint, total_chars bigint")
+    class LangStats:
+        def __init__(self) -> None:
+            self._lang = None
+            self._n = 0
+            self._chars = 0
+
+        def eval(self, row) -> None:
+            self._lang = row["lang"]
+            self._n += 1
+            self._chars += int(row["n_chars"])
+
+        def terminate(self):
+            if self._lang is not None:
+                yield (self._lang, self._n, self._chars)
+
+    tag = uuid.uuid4().hex[:8]
+    spark.udtf.register(f"lang_stats_{tag}", LangStats)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(f"docs_{tag}")
+    return spark.sql(
+        f"SELECT * FROM lang_stats_{tag}(TABLE(docs_{tag}) PARTITION BY lang)"
+    )
