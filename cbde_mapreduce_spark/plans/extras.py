@@ -245,3 +245,67 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.round(F.sum("acctbal"), 2).alias("total_acctbal"),
     )
+
+
+@query(
+    "table_diff_cdc",
+    oracle="""
+        WITH a AS (SELECT o_orderkey AS k, o_orderstatus AS payload
+                   FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                     AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'),
+        b AS (SELECT o_orderkey AS k,
+                     CASE WHEN o_totalprice > 300000 THEN 'P'
+                          ELSE o_orderstatus END AS payload
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate <  TIMESTAMP '2000-01-01 00:00:00')
+        SELECT CASE WHEN a.k IS NULL THEN 'insert'
+                    WHEN b.k IS NULL THEN 'delete'
+                    WHEN a.payload <> b.payload THEN 'update'
+                    ELSE 'unchanged' END AS change_type,
+               count(*) AS n
+        FROM a FULL OUTER JOIN b ON a.k = b.k
+        GROUP BY 1
+    """,
+    category="warehouse",
+)
+def table_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC generation): classify every key across two table
+    states as insert / delete / update / unchanged — the change feed a
+    MERGE consumes, produced by ONE full-outer join on the key comparing
+    payloads. Completes the warehouse CDC triangle with
+    merge_upsert_customers (apply) and scd2_customer_status (history).
+
+    The two states are deterministic date-windowed views of orders with a
+    simulated in-place update rule, chosen so ALL FOUR classes are
+    non-empty at sf0.01 — a wrong join type or comparison visibly shifts
+    the counts. At scale this is one co-partitioned shuffle on the key;
+    with both snapshots bucketed on the key it is exchange-free.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+    ).select(F.col("o_orderkey").alias("ka"), F.col("o_orderstatus").alias("pa"))
+    b = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
+    ).select(
+        F.col("o_orderkey").alias("kb"),
+        F.when(F.col("o_totalprice") > 300000, "P")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("pb"),
+    )
+    change = (
+        F.when(F.col("ka").isNull(), "insert")
+        .when(F.col("kb").isNull(), "delete")
+        .when(F.col("pa") != F.col("pb"), "update")
+        .otherwise("unchanged")
+    )
+    return (
+        a.join(b, a.ka == b.kb, "full_outer")
+        .select(change.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
