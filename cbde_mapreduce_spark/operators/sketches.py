@@ -28,10 +28,30 @@ WIDTH = 1024
 def cm_build(items: DataFrame, col: str, depth: int = DEPTH, width: int = WIDTH) -> DataFrame:
     """Build the sketch: DataFrame of (row, bucket, cnt), <= depth·width rows.
 
-    One union of `depth` narrow projections over the item stream; Catalyst
-    collapses each into the same scan, and the groupBy partial-aggregates
-    before the (tiny) shuffle.
+    ONE pass over the item stream: each item explodes to its `depth`
+    (row, bucket) cells inline (a union of d projections would re-scan —
+    and re-explode any upstream tokenization — d times), and the groupBy
+    partial-aggregates before the (tiny) shuffle.
     """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(width)).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        items.select(F.explode(cells).alias("rb"))
+        .select("rb.row", "rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _cm_build_union(items: DataFrame, col: str, depth: int = DEPTH, width: int = WIDTH) -> DataFrame:
+    """Round-1 build shape kept for the equality test: d unioned passes."""
     rows = [
         items.select(
             F.lit(i).alias("row"),

@@ -394,8 +394,12 @@ def cm_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
-    sketch = cm_build(tok, "word")
-    n_tokens = tok.count()
+    sketch = cm_build(tok, "word").localCheckpoint()  # build once, probe twice
+    # the stream total N is already IN the sketch (any row sums to N) —
+    # no extra pass over the tokens
+    n_tokens = (
+        sketch.filter(F.col("row") == 0).agg(F.sum("cnt").alias("n")).first()["n"]
+    )
     return (
         cm_estimate(tok, "word", sketch)
         .filter(F.col("est") >= 0.005 * n_tokens)

@@ -123,3 +123,18 @@ def test_hll_intersect_estimate_accuracy(spark, sf_oracle):
     assert exact > 0, "fixture has no overlap — test is vacuous"
     rel = abs(est["est_intersect"] - exact) / exact
     assert rel < 0.10, f"est={est['est_intersect']} exact={exact} rel={rel:.3f}"
+
+
+def test_cm_build_one_pass_equals_union_build(spark, sf_oracle):
+    """The one-pass explode build must produce cell-identical counters to
+    the d-pass union build it replaced."""
+    from pyspark.sql import functions as F
+
+    from cbde_mapreduce_spark.operators.sketches import _cm_build_union, cm_build
+    from cbde_mapreduce_spark.sources import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    tok = docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+    a = {(r["row"], r["bucket"]): r["cnt"] for r in cm_build(tok, "word").collect()}
+    b = {(r["row"], r["bucket"]): r["cnt"] for r in _cm_build_union(tok, "word").collect()}
+    assert a == b
