@@ -213,9 +213,11 @@ def bfs_hops_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e = e0.unionByName(
-        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    e = (
+        e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()  # materialize once; every round re-reads, never re-derives
+    )
     visited = spark.range(1).select(
         F.lit(_BFS_SOURCE).cast("long").alias("v"), F.lit(0).alias("hop")
     )
