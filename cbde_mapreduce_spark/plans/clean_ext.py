@@ -124,12 +124,12 @@ def edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.len_bucket") == F.col("b.len_bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(dist <= 18)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             dist.alias("dist"),
         )
+        .filter(F.col("dist") <= 18)
     )
 
 
