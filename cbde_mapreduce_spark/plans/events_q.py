@@ -299,3 +299,46 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "decay_weighted_user_value",
+    oracle="""
+        WITH m AS (SELECT max(ts) AS t_max FROM events)
+        SELECT user_id,
+               count(*) AS n_events,
+               round(sum(value * exp(-(epoch_us(t_max) - epoch_us(ts))
+                                     / 86400000000.0)), 4) AS decayed_value
+        FROM events, m
+        GROUP BY user_id
+    """,
+    category="event-time",
+)
+def decay_weighted_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed per-user value: sum of value·e^(−age/τ) with τ = 1
+    day against the corpus max event time — the exponential-decay feature
+    every recommender/fraud pipeline derives (recent activity dominates,
+    old activity never fully vanishes).
+
+    Age is exact integer microseconds (ts_ns div 1000 == DuckDB epoch_us)
+    scaled INSIDE exp, so both engines evaluate exp on identical doubles;
+    one map-side-combinable aggregate, with the scalar t_max broadcast.
+    Rounded at 4dp after the sum (exp ulp noise ≪ cutoff).
+    """
+    events = load_table(spark, sf_dir, "events")
+    t_max = events.agg((F.max(F.expr("ts_ns div 1000"))).alias("tmax_us"))
+    us = F.expr("ts_ns div 1000")
+    return (
+        events.crossJoin(F.broadcast(t_max))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(
+                    F.col("value")
+                    * F.exp(-(F.col("tmax_us") - us) / F.lit(86400000000.0))
+                ),
+                4,
+            ).alias("decayed_value"),
+        )
+    )
