@@ -420,3 +420,39 @@ def gapfill_weekly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         """
     )
+
+
+@query(
+    "mode_event_type_per_user",
+    oracle="""
+        WITH c AS (SELECT user_id, event_type, count(*) AS n
+                   FROM events GROUP BY 1, 2),
+        r AS (SELECT user_id, event_type, n,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY n DESC, event_type) AS rn
+              FROM c)
+        SELECT user_id, event_type AS mode_type, n AS mode_count
+        FROM r WHERE rn = 1
+    """,
+    category="window",
+)
+def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: each user's most frequent event type,
+    ties broken lexicographically. Built-in ``mode()`` breaks ties
+    arbitrarily on BOTH engines, so the portable form is count + rank with
+    an explicit total order — the same argmax discipline as
+    argmax_order_per_customer. One combinable count + one
+    WindowGroupLimit-pruned rank; no mode()-specific machinery needed.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_type"),
+            F.col("n").alias("mode_count"),
+        )
+    )
