@@ -456,3 +456,52 @@ def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_count"),
         )
     )
+
+
+@query(
+    "forward_fill_user_values",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN event_type = 'purchase' THEN value END AS v
+            FROM events)
+        SELECT user_id,
+               count(*) AS n_rows,
+               count(last_v) AS n_filled,
+               round(sum(last_v), 2) AS filled_sum
+        FROM (SELECT user_id,
+                     last_value(v IGNORE NULLS) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS last_v
+              FROM s)
+        GROUP BY user_id
+    """,
+    category="window",
+)
+def forward_fill_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (LOCF imputation): carry each user's last purchase
+    value forward onto every subsequent event — the sparse-to-dense
+    imputation every time-series feature pipeline runs. Rows before the
+    first observation stay NULL (count(last_v) < count(*) proves the
+    leading-edge semantics is exercised, not vacuous).
+
+    ``last(col, ignorenulls=True)`` over a running ROWS frame is the
+    canonical Spark form; DuckDB's ``last_value(x IGNORE NULLS)`` is the
+    oracle twin. One window shuffle on user_id; aggregated per user so the
+    comparison is dense without shipping the full filled series.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = ev.select(
+        "user_id", F.last(v, ignorenulls=True).over(w).alias("last_v")
+    )
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("last_v").alias("n_filled"),
+        F.round(F.sum("last_v"), 2).alias("filled_sum"),
+    )
