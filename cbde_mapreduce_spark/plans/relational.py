@@ -213,3 +213,69 @@ def datetime_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_days_to_2002"),
         )
     )
+
+
+@query(
+    "pipe_syntax_revenue",
+    oracle="""
+        SELECT l_returnflag,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY l_returnflag
+    """,
+    category="relational",
+)
+def pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operators): the same filtered revenue
+    aggregation written as a linear FROM → WHERE → AGGREGATE pipeline —
+    the dataflow-ordered SQL dialect. Catalyst plans it identically to the
+    nested form (the oracle is classic SQL), so this is a pure
+    surface-coverage differential: two syntaxes, one plan, one result.
+    """
+    import uuid
+
+    view = f"li_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        FROM {view}
+        |> WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |> AGGREGATE round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                     count(*) AS n
+           GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "collation_distinct_segments",
+    oracle="""
+        WITH m AS (
+            SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                        ELSE c_mktsegment END AS seg
+            FROM customer)
+        SELECT count(DISTINCT seg)        AS n_distinct_binary,
+               count(DISTINCT lower(seg)) AS n_distinct_ci
+        FROM m
+    """,
+    category="relational",
+)
+def collation_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): case-insensitive DISTINCT via
+    UTF8_LCASE collation on a deterministically mixed-case column —
+    10 binary-distinct values collapse to 5 under the collation. The
+    oracle reaches the same answer through explicit lower(); the Spark
+    side changes the comparison SEMANTICS, not the data — which is the
+    point of collated types (one declaration, every comparison/join/group
+    follows, no scattered lower() calls to forget).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    mixed = F.when(
+        F.col("c_custkey") % 2 == 0, F.lower("c_mktsegment")
+    ).otherwise(F.col("c_mktsegment"))
+    return c.select(mixed.alias("seg")).agg(
+        F.countDistinct("seg").alias("n_distinct_binary"),
+        F.countDistinct(F.expr("seg COLLATE UTF8_LCASE")).alias("n_distinct_ci"),
+    )
