@@ -292,3 +292,27 @@ def test_corpus_prep_pipeline_fused(spark, sf_oracle):
     assert "n_chars" in plan.split("DataFilters: [")[1][:120]  # gate at the scan
     assert "WindowGroupLimit" in plan  # dedup keep-first pre-pruned
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_maxsim_sharded_broadcasts_only_role_table(spark, sf_oracle):
+    """The sharded MaxSim path must never broadcast or collect the vector
+    set: the only broadcast is the tiny (block, shard, role) routing table,
+    and per-block scoring runs as grouped Arrow kernels."""
+    df = REGISTRY["maxsim_label_sharded"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    assert "FlatMapGroupsInPandas" in plan  # block kernels, not a pair join
+    for section in plan.split("BroadcastExchange")[1:]:
+        # inspect what feeds each broadcast: its subtree up to the next blank
+        head = section[:400]
+        assert "embedding" not in head, "vector set reached a broadcast"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_point_in_time_join_is_hash_join_not_bnlj(spark, sf_oracle):
+    """The SCD2 interval lookup must ride the custkey equi key (hash join
+    with the interval predicate as residual) — a pure-interval plan would
+    fall back to BroadcastNestedLoopJoin and explode at scale."""
+    df = REGISTRY["point_in_time_status_join"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
