@@ -581,51 +581,51 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "temperature_mix_sample",
     oracle="""
-        WITH sc AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
-        r AS (SELECT source, c,
-                     pow(c, 0.3) / sum(pow(c, 0.3)) OVER () AS p_raw
-              FROM sc),
-        rates AS (SELECT source, c,
-                         least(100, ceil(100.0 * p_raw
-                                         / max(p_raw) OVER ()))::int AS rate
-                  FROM r),
-        b AS (SELECT source,
+        WITH lc AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+        rates AS (SELECT lang, c,
+                         least(100, ceil(100.0 * pow(c, -0.7)
+                                         / max(pow(c, -0.7)) OVER ()))::int AS rate
+                  FROM lc),
+        b AS (SELECT lang,
                      (ascii(substr(md5(text), 1, 1)) * 256
                       + ascii(substr(md5(text), 2, 1))) % 100 AS bucket
               FROM documents)
-        SELECT source, rate,
+        SELECT lang, rate,
                count(*) AS n_total,
                sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END)::bigint AS n_kept
-        FROM b JOIN rates USING (source)
-        GROUP BY source, rate
+        FROM b JOIN rates USING (lang)
+        GROUP BY lang, rate
     """,
     category="llm_pipeline",
 )
 def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-scaled source mixing (the multilingual-corpus α rule,
-    α = 0.3): per-source keep-rates ∝ count^α, normalized so the largest
-    source keeps 100% — flattening the source distribution the way
-    multilingual LM training flattens language sampling. Selection itself
-    is the deterministic content-hash bucket (same discipline as
+    """Temperature-scaled language mixing (the multilingual α = 0.3 rule):
+    to move the post-sample language shares from ∝ count to ∝ count^α, the
+    per-language KEEP RATE scales as count^(α−1) — over-represented
+    languages are down-sampled hardest, the smallest language keeps 100%.
+    On this corpus (en ≈ 44%, four minor languages ≈ 14% each) the en rate
+    lands well under 100 while the minors keep everything — the
+    flattening is visible in the output, not vacuous. Selection is the
+    deterministic content-hash bucket (same discipline as
     domain_mix_sample — never rand()).
 
-    The rate table derives FROM the data in one aggregate + two window
-    functions over the source-count relation (vocabulary-sized), then
-    broadcasts back. Integer rates (ceil to a percent) keep the
-    cross-engine comparison exact where raw pow() doubles would drift.
+    The rate table derives FROM the data in one language-count aggregate +
+    a window over the language-sized relation, then broadcasts back.
+    Integer percent rates keep the cross-engine comparison exact where raw
+    pow() doubles would drift.
     """
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    sc = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    lc = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy()
-    p_raw = F.pow("c", F.lit(0.3)) / F.sum(F.pow("c", F.lit(0.3))).over(w)
-    rates = sc.select(
-        "source",
+    keep_w = F.pow("c", F.lit(-0.7))
+    rates = lc.select(
+        "lang",
         "c",
         F.least(
             F.lit(100),
-            F.ceil(F.lit(100.0) * p_raw / F.max(p_raw).over(w)),
+            F.ceil(F.lit(100.0) * keep_w / F.max(keep_w).over(w)),
         )
         .cast("int")
         .alias("rate"),
@@ -635,9 +635,9 @@ def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
     ) % 100
     return (
-        docs.select("source", bucket.alias("bucket"))
-        .join(F.broadcast(rates), "source")
-        .groupBy("source", "rate")
+        docs.select("lang", bucket.alias("bucket"))
+        .join(F.broadcast(rates), "lang")
+        .groupBy("lang", "rate")
         .agg(
             F.count(F.lit(1)).alias("n_total"),
             F.sum(F.when(F.col("bucket") < F.col("rate"), 1).otherwise(0))
