@@ -369,9 +369,10 @@ def lateral_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFr
               FROM c),
         li AS (SELECT l.l_quantity, l.l_shipdate, o.o_custkey
                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
-        SELECT h.status AS status_at_ship, count(*) AS n_lines,
+        SELECT coalesce(h.status, '<no-state>') AS status_at_ship,
+               count(*) AS n_lines,
                round(sum(li.l_quantity), 2) AS total_qty
-        FROM li JOIN h
+        FROM li LEFT JOIN h
           ON li.o_custkey = h.o_custkey
          AND li.l_shipdate >= h.valid_from
          AND (h.valid_to IS NULL OR li.l_shipdate < h.valid_to)
@@ -386,11 +387,15 @@ def point_in_time_status_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookup, not an identity.
 
     Composes the registry's own scd2_customer_status build, then an
-    equi+interval join: the equi key (custkey) carries the shuffle, the
-    interval predicate is a post-join residual, and [from, to) chaining
-    guarantees exactly one match per fact row. At 100 TB this is one
-    fact-sized shuffle on the equi key; the history side is change-points
-    only (vastly smaller than the fact), so AQE typically broadcasts it.
+    equi+interval LEFT join: the equi key (custkey) carries the shuffle,
+    the interval predicate is a residual, and [from, to) chaining
+    guarantees at most one match per fact row. Facts that predate any
+    known state surface as an explicit '<no-state>' class — an inner join
+    SILENTLY DROPS them (5,168 lines at sf0.01; the fixture's ship dates
+    are independent of order dates), which is the classic PIT-join bug
+    this operator exists to avoid. At 100 TB this is one fact-sized
+    shuffle on the equi key; the history side is change-points only
+    (vastly smaller than the fact), so AQE typically broadcasts it.
     """
     from cbde_mapreduce_spark.plans.windows import scd2_customer_status
 
@@ -403,8 +408,11 @@ def point_in_time_status_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") == F.col("h_custkey"))
         & (F.col("l_shipdate") >= F.col("valid_from"))
         & (F.col("valid_to").isNull() | (F.col("l_shipdate") < F.col("valid_to"))),
+        "left",
     )
-    return joined.groupBy(F.col("status").alias("status_at_ship")).agg(
+    return joined.groupBy(
+        F.coalesce(F.col("status"), F.lit("<no-state>")).alias("status_at_ship")
+    ).agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.round(F.sum("l_quantity"), 2).alias("total_qty"),
     )
