@@ -236,3 +236,42 @@ def bfs_hops_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
     )
+
+
+_DEGREE_ORACLE = """
+    WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    e AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+    d AS (SELECT a AS v, count(*) AS deg FROM e GROUP BY a)
+    SELECT deg, count(*) AS n_vertices,
+           min(v) AS min_v, max(v) AS max_v
+    FROM d GROUP BY deg
+"""
+
+
+@query("degree_histogram_trade_graph", oracle=_DEGREE_ORACLE, category="graph")
+def degree_histogram_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the symmetrized trade graph — the first
+    diagnostic of any graph workload (skew detection: the max-degree tail
+    decides whether pagerank/triangle joins need salting). Two combinable
+    aggregations riding one shuffle each over the edge list; completes the
+    graph family (pagerank, triangles, BFS, components, degrees)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    e = e0.unionByName(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    d = e.groupBy(F.col("a").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
+    return d.groupBy("deg").agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
