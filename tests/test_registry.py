@@ -1,0 +1,46 @@
+"""Registry hygiene: the query registry IS the product surface
+(__spark_entry__ enumerates it), so its invariants are tested like code."""
+
+from __future__ import annotations
+
+import re
+
+from cbde_mapreduce_spark.plans import REGISTRY
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def test_every_query_documented_and_categorized():
+    for name, spec in REGISTRY.items():
+        assert (spec.fn.__doc__ or "").strip(), f"{name}: missing docstring"
+        assert spec.category, f"{name}: missing category"
+        assert re.fullmatch(r"[a-z0-9_]+", name), f"{name}: non-canonical name"
+
+
+def test_oracles_reference_only_fixture_tables():
+    """Oracle SQL may reference only the ten pre-registered views (plus its
+    own CTE names) — a stray table name would error only at driver time."""
+    for name, spec in REGISTRY.items():
+        if not spec.oracle:
+            continue
+        ctes = set(
+            re.findall(r"(\w+)\s*(?:\([\w\s,]*\))?\s+AS\s*\(", spec.oracle, re.IGNORECASE)
+        )
+        refs = set(re.findall(r"(?:FROM|JOIN)\s+([a-zA-Z_]\w*)", spec.oracle))
+        unknown = refs - set(_TABLES) - ctes - {"LATERAL", "lateral"}
+        assert not unknown, f"{name}: oracle references unknown relations {unknown}"
+
+
+def test_driver_window_is_valid():
+    """__spark_entry__._PRIORITY must hold exactly 50 existing, oracled
+    names — a typo would silently shrink the driver's correctness window."""
+    import __spark_entry__ as E
+
+    P = E._PRIORITY
+    assert len(P) == 50
+    assert len(set(P)) == 50, "duplicate names in the window"
+    for n in P:
+        assert n in REGISTRY, f"window name {n} not in registry"
+        assert REGISTRY[n].oracle, f"window name {n} has no oracle"
