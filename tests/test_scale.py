@@ -11,7 +11,18 @@ SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 
 @pytest.mark.parametrize(
-    "name", ["q1_pricing_summary", "histogram_event_types", "global_agg_lineitem"]
+    "name",
+    [
+        "q1_pricing_summary",
+        "histogram_event_types",
+        "global_agg_lineitem",
+        # round-3 additions with count-bearing outputs over tables that
+        # actually grow between sf0.001 and sf0.01 (documents does NOT —
+        # 500 rows at both, different content)
+        "window_dedup_events",
+        "table_diff_cdc",
+        "degree_histogram_trade_graph",
+    ],
 )
 def test_counts_grow_with_sf(name, spark):
     small = REGISTRY[name].fn(spark, SFS[0]).toPandas()
