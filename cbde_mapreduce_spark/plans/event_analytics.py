@@ -276,3 +276,49 @@ def assoc_rules_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "cumulative_distinct_users",
+    oracle="""
+        SELECT a.day::timestamp AS day, count(DISTINCT e.user_id)::bigint AS cum_users
+        FROM (SELECT DISTINCT ts::date AS day FROM events) a
+        JOIN events e ON e.ts::date <= a.day
+        GROUP BY 1
+    """,
+    category="event-analytics",
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day (the growth-curve metric) via the
+    FIRST-SEEN transform: distinct is not combinable across days, but
+    'new on day d' is — min(first day) per user, count new users per day,
+    running-sum over the day-sized relation. Work is O(|users| + |days|)
+    after one shuffle, versus the oracle's genuinely different naive
+    algorithm (day × preceding-events range join, O(days·events)) — a real
+    algorithmic differential, not the same plan twice.
+
+    The running sum's window runs over ~30 day rows — day-sized, so the
+    single-partition window is correct here (same judgment call as
+    top50_parts_ranked, opposite of global_rank_prefix_orders).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("first_day"))
+    )
+    new_per_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    days = ev.select(F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        days.join(new_per_day, "day", "left")
+        .select("day", F.coalesce("new_users", F.lit(0)).alias("nu"))
+        .select(
+            F.col("day").cast("timestamp_ntz").alias("day"),
+            F.sum("nu").over(w).cast("bigint").alias("cum_users"),
+        )
+    )
