@@ -275,3 +275,81 @@ def degree_histogram_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
     )
+
+
+_PPR_SOURCE = 0  # customer 0's vertex
+_PPR_ORACLE = f"""
+    WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    e AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+    deg AS (SELECT a, count(*)::double AS d FROM e GROUP BY a),
+    r0 AS (SELECT {_PPR_SOURCE}::bigint AS v, 1.0 AS r),
+    r1 AS (SELECT e.b AS v,
+                  CASE WHEN e.b = {_PPR_SOURCE} THEN {1 - DAMPING} ELSE 0 END
+                  + {DAMPING} * sum(r0.r / deg.d) AS r
+           FROM e JOIN r0 ON r0.v = e.a JOIN deg ON deg.a = e.a
+           GROUP BY e.b),
+    r2 AS (SELECT e.b AS v,
+                  CASE WHEN e.b = {_PPR_SOURCE} THEN {1 - DAMPING} ELSE 0 END
+                  + {DAMPING} * sum(r1.r / deg.d) AS r
+           FROM e JOIN r1 ON r1.v = e.a JOIN deg ON deg.a = e.a
+           GROUP BY e.b),
+    r3 AS (SELECT e.b AS v,
+                  CASE WHEN e.b = {_PPR_SOURCE} THEN {1 - DAMPING} ELSE 0 END
+                  + {DAMPING} * sum(r2.r / deg.d) AS r
+           FROM e JOIN r2 ON r2.v = e.a JOIN deg ON deg.a = e.a
+           GROUP BY e.b)
+    SELECT v, round(r, 6) AS ppr
+    FROM r3 WHERE round(r, 6) > 0
+    ORDER BY round(r, 6) DESC, v LIMIT {TOP_N}
+"""
+
+
+@query("ppr_trade_recommendations", oracle=_PPR_ORACLE, category="graph")
+def ppr_trade_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from one customer vertex — the graph-proximity
+    recommender primitive ("suppliers/customers most relevant to THIS
+    entity"). Identical round structure to pagerank_trade_graph with one
+    change: teleport mass returns to the SOURCE, not uniformly — so rank
+    concentrates in the source's neighborhood and far vertices stay 0
+    (pruned before the rounded top-20). Same per-round cost (one edge join
+    + combinable sum); the rank table is only the reached neighborhood,
+    SMALLER than global PageRank's — personalization is cheaper, not
+    dearer, at scale."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    e = (
+        e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).cast("double").alias("d"))
+    ranks = spark.range(1).select(
+        F.lit(_PPR_SOURCE).cast("long").alias("v"), F.lit(1.0).alias("r")
+    )
+    teleport = F.when(F.col("v") == _PPR_SOURCE, F.lit(1.0 - DAMPING)).otherwise(
+        F.lit(0.0)
+    )
+    for _ in range(N_ITERS):
+        contrib = (
+            e.join(ranks.withColumnRenamed("v", "a"), "a")
+            .join(deg, "a")
+            .select(F.col("b").alias("v"), (F.col("r") / F.col("d")).alias("c"))
+        )
+        ranks = contrib.groupBy("v").agg(
+            (teleport + F.lit(DAMPING) * F.sum("c")).alias("r")
+        )
+    return (
+        ranks.select("v", F.round("r", 6).alias("ppr"))
+        .filter(F.col("ppr") > 0)
+        .orderBy(F.desc("ppr"), F.asc("v"))
+        .limit(TOP_N)
+    )
