@@ -505,3 +505,51 @@ def forward_fill_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("last_v").alias("n_filled"),
         F.round(F.sum("last_v"), 2).alias("filled_sum"),
     )
+
+
+@query(
+    "ratio_to_report_nation_revenue",
+    oracle="""
+        WITH rev AS (
+            SELECT n.n_name AS nation,
+                   sum(l.l_extendedprice * (1 - l.l_discount)) AS r
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1)
+        SELECT nation, round(r, 2) AS revenue,
+               round(r / sum(r) OVER (), 6) AS share,
+               rank() OVER (ORDER BY round(r, 2) DESC, nation)::bigint AS rnk
+        FROM rev
+    """,
+    category="window",
+)
+def ratio_to_report_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of total revenue + rank — the
+    BI percent-of-total pattern. The share window runs over the
+    NATION-SIZED aggregate (25 rows), never the fact table: aggregate
+    first, window second — the ordering that keeps global windows safe at
+    any scale. Rank orders by the ROUNDED measure (cross-engine float
+    noise cannot reorder near-ties)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "nation",
+        F.round("r", 2).alias("revenue"),
+        F.round(F.col("r") / F.sum("r").over(w), 6).alias("share"),
+        F.rank()
+        .over(Window.orderBy(F.desc(F.round("r", 2)), F.asc("nation")))
+        .cast("bigint")
+        .alias("rnk"),
+    )
