@@ -571,3 +571,52 @@ def bigram_lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logp"),
         )
     )
+
+
+@query(
+    "feature_hash_docs",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+        buck AS (
+            SELECT doc_id,
+                   (ascii(substr(md5(w), 1, 1)) * 256
+                    + ascii(substr(md5(w), 2, 1))) % 256 AS f
+            FROM tok WHERE w <> ''),
+        fc AS (SELECT doc_id, f, count(*) AS c FROM buck GROUP BY 1, 2)
+        SELECT doc_id,
+               count(*)::bigint AS n_features,
+               round(sqrt(sum(c * c)), 6) AS l2_norm,
+               max(c)::bigint AS max_bucket
+        FROM fc GROUP BY doc_id
+    """,
+    category="text",
+)
+def feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: tokens map to a FIXED 256-dim feature space via a
+    content hash (no vocabulary build, no fit step) — the unbounded-vocab
+    featurizer of linear classifiers and quality models. Per-doc output:
+    occupied buckets, L2 norm of the count vector, heaviest bucket.
+
+    The hash is the engine-portable md5-byte bucket (same discipline as
+    the split/mix samplers), so both engines land every token in the same
+    bucket — making the whole featurization value-checkable, which a
+    xxhash/murmur choice would not be (engine-specific seeds). One explode
+    + two combinable aggregations; the feature space is fixed-width, so
+    downstream state is O(docs · 256) regardless of vocabulary growth.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    h = F.md5(F.encode("w", "UTF-8"))
+    f = (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))) % 256
+    fc = tok.select("doc_id", f.alias("f")).groupBy("doc_id", "f").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return fc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_features"),
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("l2_norm"),
+        F.max("c").cast("bigint").alias("max_bucket"),
+    )
