@@ -647,3 +647,66 @@ def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+@query(
+    "pack_sequences_split",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, len(string_split(text, ' '))::bigint AS n_tok
+                   FROM documents),
+        c AS (SELECT doc_id, n_tok,
+                     coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                              0)::bigint AS start_off
+              FROM t),
+        spans AS (SELECT doc_id, n_tok, start_off,
+                         unnest(range(start_off // {SEQ_BUDGET},
+                                      (start_off + n_tok - 1) // {SEQ_BUDGET} + 1))
+                             AS seq_id
+                  FROM c)
+        SELECT seq_id,
+               count(*) AS n_docs_touched,
+               sum(least(start_off + n_tok, (seq_id + 1) * {SEQ_BUDGET})
+                   - greatest(start_off, seq_id * {SEQ_BUDGET}))::bigint
+                   AS seq_tokens,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+        FROM spans GROUP BY seq_id
+    """,
+    category="llm_pipeline",
+)
+def pack_sequences_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-splitting sequence packing: the token stream is cut into
+    EXACT fixed-budget sequences and documents SPAN cuts (the way real
+    pretraining packs — no padding, no short sequences), versus
+    pack_sequences_chunked's whole-doc assignment. Each doc explodes to
+    the sequences its token interval overlaps; per-sequence token counts
+    are the interval intersections, so every sequence except the last sums
+    to exactly the budget — asserted by the oracle's identical arithmetic.
+
+    Same distributed prefix sum as the chunked packer for the global
+    offsets; the span explode emits ceil(n_tok / budget) + 1 rows per doc
+    — output size ∝ corpus tokens / budget, combinable aggregation after.
+    """
+    from cbde_mapreduce_spark.operators.prefix import exclusive_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.size(tokens("text")).cast("bigint").alias("n_tok"))
+    c = exclusive_prefix_sum(t, "doc_id", "n_tok", out_col="start_off")
+    first_seq = F.floor(F.col("start_off") / SEQ_BUDGET)
+    last_seq = F.floor((F.col("start_off") + F.col("n_tok") - 1) / SEQ_BUDGET)
+    spans = c.select(
+        "doc_id",
+        "n_tok",
+        "start_off",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    overlap = F.least(
+        F.col("start_off") + F.col("n_tok"), (F.col("seq_id") + 1) * SEQ_BUDGET
+    ) - F.greatest(F.col("start_off"), F.col("seq_id") * SEQ_BUDGET)
+    return spans.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs_touched"),
+        F.sum(overlap).cast("bigint").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
