@@ -513,3 +513,46 @@ def hll_intersect_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_intersect"
         ),
     )
+
+
+@query(
+    "range_fingerprint_orders",
+    oracle="""
+        SELECT (o_orderkey // 1000)::bigint AS key_range,
+               count(*)::bigint AS n_rows,
+               sum(('0x' || substr(md5(
+                     o_orderkey::varchar || '|' || o_custkey::varchar || '|' ||
+                     o_orderstatus || '|' || o_orderpriority || '|' ||
+                     o_orderdate::date::varchar),
+                   1, 8))::bigint)::bigint AS fingerprint
+        FROM orders
+        GROUP BY 1
+    """,
+    category="aggregation",
+)
+def range_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-bucketed fingerprints (the Merkle level below
+    table_fingerprint_orders): one commutative hash-sum per 1000-key range,
+    so when two replicas' TABLE fingerprints disagree, comparing the
+    range rows localizes the divergence to a resync-sized key range
+    instead of re-shipping the table — the anti-entropy descent every
+    replicated store runs. Same canonical string and fold as the global
+    fingerprint; one map-side-combinable aggregation on the derived range
+    key."""
+    o = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
+    return (
+        o.groupBy(F.expr("o_orderkey div 1000").alias("key_range"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(h).cast("bigint").alias("fingerprint"),
+        )
+    )
