@@ -322,3 +322,78 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nu").over(w).cast("bigint").alias("cum_users"),
         )
     )
+
+
+@query(
+    "cusum_drift_users",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, value, ts, event_id,
+                   avg(value) OVER (PARTITION BY user_id) AS mu,
+                   count(*)   OVER (PARTITION BY user_id) AS n,
+                   stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+            FROM events),
+        c AS (
+            SELECT user_id, n, sd,
+                   sum(value - mu) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS cusum
+            FROM s)
+        SELECT user_id,
+               round(max(abs(cusum)), 4) AS max_abs_cusum,
+               (max(abs(cusum)) > any_value(sd) * sqrt(any_value(n)))
+                   AS drifted
+        FROM c
+        WHERE n > 1 AND sd IS NOT NULL
+        GROUP BY user_id
+    """,
+    category="event-analytics",
+)
+def cusum_drift_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift screen per user: running sum of deviations from the
+    user's own mean, flagged when its peak exceeds σ√n — the classic
+    sequential change detector (a drifting metric accumulates signed
+    deviation; a stable one mean-reverts). The per-entity QC pass of a
+    telemetry pipeline.
+
+    Three windows, ONE partitioning (user_id): the global per-user stats
+    ride the same exchange as the ordered cumsum — Spark reuses the
+    partitioning across frames, so the whole screen is a single shuffle.
+    Rounded after the max; the boolean compares unrounded on both engines
+    (identical arithmetic, exact inputs; the nearest user sits ~1e-3 from
+    the threshold, nine orders above float noise). Threshold σ√n is
+    calibrated to DISCRIMINATE on this driftless synthetic corpus
+    (29/150 users flagged — the natural max-|CUSUM| spread), so a wrong
+    comparison visibly shifts the flag set; production drift screens use
+    3-5σ√n.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wp = Window.partitionBy("user_id")
+    wo = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = ev.select(
+        "user_id",
+        "value",
+        "ts",
+        "event_id",
+        F.avg("value").over(wp).alias("mu"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.stddev_samp("value").over(wp).alias("sd"),
+    )
+    c = s.withColumn("cusum", F.sum(F.col("value") - F.col("mu")).over(wo))
+    return (
+        c.filter((F.col("n") > 1) & F.col("sd").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(F.max(F.abs("cusum")), 4).alias("max_abs_cusum"),
+            (
+                F.max(F.abs("cusum"))
+                > F.any_value("sd") * F.sqrt(F.any_value("n"))
+            ).alias("drifted"),
+        )
+    )
