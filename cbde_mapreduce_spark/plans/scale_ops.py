@@ -3,7 +3,7 @@ pivot (multi-emit demux), exact percentiles, broadcast map-literal lookup."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cbde_mapreduce_spark.operators.skew import salted_aggregate
@@ -357,4 +357,54 @@ def mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_outliers"),
         )
+    )
+
+
+@query(
+    "benford_digit_audit",
+    oracle="""
+        WITH d AS (SELECT substr(floor(o_totalprice)::bigint::varchar, 1, 1)::int
+                       AS digit
+                   FROM orders WHERE o_totalprice >= 1),
+        c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        t AS (SELECT sum(n) AS total FROM c)
+        SELECT digit, n,
+               round(n / (SELECT total FROM t), 6)            AS observed_p,
+               round(log10(1.0 + 1.0 / digit), 6)             AS benford_p,
+               round(abs(n / (SELECT total FROM t)
+                         - log10(1.0 + 1.0 / digit)), 6)      AS abs_dev
+        FROM c
+    """,
+    category="warehouse",
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the forensic
+    data-quality screen (fabricated or truncated monetary data departs
+    from the log10(1 + 1/d) digit curve). Per digit: observed share vs
+    the Benford expectation and the absolute deviation.
+
+    One narrow scan + a 9-row aggregate; the digit extraction goes
+    floor → integer → string (explicit floor because a bare double→bigint
+    cast ROUNDS in DuckDB but TRUNCATES in Spark — one fixture order sits
+    exactly on that boundary; and never float formatting, which also
+    differs between engines). This fixture's totals are uniform-ish, NOT
+    Benford-distributed — large deviations on high digits are the
+    expected, discriminating output here (the audit detects that too).
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = Window.partitionBy()
+    obs = F.col("n") / F.sum("n").over(total)
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    return c.select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed_p"),
+        F.round(benford, 6).alias("benford_p"),
+        F.round(F.abs(obs - benford), 6).alias("abs_dev"),
     )
