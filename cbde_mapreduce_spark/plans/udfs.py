@@ -214,3 +214,52 @@ def udtf_table_arg_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"SELECT * FROM lang_stats_{tag}(TABLE(docs_{tag}) PARTITION BY lang)"
     )
+
+
+_BAL_CAP = 500.0
+
+
+@query("capped_running_balance", oracle=None, category="udf")
+def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped accumulator per user: purchases add value, errors subtract,
+    and the balance saturates at [0, 500] after EVERY step — a credit-line
+    / inventory semantics whose clamp makes the recursion NON-LINEAR, so
+    no window/closed form exists (unlike EWMA): this is the honest
+    per-group imperative escape hatch (applyInPandas over each user's
+    time-ordered events), kept off any hot path.
+
+    Rows-only by design (not SQL-expressible); verified in
+    tests/test_operators.py against an independent pure-pandas reference.
+    Output: final balance, how often each bound clipped.
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+
+    def run_balance(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        bal, hi, lo = 0.0, 0, 0
+        for etype, v in zip(pdf["event_type"], pdf["value"]):
+            if etype == "purchase":
+                bal += float(v)
+            elif etype == "error":
+                bal -= float(v)
+            if bal > _BAL_CAP:
+                bal, hi = _BAL_CAP, hi + 1
+            elif bal < 0.0:
+                bal, lo = 0.0, lo + 1
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iat[0])],
+                "final_balance": [round(bal, 2)],
+                "n_cap_hits": [hi],
+                "n_floor_hits": [lo],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        run_balance,
+        "user_id bigint, final_balance double, n_cap_hits bigint, n_floor_hits bigint",
+    )

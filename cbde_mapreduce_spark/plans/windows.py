@@ -553,3 +553,51 @@ def ratio_to_report_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("rnk"),
     )
+
+
+@query(
+    "ewma_user_value",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, value,
+                   row_number() OVER w AS rn,
+                   count(*)    OVER (PARTITION BY user_id) AS n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        t AS (SELECT user_id,
+                     sum(value * pow(0.9, n - rn)) AS num,
+                     sum(pow(0.9, n - rn))         AS den
+              FROM s GROUP BY user_id)
+        SELECT user_id, round(num / den, 4) AS ewma
+        FROM t
+    """,
+    category="window",
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α = 0.1) of each user's value
+    at their latest event — the standard smoothing feature. The recursive
+    EWMA definition unrolls to a closed form, Σ vᵢ·(1−α)^(n−i) / Σ (1−α)^(n−i),
+    so one rank window + one combinable weighted sum replaces a sequential
+    scan — the rewrite that makes EWMA distributable at all.
+
+    Weights are exact powers of the same double on both engines (pow is
+    correctly rounded for these inputs); the ratio rounds at 4dp, far
+    above summation-order noise.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = Window.partitionBy("user_id")
+    s = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    decay = F.pow(F.lit(0.9), F.col("n") - F.col("rn"))
+    return (
+        s.groupBy("user_id")
+        .agg(
+            (F.sum(F.col("value") * decay) / F.sum(decay)).alias("__e"),
+        )
+        .select("user_id", F.round("__e", 4).alias("ewma"))
+    )

@@ -167,3 +167,37 @@ def test_gapfill_scaffold_nonvacuous(spark, sf_oracle):
     assert len(rows) == 106
     assert total > 4000, f"scaffold misaligned: only {total} orders matched"
     assert zeros >= 1, "no empty week survived — left-join semantics unexercised"
+
+
+def test_capped_running_balance_matches_reference(spark, sf_oracle):
+    """The clamped accumulator (non-linear recursion — no SQL closed form)
+    must match an independent pandas groupby reference, and the clamps must
+    actually fire (otherwise it degenerates to a plain signed sum)."""
+    from cbde_mapreduce_spark.plans import REGISTRY
+    from cbde_mapreduce_spark.sources import load_table
+
+    got = {
+        r["user_id"]: (r["final_balance"], r["n_cap_hits"], r["n_floor_hits"])
+        for r in REGISTRY["capped_running_balance"].fn(spark, sf_oracle).collect()
+    }
+    pdf = (
+        load_table(spark, sf_oracle, "events")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    total_clips = 0
+    for uid, g in pdf.groupby("user_id"):
+        bal, hi, lo = 0.0, 0, 0
+        for etype, v in zip(g["event_type"], g["value"]):
+            if etype == "purchase":
+                bal += float(v)
+            elif etype == "error":
+                bal -= float(v)
+            if bal > 500.0:
+                bal, hi = 500.0, hi + 1
+            elif bal < 0.0:
+                bal, lo = 0.0, lo + 1
+        assert got[uid] == (round(bal, 2), hi, lo), f"user {uid} diverged"
+        total_clips += hi + lo
+    assert total_clips > 0, "clamps never fired — vacuous"
