@@ -30,3 +30,5 @@ from cbde_mapreduce_spark.plans import graph_q  # noqa: F401,E402
 from cbde_mapreduce_spark.plans import event_analytics  # noqa: F401,E402
 from cbde_mapreduce_spark.plans import agg_ext  # noqa: F401,E402
 from cbde_mapreduce_spark.plans import clean_ext  # noqa: F401,E402
+from cbde_mapreduce_spark.plans import timeseries  # noqa: F401,E402
+from cbde_mapreduce_spark.plans import mlprep  # noqa: F401,E402

@@ -353,3 +353,88 @@ def ppr_trade_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ppr"), F.asc("v"))
         .limit(TOP_N)
     )
+
+
+SSSP_SOURCE = 2  # customer 1's vertex id (o_custkey * 2)
+SSSP_ROUNDS = 4
+SSSP_TOP = 100
+
+_SSSP_ORACLE = f"""
+    WITH l AS (SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b,
+                      count(*)::bigint AS cnt
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               GROUP BY 1, 2),
+    w0 AS (SELECT a, b, (100 + cnt - 1) // cnt AS w FROM l),
+    e AS (SELECT a, b, w FROM w0 UNION ALL SELECT b, a, w FROM w0),
+    d0 AS (SELECT {SSSP_SOURCE}::bigint AS v, 0::bigint AS dist),
+    d1 AS (SELECT v, min(dist) AS dist FROM (
+               SELECT v, dist FROM d0
+               UNION ALL
+               SELECT e.b AS v, d0.dist + e.w AS dist
+               FROM e JOIN d0 ON e.a = d0.v) GROUP BY v),
+    d2 AS (SELECT v, min(dist) AS dist FROM (
+               SELECT v, dist FROM d1
+               UNION ALL
+               SELECT e.b AS v, d1.dist + e.w AS dist
+               FROM e JOIN d1 ON e.a = d1.v) GROUP BY v),
+    d3 AS (SELECT v, min(dist) AS dist FROM (
+               SELECT v, dist FROM d2
+               UNION ALL
+               SELECT e.b AS v, d2.dist + e.w AS dist
+               FROM e JOIN d2 ON e.a = d2.v) GROUP BY v),
+    d4 AS (SELECT v, min(dist) AS dist FROM (
+               SELECT v, dist FROM d3
+               UNION ALL
+               SELECT e.b AS v, d3.dist + e.w AS dist
+               FROM e JOIN d3 ON e.a = d3.v) GROUP BY v)
+    SELECT v, dist::bigint AS dist
+    FROM d4 ORDER BY dist, v LIMIT {SSSP_TOP}
+"""
+
+
+@query("sssp_trade_graph", oracle=_SSSP_ORACLE, category="graph")
+def sssp_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths on the trade graph: 4 rounds of
+    distributed Bellman-Ford relaxation from customer 1's vertex; 100
+    closest vertices. Edge cost = ⌈100 / link-count⌉ (stronger trading
+    relationships are cheaper), kept INTEGER so path sums are cross-engine
+    exact — float path costs would accumulate summation-order noise.
+
+    Each round is one join (propagate dist along edges) + one
+    map-side-combinable groupBy(min) — the canonical iterative-MR shape,
+    same as PageRank but with (min, +) replacing (sum, ×) as the semiring.
+    The fixed round count keeps the DuckDB twin an unrolled CTE so this
+    iterative algorithm gets a full value-hash check; the
+    converge-to-fixpoint variant adds only a scalar delta check per round
+    (operators/iterative.py::connected_components pattern). Edges are
+    materialized once and reused by every round (localCheckpoint — same
+    rationale as BFS); dist tables stay vertex-sized.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w0 = l.select("a", "b", F.expr("(100 + cnt - 1) div cnt").alias("w"))
+    e = w0.unionByName(
+        w0.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    ).localCheckpoint()
+    dist = spark.range(1).select(
+        F.lit(SSSP_SOURCE).cast("bigint").alias("v"),
+        F.lit(0).cast("bigint").alias("dist"),
+    )
+    for _ in range(SSSP_ROUNDS):
+        relaxed = e.join(dist.withColumnRenamed("v", "a"), "a").select(
+            F.col("b").alias("v"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("v")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+        )
+    return dist.orderBy(F.asc("dist"), F.asc("v")).limit(SSSP_TOP)

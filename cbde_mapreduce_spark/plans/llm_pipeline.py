@@ -710,3 +710,70 @@ def pack_sequences_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+CHUNK_WINDOW = 64  # tokens per retrieval chunk
+CHUNK_STRIDE = 32  # overlap = window - stride
+
+
+@query(
+    "chunk_overlap_docs",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                          len(string_split(text, ' ')) AS n
+                   FROM documents),
+        s AS (SELECT doc_id, toks, n,
+                     unnest(range(0, n, {CHUNK_STRIDE}))::bigint AS start
+              FROM t)
+        SELECT doc_id,
+               (start // {CHUNK_STRIDE})::int AS chunk_id,
+               least({CHUNK_WINDOW}, n - start)::bigint AS n_chunk_tokens,
+               md5(array_to_string(toks[start + 1 : start + {CHUNK_WINDOW}], ' '))
+                 AS chunk_md5
+        FROM s
+    """,
+    category="llm-pipeline",
+)
+def chunk_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window retrieval chunking (RAG prep): 64-token chunks with a
+    32-token stride, so consecutive chunks overlap by half — boundary
+    sentences always appear intact in some chunk.
+
+    Pure built-ins end to end: split once, explode a stride-spaced start
+    sequence (1→N flatMap, ~n_tokens/32 chunks per doc), slice the token
+    array per start, fingerprint with md5. Embarrassingly parallel per doc
+    — no shuffle at all before any downstream dedup/aggregation, so the
+    100 TB cost is one scan plus the ~3× token amplification the overlap
+    policy itself mandates. Chunk md5s feed the same exact-dedup /
+    MinHash ops as whole docs (chunk_dedup_docs).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("toks"),
+        F.size(F.split(F.col("text"), " ")).alias("n"),
+    )
+    s = t.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                (F.col("n") - 1).cast("bigint"),
+                F.lit(CHUNK_STRIDE).cast("bigint"),
+            )
+        ).alias("start"),
+    )
+    return s.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+        F.least(F.lit(CHUNK_WINDOW), F.col("n") - F.col("start"))
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+        F.md5(
+            F.array_join(
+                F.slice(F.col("toks"), F.col("start") + 1, CHUNK_WINDOW), " "
+            )
+        ).alias("chunk_md5"),
+    )

@@ -1,0 +1,384 @@
+"""ML data-prep / evaluation metrics (SURVEY.md §2 widened: the measurement
+queries a training-data pipeline runs beside its transforms — model-free
+eval, exact-budget allocation, robust feature treatment, dependence
+screens, corpus law fits).
+
+Scale notes:
+
+- ``knn_label_accuracy`` is the eval-set shape: the scored join is exact and
+  declarative because eval sets are frozen and small; the corpus-scale
+  neighbor path is the sharded block-matmul / IVF / LSH family in
+  operators/similarity.py & operators/iterative.py (same contract,
+  accuracy-tested against this exact twin).
+- ``largest_remainder_quota`` runs entirely on per-source aggregates (20
+  rows) — the only pass over documents is one map-side-combinable groupBy.
+- ``winsorize_order_value`` uses partition-frame window percentiles: one
+  shuffle on the group key, no second scan, no join-back of edge tables.
+- ``mutual_information_events`` reduces the fact table to the |X|·|Y|
+  contingency table FIRST; every later step is over ≤35 rows.
+- ``zipf_tail_index`` global-sorts only the top-100 rank spine
+  (TakeOrdered), never the vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cbde_mapreduce_spark.plans.registry import query
+from cbde_mapreduce_spark.sources import load_table
+
+_KNN_K = 5
+
+
+@query(
+    "knn_label_accuracy",
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id, label, embedding,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> x::double * x::double))) AS nrm
+            FROM embeddings
+        ),
+        p AS (
+            SELECT a.vec_id AS qid, a.label AS qlabel,
+                   b.vec_id AS nid, b.label AS nlabel,
+                   round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                  z -> z[1]::double * z[2]::double))
+                         / (a.nrm * b.nrm), 6) AS sim
+            FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        ),
+        nn AS (
+            SELECT qid, qlabel, nlabel,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY sim DESC, nid) AS rn
+            FROM p QUALIFY rn <= {_KNN_K}
+        ),
+        votes AS (
+            SELECT qid, qlabel, nlabel, count(*) AS c,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY count(*) DESC, nlabel) AS vr
+            FROM nn GROUP BY qid, qlabel, nlabel
+        )
+        SELECT qlabel AS label,
+               count(*)::bigint AS n_vecs,
+               sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)::bigint
+                 AS n_correct,
+               round(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
+                     / count(*)::double, 4) AS accuracy
+        FROM votes WHERE vr = 1
+        GROUP BY qlabel
+    """,
+    category="ml-prep",
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN cosine classifier accuracy per label — the
+    standard embedding-quality probe (does neighborhood structure predict
+    the label?).
+
+    Deterministic end to end: similarity rounded to 6 digits BEFORE
+    ranking, neighbor ties broken by vec_id, vote ties by smaller label.
+    The exact scored self-join is the eval-set shape (eval sets are frozen
+    and small); at corpus scale the same per-query top-k comes from the
+    sharded matmul / IVF / LSH operators, which are accuracy-tested against
+    this exact twin.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("nrm"),
+    )
+    a = n.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, F.col("qid") != F.col("nid")).select(
+        "qid",
+        "qlabel",
+        "nid",
+        "nlabel",
+        F.round(
+            F.aggregate(
+                F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (F.col("na") * F.col("nb")),
+            6,
+        ).alias("sim"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    nn = pairs.withColumn("rn", F.row_number().over(wq)).filter(
+        F.col("rn") <= _KNN_K
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("nlabel"))
+    votes = (
+        nn.groupBy("qid", "qlabel", "nlabel")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+    )
+    return votes.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum((F.col("nlabel") == F.col("qlabel")).cast("int"))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.round(
+            F.sum((F.col("nlabel") == F.col("qlabel")).cast("int"))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("accuracy"),
+    )
+
+
+_QUOTA_BUDGET = 1000
+
+
+@query(
+    "largest_remainder_quota",
+    oracle=f"""
+        WITH w AS (SELECT source, sum(n_chars)::bigint AS chars
+                   FROM documents GROUP BY source),
+        t AS (SELECT sum(chars)::bigint AS total FROM w),
+        base AS (SELECT source, chars,
+                        ({_QUOTA_BUDGET} * chars) // total  AS floor_q,
+                        ({_QUOTA_BUDGET} * chars) %  total  AS rem
+                 FROM w, t),
+        s AS (SELECT sum(floor_q)::bigint AS allotted FROM base),
+        r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+              FROM base)
+        SELECT source, chars,
+               (floor_q + CASE WHEN rk <= {_QUOTA_BUDGET} - allotted
+                               THEN 1 ELSE 0 END)::bigint AS quota
+        FROM r, s
+    """,
+    category="ml-prep",
+)
+def largest_remainder_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-budget proportional allocation (Hamilton / largest-remainder
+    method): split a 1000-sequence sampling budget across document sources
+    proportional to their total characters, with Σquota == budget exactly.
+
+    Naive rounding of shares drifts off-budget; largest-remainder assigns
+    ⌊B·wᵢ/W⌋ then tops up the B−Σ⌊·⌋ largest remainders (ties → source
+    name). Everything after the one groupBy over documents is integer
+    arithmetic on a 20-row table — cross-engine exact by construction, and
+    the two scalar totals ride in as broadcast 1-row joins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.groupBy("source").agg(F.sum("n_chars").cast("bigint").alias("chars"))
+    t = w.agg(F.sum("chars").cast("bigint").alias("total"))
+    base = w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "chars",
+        F.expr(f"({_QUOTA_BUDGET} * chars) div total").alias("floor_q"),
+        F.expr(f"({_QUOTA_BUDGET} * chars) % total").alias("rem"),
+    )
+    s = base.agg(F.sum("floor_q").cast("bigint").alias("allotted"))
+    r = base.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("source")))
+    )
+    return r.crossJoin(F.broadcast(s)).select(
+        "source",
+        "chars",
+        (
+            F.col("floor_q")
+            + F.when(F.col("rk") <= _QUOTA_BUDGET - F.col("allotted"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("quota"),
+    )
+
+
+@query(
+    "winsorize_order_value",
+    oracle="""
+        WITH c AS (
+            SELECT o_orderpriority, o_totalprice,
+                   quantile_cont(o_totalprice, 0.05)
+                     OVER (PARTITION BY o_orderpriority) AS lo,
+                   quantile_cont(o_totalprice, 0.95)
+                     OVER (PARTITION BY o_orderpriority) AS hi
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               count(*)::bigint AS n,
+               sum(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END)::bigint
+                 AS n_clipped_low,
+               sum(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END)::bigint
+                 AS n_clipped_high,
+               round(avg(least(greatest(o_totalprice, lo), hi)), 4)
+                 AS mean_winsorized,
+               round(sum(least(greatest(o_totalprice, lo), hi)), 2)
+                 AS sum_winsorized
+        FROM c
+        GROUP BY o_orderpriority
+    """,
+    category="ml-prep",
+)
+def winsorize_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (clip to the per-group [p5, p95]) — the robust feature
+    treatment applied before scaling/training so heavy tails can't dominate.
+
+    The percentile edges come from whole-partition window frames on the
+    SAME key the final groupBy uses: one shuffle on o_orderpriority carries
+    both steps, with no separate edge table and no join-back (the classic
+    two-scan formulation). Both engines compute exact linearly-interpolated
+    (type-7) percentiles.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    wp = Window.partitionBy("o_orderpriority")
+    c = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.expr("percentile(o_totalprice, 0.05)").over(wp).alias("lo"),
+        F.expr("percentile(o_totalprice, 0.95)").over(wp).alias("hi"),
+    )
+    clip = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    return c.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("o_totalprice") < F.col("lo")).cast("int"))
+        .cast("bigint")
+        .alias("n_clipped_low"),
+        F.sum((F.col("o_totalprice") > F.col("hi")).cast("int"))
+        .cast("bigint")
+        .alias("n_clipped_high"),
+        F.round(F.avg(clip), 4).alias("mean_winsorized"),
+        F.round(F.sum(clip), 2).alias("sum_winsorized"),
+    )
+
+
+@query(
+    "mutual_information_events",
+    oracle="""
+        WITH xy AS (SELECT event_type AS x, isodow(ts) - 1 AS y,
+                           count(*)::bigint AS n_xy
+                    FROM events GROUP BY 1, 2),
+        e AS (SELECT x, y, n_xy,
+                     sum(n_xy) OVER (PARTITION BY x) AS n_x,
+                     sum(n_xy) OVER (PARTITION BY y) AS n_y,
+                     sum(n_xy) OVER ()               AS n
+              FROM xy)
+        SELECT x AS event_type, y::int AS weekday, n_xy,
+               round(n_xy / n::double, 6) AS p_xy,
+               round(ln((n_xy * n)::double / (n_x * n_y)), 6) AS pmi,
+               round((n_xy / n::double)
+                     * ln((n_xy * n)::double / (n_x * n_y)), 6) AS mi_term
+        FROM e
+    """,
+    category="ml-prep",
+)
+def mutual_information_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information screen between event_type and weekday: per-cell
+    PMI and MI contribution (Σ mi_term = MI in nats) — the dependence test
+    run before treating a pair of columns as independent features.
+
+    The fact table collapses to the |X|·|Y| ≤ 35-row contingency table in
+    one map-side-combinable groupBy; marginals are window sums over that
+    tiny table (no second scan of events, no joins). Probabilities are
+    ratios of exact integers, so only the final ln/round touches floats.
+    Weekday is Monday=0 in both engines (Spark ``weekday``, DuckDB
+    ``isodow - 1``).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    xy = (
+        ev.select(
+            F.col("event_type").alias("x"), F.expr("weekday(ts)").alias("y")
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+    )
+    e = xy.select(
+        "x",
+        "y",
+        "n_xy",
+        F.sum("n_xy").over(Window.partitionBy("x")).alias("n_x"),
+        F.sum("n_xy").over(Window.partitionBy("y")).alias("n_y"),
+        F.sum("n_xy").over(Window.partitionBy()).alias("n"),
+    )
+    p_xy = F.col("n_xy") / F.col("n").cast("double")
+    lift = (F.col("n_xy") * F.col("n")).cast("double") / (
+        F.col("n_x") * F.col("n_y")
+    )
+    return e.select(
+        F.col("x").alias("event_type"),
+        F.col("y").cast("int").alias("weekday"),
+        "n_xy",
+        F.round(p_xy, 6).alias("p_xy"),
+        F.round(F.log(lift), 6).alias("pmi"),
+        F.round(p_xy * F.log(lift), 6).alias("mi_term"),
+    )
+
+
+_ZIPF_HEAD = 100
+
+
+@query(
+    "zipf_tail_index",
+    oracle=f"""
+        WITH f AS (SELECT w, count(*)::bigint AS freq
+                   FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+                         FROM documents)
+                   GROUP BY w),
+        top AS (SELECT w, freq FROM f
+                ORDER BY freq DESC, w LIMIT {_ZIPF_HEAD}),
+        r AS (SELECT freq,
+                     row_number() OVER (ORDER BY freq DESC, w) AS rank
+              FROM top),
+        fit AS (SELECT regr_slope(ln(freq::double), ln(rank::double)) AS slope,
+                       regr_intercept(ln(freq::double), ln(rank::double))
+                         AS intercept,
+                       regr_r2(ln(freq::double), ln(rank::double)) AS r2
+                FROM r)
+        SELECT (SELECT count(*) FROM f)::bigint AS n_types,
+               round(slope, 4)     AS zipf_slope,
+               round(intercept, 4) AS zipf_intercept,
+               round(r2, 4)        AS fit_r2
+        FROM fit
+    """,
+    category="ml-prep",
+)
+def zipf_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus: OLS slope of ln(freq) on ln(rank)
+    for the top-100 word ranks (a natural corpus fingerprints — synthetic
+    or heavily-duplicated corpora drift off slope ≈ −1).
+
+    The global sort touches only the 100-row rank spine (TakeOrdered with a
+    (freq, word) tiebreak), never the vocabulary; the regression runs on
+    those 100 rows via the closed-form regr_* aggregates in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    f = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    top = f.orderBy(F.desc("freq"), F.asc("w")).limit(_ZIPF_HEAD)
+    r = top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("w")))
+    ).selectExpr("ln(cast(freq as double)) AS lf", "ln(cast(rank as double)) AS lr")
+    fit = r.agg(
+        F.round(F.expr("regr_slope(lf, lr)"), 4).alias("zipf_slope"),
+        F.round(F.expr("regr_intercept(lf, lr)"), 4).alias("zipf_intercept"),
+        F.round(F.expr("regr_r2(lf, lr)"), 4).alias("fit_r2"),
+    )
+    n_types = f.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    return n_types.crossJoin(F.broadcast(fit)).select(
+        "n_types", "zipf_slope", "zipf_intercept", "fit_r2"
+    )

@@ -1,0 +1,286 @@
+"""Time-series / monitoring queries over events and orders (SURVEY.md §2.5
+window family + §2.10 event-time family, widened to the four shapes every
+metrics warehouse runs: resampling, distribution drift, peak concurrency,
+rolling correlation).
+
+Scale notes (the 100 TB shapes):
+
+- ``ohlc_bars_events`` and ``rolling_corr_value`` partition their windows by
+  a real key (event_type×hour, user) — never a global single-partition sort.
+- ``psi_order_value_drift`` is two single-pass conditional aggregations over
+  a 10-row bin spine; the fact table is scanned once, bins are map-side
+  combinable, and only 10 rows ever reach the final compute.
+- ``concurrent_sessions_peak`` is the classic sweep-line: intervals become
+  ±1 marks, a per-day running sum finds the peak. The sweep is partitioned
+  by day (marks never cross days by construction), so the sort is
+  |marks-per-day|, not |table| — the re-expression that keeps the canonical
+  interval-overlap algorithm distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cbde_mapreduce_spark.plans.registry import query
+from cbde_mapreduce_spark.sources import load_table
+
+
+@query(
+    "ohlc_bars_events",
+    oracle="""
+        WITH b AS (SELECT event_type, date_trunc('hour', ts) AS hr, ts,
+                          event_id, value
+                   FROM events),
+        r AS (SELECT *,
+                     row_number() OVER (PARTITION BY event_type, hr
+                                        ORDER BY ts, event_id) AS ra,
+                     count(*)     OVER (PARTITION BY event_type, hr) AS ntot
+              FROM b)
+        SELECT event_type, hr,
+               round(max(CASE WHEN ra = 1    THEN value END), 4) AS open,
+               round(max(value), 4)                              AS high,
+               round(min(value), 4)                              AS low,
+               round(max(CASE WHEN ra = ntot THEN value END), 4) AS close,
+               count(*)::bigint                                  AS n_events,
+               round(sum(value), 4)                              AS volume
+        FROM r
+        GROUP BY event_type, hr
+    """,
+    category="time-series",
+)
+def ohlc_bars_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling: hourly open/high/low/close/volume bars per event_type.
+
+    Open/close need the first/last value under event-time order with a
+    deterministic tiebreak (ts, event_id). Both are derived from ONE sorted
+    window pass: ``ra`` = ascending row_number, and the frameless
+    ``count(*) over (partition)`` gives the bar size, so close is simply
+    ``ra == ntot`` — no second descending sort. One shuffle on
+    (event_type, hour), then a map-side-combinable groupBy on the same key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hr"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("event_type", "hr").orderBy("ts", "event_id")
+    wall = Window.partitionBy("event_type", "hr")
+    r = b.withColumn("ra", F.row_number().over(w)).withColumn(
+        "ntot", F.count(F.lit(1)).over(wall)
+    )
+    return r.groupBy("event_type", "hr").agg(
+        F.round(F.max(F.when(F.col("ra") == 1, F.col("value"))), 4).alias("open"),
+        F.round(F.max("value"), 4).alias("high"),
+        F.round(F.min("value"), 4).alias("low"),
+        F.round(
+            F.max(F.when(F.col("ra") == F.col("ntot"), F.col("value"))), 4
+        ).alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("volume"),
+    )
+
+
+#: PSI bin layout: 10 equal-width bins over [0, 500k) — fixed edges, so the
+#: bucketing is reproducible across engines and across runs (quantile-edge
+#: PSI would tie the bin definition to one period's sample).
+_PSI_BINS = 10
+_PSI_WIDTH = 50_000.0
+_PSI_SPLIT = "1998-01-01"
+
+
+@query(
+    "psi_order_value_drift",
+    oracle=f"""
+        WITH binned AS (
+            SELECT least(greatest(floor(o_totalprice / {_PSI_WIDTH}), 0),
+                         {_PSI_BINS - 1})::int AS bin,
+                   (o_orderdate < TIMESTAMP '{_PSI_SPLIT}')::int AS in_a
+            FROM orders),
+        c AS (SELECT bin,
+                     sum(in_a)::bigint     AS a_cnt,
+                     sum(1 - in_a)::bigint AS b_cnt
+              FROM binned GROUP BY bin),
+        spine AS (SELECT unnest(range({_PSI_BINS}))::int AS bin),
+        f AS (SELECT spine.bin,
+                     coalesce(a_cnt, 0) AS a_cnt,
+                     coalesce(b_cnt, 0) AS b_cnt
+              FROM spine LEFT JOIN c ON spine.bin = c.bin),
+        t AS (SELECT sum(a_cnt) AS na, sum(b_cnt) AS nb FROM f)
+        SELECT bin, a_cnt, b_cnt,
+               round((a_cnt + 1.0) / (na + {_PSI_BINS}), 6) AS p_a,
+               round((b_cnt + 1.0) / (nb + {_PSI_BINS}), 6) AS p_b,
+               round(((b_cnt + 1.0) / (nb + {_PSI_BINS})
+                      - (a_cnt + 1.0) / (na + {_PSI_BINS}))
+                     * ln(((b_cnt + 1.0) / (nb + {_PSI_BINS}))
+                          / ((a_cnt + 1.0) / (na + {_PSI_BINS}))), 6)
+                 AS psi_term
+        FROM f, t
+    """,
+    category="time-series",
+)
+def psi_order_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift screen: o_totalprice distribution
+    before vs after 1998-01-01 over 10 fixed-width bins, Laplace-smoothed
+    (+1 per bin) so empty bins cannot produce log(0).
+
+    One conditional-aggregation scan of orders (both periods counted in the
+    same groupBy — no second pass, no join of two filtered scans), a 10-row
+    bin spine to pin the output domain, and a broadcast of the 1-row totals.
+    The per-bin ``psi_term`` sums to the headline PSI; emitting terms keeps
+    the check cell-exact instead of one lump.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    binned = orders.select(
+        F.least(
+            F.greatest(F.floor(F.col("o_totalprice") / _PSI_WIDTH), F.lit(0)),
+            F.lit(_PSI_BINS - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+        (F.col("o_orderdate") < F.lit(_PSI_SPLIT).cast("timestamp_ntz"))
+        .cast("int")
+        .alias("in_a"),
+    )
+    c = binned.groupBy("bin").agg(
+        F.sum("in_a").cast("bigint").alias("a_cnt"),
+        F.sum(1 - F.col("in_a")).cast("bigint").alias("b_cnt"),
+    )
+    spine = spark.range(_PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    f = (
+        spine.join(c, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("a_cnt", F.lit(0)).alias("a_cnt"),
+            F.coalesce("b_cnt", F.lit(0)).alias("b_cnt"),
+        )
+    )
+    totals = f.agg(
+        F.sum("a_cnt").alias("na"), F.sum("b_cnt").alias("nb")
+    )
+    pa = (F.col("a_cnt") + 1.0) / (F.col("na") + _PSI_BINS)
+    pb = (F.col("b_cnt") + 1.0) / (F.col("nb") + _PSI_BINS)
+    return f.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        "a_cnt",
+        "b_cnt",
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round((pb - pa) * F.log(pb / pa), 6).alias("psi_term"),
+    )
+
+
+@query(
+    "concurrent_sessions_peak",
+    oracle="""
+        WITH iv AS (SELECT user_id, ts::date AS day,
+                           min(ts) AS s, max(ts) AS e
+                    FROM events GROUP BY user_id, ts::date),
+        marks AS (SELECT day, s AS t, 1 AS d FROM iv
+                  UNION ALL
+                  SELECT day, e AS t, -1 AS d FROM iv),
+        sweep AS (SELECT day,
+                         sum(d) OVER (PARTITION BY day
+                                      ORDER BY t, d DESC) AS live
+                  FROM marks)
+        SELECT day,
+               (SELECT count(*) FROM iv i WHERE i.day = sweep.day)::bigint
+                 AS n_sessions,
+               max(live)::bigint AS peak_concurrency
+        FROM sweep
+        GROUP BY day
+    """,
+    category="time-series",
+)
+def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent user-visits per day by sweep line over intervals.
+
+    A visit is a user's [min(ts), max(ts)] span within one day (inclusive
+    ends). Naive overlap counting is an O(n²) interval self-join; the sweep
+    line re-expression is two rows per interval (+1 at start, -1 past end),
+    a running sum, and a max — O(n log n), and the sort is PARTITIONED by
+    day (intervals cannot cross days), so no global single-partition window.
+
+    Tie discipline: marks order by (t, d DESC) — starts before ends at the
+    same instant (inclusive-interval semantics), and the default RANGE
+    window frame gives all tied marks the same cumulative value in both
+    engines, so the per-day max is deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    iv = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"), "ts")
+        .groupBy("user_id", "day")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    marks = iv.select("day", F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
+        iv.select("day", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = Window.partitionBy("day").orderBy(F.asc("t"), F.desc("d"))
+    sweep = marks.withColumn("live", F.sum("d").over(w))
+    peaks = sweep.groupBy("day").agg(
+        F.max("live").cast("bigint").alias("peak_concurrency")
+    )
+    counts = iv.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    return counts.join(peaks, "day").select(
+        F.col("day").cast("timestamp_ntz").alias("day"),
+        "n_sessions",
+        "peak_concurrency",
+    )
+
+
+_CORR_FRAME = 10  # trailing rows per correlation window
+
+
+@query(
+    "rolling_corr_value",
+    oracle=f"""
+        WITH s AS (SELECT user_id, ts, event_id, value,
+                          lag(value) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS vp,
+                          row_number() OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS rn
+                   FROM events)
+        SELECT user_id, rn,
+               round(corr(value, vp) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {_CORR_FRAME - 1} PRECEDING AND CURRENT ROW
+               ), 4) AS corr10
+        FROM s
+        QUALIFY rn >= {_CORR_FRAME}
+    """,
+    category="time-series",
+)
+def rolling_corr_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling autocorrelation: per user, corr(value, lag(value)) over a
+    trailing 10-row event-time frame — the lag-1 serial-correlation monitor
+    run over metric streams to catch stuck sensors / repeated payloads.
+
+    All three window functions (lag, row_number, framed corr) share ONE
+    partitioning and sort (user_id; ts, event_id) — one shuffle, one sort
+    per partition. Rows before the frame fills (rn < 10) are dropped;
+    inside the frame both engines skip NULL pairs identically, so the first
+    emitted frame correlates 9 pairs. Rounded to 4 digits: corr divides by
+    two sample stddevs, amplifying ~1e-15 summation noise beyond the 6-digit
+    discipline used for plain sums.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-(_CORR_FRAME - 1), Window.currentRow)
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("vp"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        s.withColumn("corr10", F.round(F.corr("value", "vp").over(wf), 4))
+        .filter(F.col("rn") >= _CORR_FRAME)
+        .select("user_id", "rn", "corr10")
+    )
