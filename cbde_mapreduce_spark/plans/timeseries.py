@@ -208,6 +208,13 @@ def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     same instant (inclusive-interval semantics), and the default RANGE
     window frame gives all tied marks the same cumulative value in both
     engines, so the per-day max is deterministic.
+
+    Single-scan shape: both ±1 marks come from ONE interval aggregate by
+    exploding a 2-struct array (no self-union, which would scan events once
+    per branch), and n_sessions rides the same final groupBy as the peak
+    (count the +1 marks) instead of a separate aggregate + join. Executed
+    plan: one events scan, one (user,day) exchange, one (day) exchange —
+    the groupBy reuses the window's partitioning.
     """
     ev = load_table(spark, sf_dir, "events")
     iv = (
@@ -215,18 +222,23 @@ def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "day")
         .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
     )
-    marks = iv.select("day", F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
-        iv.select("day", F.col("e").alias("t"), F.lit(-1).alias("d"))
-    )
+    marks = iv.select(
+        "day",
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("t"), F.lit(1).alias("d")),
+                F.struct(F.col("e").alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("m"),
+    ).select("day", F.col("m.t").alias("t"), F.col("m.d").alias("d"))
     w = Window.partitionBy("day").orderBy(F.asc("t"), F.desc("d"))
     sweep = marks.withColumn("live", F.sum("d").over(w))
-    peaks = sweep.groupBy("day").agg(
-        F.max("live").cast("bigint").alias("peak_concurrency")
-    )
-    counts = iv.groupBy("day").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
-    )
-    return counts.join(peaks, "day").select(
+    return sweep.groupBy("day").agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sessions"),
+        F.max("live").cast("bigint").alias("peak_concurrency"),
+    ).select(
         F.col("day").cast("timestamp_ntz").alias("day"),
         "n_sessions",
         "peak_concurrency",

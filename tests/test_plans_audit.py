@@ -316,3 +316,72 @@ def test_point_in_time_join_is_hash_join_not_bnlj(spark, sf_oracle):
     plan = _executed_plan(df)
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def _final_plan(df) -> str:
+    """Executed plan without the AQE 'Initial Plan' duplicate rendering."""
+    plan = _executed_plan(df)
+    return plan.split("== Initial Plan ==")[0] if "== Initial Plan ==" in plan else plan
+
+
+def test_ohlc_single_exchange_shared_by_window_and_agg(spark, sf_oracle):
+    """OHLC: window partitioning == groupBy keys, so the aggregate must NOT
+    re-shuffle — one exchange, one sort, no single-partition stage."""
+    df = REGISTRY["ohlc_bars_events"].fn(spark, sf_oracle)
+    plan = _final_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+    assert "partial_max" in plan  # map-side combine on the bar aggregate
+
+
+def test_sweep_line_single_scan_partitioned_by_day(spark, sf_oracle):
+    """Peak concurrency: exploded ±1 marks keep ONE events scan; the sweep
+    window is partitioned by day — never a global single-partition sort."""
+    df = REGISTRY["concurrent_sessions_peak"].fn(spark, sf_oracle)
+    plan = _final_plan(df)
+    assert plan.count("FileScan") == 1, "marks must not re-scan events"
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_rolling_corr_one_shuffle_one_sort(spark, sf_oracle):
+    """lag, row_number and the framed corr share one (user_id) partitioning
+    and one (ts, event_id) sort."""
+    df = REGISTRY["rolling_corr_value"].fn(spark, sf_oracle)
+    plan = _final_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_winsorize_window_feeds_agg_without_reshuffle(spark, sf_oracle):
+    """Percentile edges come from whole-partition frames on the SAME key the
+    final groupBy uses — one shuffle total."""
+    df = REGISTRY["winsorize_order_value"].fn(spark, sf_oracle)
+    plan = _final_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_knn_broadcasts_the_pair_join(spark, sf_oracle):
+    """The eval-set scored self-join broadcasts one side (BNLJ), never a
+    sort-merge cartesian."""
+    df = REGISTRY["knn_label_accuracy"].fn(spark, sf_oracle)
+    plan = _final_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_oracle):
+    """Sliding-window chunking is embarrassingly parallel: no Exchange at
+    all before downstream consumers aggregate."""
+    df = REGISTRY["chunk_overlap_docs"].fn(spark, sf_oracle)
+    plan = _final_plan(df)
+    assert "Exchange" not in plan
+
+
+def test_zipf_global_sort_is_take_ordered_spine(spark, sf_oracle):
+    """Only the 100-row rank spine is globally ordered (TakeOrdered), never
+    the vocabulary."""
+    df = REGISTRY["zipf_tail_index"].fn(spark, sf_oracle)
+    plan = _final_plan(df)
+    assert "TakeOrderedAndProject" in plan
