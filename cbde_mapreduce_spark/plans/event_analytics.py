@@ -397,3 +397,56 @@ def cusum_drift_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drifted"),
         )
     )
+
+
+TRIGRAM_TOP = 20
+
+
+@query(
+    "event_trigram_paths",
+    oracle=f"""
+        WITH s AS (
+            SELECT user_id, event_type AS e1,
+                   lead(event_type, 1) OVER w AS e2,
+                   lead(event_type, 2) OVER w AS e3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT e1 || '>' || e2 || '>' || e3 AS path,
+               count(*)::bigint AS n
+        FROM s WHERE e3 IS NOT NULL
+        GROUP BY 1
+        ORDER BY n DESC, path
+        LIMIT {TRIGRAM_TOP}
+    """,
+    category="event-analytics",
+)
+def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step behavior paths (order-2 sequence mining): the
+    successor pair of every event under per-user event-time order, counted
+    globally. The order-1 version is event_transition_matrix; order-2 is
+    where funnels that the first-order chain can't distinguish (a→b→a vs
+    a→b→c) become visible.
+
+    One shuffle on user_id for both leads (shared window sort), then a
+    map-side-combinable count on the path key and a TakeOrdered top-20 with
+    a (count, path) total order — never a global sort of all paths.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        s.select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(TRIGRAM_TOP)
+    )

@@ -382,3 +382,52 @@ def zipf_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_types.crossJoin(F.broadcast(fit)).select(
         "n_types", "zipf_slope", "zipf_intercept", "fit_r2"
     )
+
+
+@query(
+    "gini_customer_revenue",
+    oracle="""
+        WITH rev AS (SELECT o_custkey, sum(o_totalprice) AS r
+                     FROM orders GROUP BY o_custkey),
+        ranked AS (SELECT r, row_number() OVER (ORDER BY r, o_custkey) AS i,
+                          count(*) OVER () AS n
+                   FROM rev)
+        SELECT max(n)::bigint AS n_customers,
+               round(sum(r), 2) AS total_revenue,
+               round(2.0 * sum(i * r) / (max(n) * sum(r))
+                     - (max(n) + 1.0) / max(n), 6) AS gini
+        FROM ranked
+    """,
+    category="ml-prep",
+)
+def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the one-number
+    inequality screen (0 = uniform spend, →1 = one whale) run before
+    deciding whether a per-customer key needs skew treatment.
+
+    Gini needs a global rank of the revenue vector, so the single-partition
+    window here is over the CUSTOMER AGGREGATE (dimension-sized: |customers|
+    ≪ |orders|), computed after the one map-side-combinable groupBy over the
+    fact table — the same dimension-vs-fact size argument that makes
+    broadcast joins sound. Rank ties are impossible by construction
+    ((revenue, custkey) is a total order), so ranks — and the closed-form
+    2·Σi·xᵢ/(n·Σx) − (n+1)/n — are cross-engine identical.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
+    ranked = rev.select(
+        "r",
+        F.row_number()
+        .over(Window.orderBy(F.asc("r"), F.asc("o_custkey")))
+        .alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.round(F.sum("r"), 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("r")) / (F.max("n") * F.sum("r"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )

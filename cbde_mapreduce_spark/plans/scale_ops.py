@@ -408,3 +408,50 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(benford, 6).alias("benford_p"),
         F.round(F.abs(obs - benford), 6).alias("abs_dev"),
     )
+
+
+@query(
+    "key_skew_profile",
+    oracle="""
+        WITH c AS (SELECT l_suppkey AS k, count(*)::bigint AS cnt
+                   FROM lineitem GROUP BY l_suppkey),
+        t AS (SELECT sum(cnt) AS total FROM c),
+        p AS (SELECT cnt, total, cnt / total::double AS pr FROM c, t)
+        SELECT count(*)::bigint                         AS n_keys,
+               max(total)::bigint                       AS n_rows,
+               max(cnt)::bigint                         AS max_cnt,
+               round(max(cnt) / max(total)::double, 6)  AS top1_share,
+               round(quantile_cont(cnt, 0.99), 4)       AS p99_cnt,
+               round(stddev_samp(cnt) / avg(cnt), 6)    AS cv,
+               round(-sum(pr * ln(pr)), 6)              AS entropy
+        FROM p
+    """,
+    category="scale",
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile of lineitem.l_suppkey — the measurement that
+    DECIDES skew treatment (salting / AQE skew-join / broadcast) before a
+    big join, instead of guessing: key count, heaviest-key share, p99
+    per-key count, coefficient of variation, and key-distribution entropy.
+
+    One map-side-combinable groupBy reduces the fact table to |keys| rows;
+    every statistic is then a single aggregate over that key-count vector
+    (the 1-row total rides in as a broadcast). This is the profiler behind
+    operators/skew.py::salted_aggregate — high top1_share / low entropy is
+    the signal that turns salting on.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_suppkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    t = c.agg(F.sum("cnt").alias("total"))
+    p = F.col("cnt") / F.col("total").cast("double")
+    return c.crossJoin(F.broadcast(t)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("total").cast("bigint").alias("n_rows"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.round(F.max("cnt") / F.max("total").cast("double"), 6).alias("top1_share"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 4).alias("p99_cnt"),
+        F.round(F.stddev_samp("cnt") / F.avg("cnt"), 6).alias("cv"),
+        F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+    )

@@ -142,3 +142,39 @@ def streaming_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cbde_mapreduce_spark.streaming.stateful import run_stateful_user_profiles
 
     return run_stateful_user_profiles(spark, sf_dir)
+
+
+@query(
+    "streaming_ohlc_bars",
+    oracle="""
+        WITH b AS (SELECT event_type, date_trunc('hour', ts) AS hr, ts,
+                          event_id, value
+                   FROM events),
+        r AS (SELECT *,
+                     row_number() OVER (PARTITION BY event_type, hr
+                                        ORDER BY ts, event_id) AS ra,
+                     count(*)     OVER (PARTITION BY event_type, hr) AS ntot
+              FROM b)
+        SELECT event_type, hr,
+               round(max(CASE WHEN ra = 1    THEN value END), 4) AS open,
+               round(max(value), 4)                              AS high,
+               round(min(value), 4)                              AS low,
+               round(max(CASE WHEN ra = ntot THEN value END), 4) AS close,
+               count(*)::bigint                                  AS n_events,
+               round(sum(value), 4)                              AS volume
+        FROM r
+        GROUP BY event_type, hr
+    """,
+    category="streaming",
+)
+def streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars maintained by the streaming engine: open/close as
+    min_by/max_by over the orderable (ts, event_id) struct — the
+    declarative re-expression of first/last-in-event-time that a stream CAN
+    maintain incrementally (ordered windows cannot run on a stream).
+    Checked against the same row_number batch SQL oracle as the batch twin
+    ohlc_bars_events (streaming/streams.py::run_streaming_ohlc).
+    """
+    from cbde_mapreduce_spark.streaming import run_streaming_ohlc
+
+    return run_streaming_ohlc(spark, sf_dir)

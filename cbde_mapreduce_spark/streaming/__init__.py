@@ -12,6 +12,7 @@ from cbde_mapreduce_spark.streaming.streams import (  # noqa: F401
     events_stream,
     kafka_events_stream,
     run_streaming_dedup,
+    run_streaming_ohlc,
     run_streaming_session,
     run_streaming_sliding,
     run_streaming_tumbling,

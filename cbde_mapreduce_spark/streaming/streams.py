@@ -297,3 +297,50 @@ def run_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(sink)
+
+
+def run_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars as a real streaming query, run to completion.
+
+    Open/close inside a streaming aggregation cannot use ordered windows
+    (no event-time sort in a stream); min_by/max_by over the orderable
+    (ts, event_id) struct express the same first/last-value semantics as a
+    pure declarative aggregate, which the streaming engine maintains
+    incrementally. Must match the batch twin
+    (plans/timeseries.py::ohlc_bars_events) cell-exactly — the deterministic
+    (ts, event_id) tiebreak is what makes that equivalence hold.
+    """
+    stream = events_stream(spark, sf_dir)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        stream.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.round(F.min_by("value", key), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", key), 4).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("volume"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").cast("timestamp_ntz").alias("hr"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "volume",
+        )
+    )
+    sink = f"ohlc_{uuid.uuid4().hex[:12]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ohlc_"))
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink)
