@@ -9,7 +9,7 @@ boilerplate chunks dedup at chunk level even when whole documents differ.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cbde_mapreduce_spark.plans.registry import query
@@ -182,3 +182,66 @@ def stopword_array_ops_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "content_terms"
         ),
     )
+
+
+SNM_WINDOW = 2  # neighbors compared per doc in sorted order
+SNM_MAX_DIST = 80
+
+
+@query(
+    "sorted_neighborhood_neardup",
+    oracle=f"""
+        WITH s AS (SELECT doc_id, text,
+                          lead(doc_id, 1) OVER w AS nd1,
+                          lead(text, 1)   OVER w AS nt1,
+                          lead(doc_id, 2) OVER w AS nd2,
+                          lead(text, 2)   OVER w AS nt2
+                   FROM documents
+                   WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)),
+        p AS (SELECT doc_id AS doc_a, nd1 AS doc_b,
+                     levenshtein(text, nt1)::bigint AS dist
+              FROM s WHERE nd1 IS NOT NULL
+              UNION ALL
+              SELECT doc_id, nd2, levenshtein(text, nt2)::bigint
+              FROM s WHERE nd2 IS NOT NULL)
+        SELECT doc_a, doc_b, dist
+        FROM p WHERE dist <= {SNM_MAX_DIST}
+    """,
+    category="cleaning",
+)
+def sorted_neighborhood_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-duplicate candidates: sort docs by
+    (lang, n_chars), compare each doc to its next 2 neighbors in sorted
+    order, keep pairs with edit distance ≤ 80.
+
+    Sorted-neighborhood blocking (Hernández & Stolfo's merge/purge) is the
+    third blocking family beside hashing (MinHash-LSH) and sign-projection
+    (SimHash): ONE partitioned sort, w−1 lead columns, and only w·n
+    comparisons total — no candidate blow-up on skewed buckets, at the cost
+    of missing near-dups whose sort keys diverge. The sort partitions by
+    lang (sort cost is per-language, never global), the expensive
+    levenshtein runs only on the 2n surviving neighbor pairs, and both
+    engines implement identical unit-cost Levenshtein so the distances are
+    cross-engine exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    s = docs.select(
+        "doc_id",
+        "text",
+        F.lead("doc_id", 1).over(w).alias("nd1"),
+        F.lead("text", 1).over(w).alias("nt1"),
+        F.lead("doc_id", 2).over(w).alias("nd2"),
+        F.lead("text", 2).over(w).alias("nt2"),
+    )
+    p1 = s.filter(F.col("nd1").isNotNull()).select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("nd1").alias("doc_b"),
+        F.levenshtein("text", "nt1").cast("bigint").alias("dist"),
+    )
+    p2 = s.filter(F.col("nd2").isNotNull()).select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("nd2").alias("doc_b"),
+        F.levenshtein("text", "nt2").cast("bigint").alias("dist"),
+    )
+    return p1.unionByName(p2).filter(F.col("dist") <= SNM_MAX_DIST)

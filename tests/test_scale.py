@@ -22,6 +22,12 @@ SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
         "window_dedup_events",
         "table_diff_cdc",
         "degree_histogram_trade_graph",
+        # round-4 additions (events/orders-backed; count columns grow)
+        "ohlc_bars_events",
+        "concurrent_sessions_peak",
+        "mutual_information_events",
+        "winsorize_order_value",
+        "key_skew_profile",
     ],
 )
 def test_counts_grow_with_sf(name, spark):
