@@ -245,3 +245,49 @@ def sorted_neighborhood_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("text", "nt2").cast("bigint").alias("dist"),
     )
     return p1.unionByName(p2).filter(F.col("dist") <= SNM_MAX_DIST)
+
+
+PREFIX_TOKENS = 8
+
+
+@query(
+    "boilerplate_prefixes_docs",
+    oracle=f"""
+        WITH p AS (SELECT doc_id,
+                          array_to_string(string_split(text, ' ')[1:{PREFIX_TOKENS}],
+                                          ' ') AS prefix
+                   FROM documents)
+        SELECT prefix,
+               count(*)::bigint AS n_docs,
+               min(doc_id)      AS first_doc
+        FROM p
+        GROUP BY prefix
+        HAVING count(*) >= 2
+    """,
+    category="cleaning",
+)
+def boilerplate_prefixes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix boilerplate detector: documents opening with the same
+    first 8 tokens (headers, licence banners, templated intros — the
+    highest-yield target of boilerplate stripping, which near-dup passes
+    miss because the BODIES differ).
+
+    One projection (slice + join of the token array) and one map-side-
+    combinable groupBy on the prefix string; emitting only groups ≥ 2 keeps
+    the output the action list (what to strip), not the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, PREFIX_TOKENS), " "
+        ).alias("prefix"),
+    )
+    return (
+        p.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

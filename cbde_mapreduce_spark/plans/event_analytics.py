@@ -450,3 +450,77 @@ def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(TRIGRAM_TOP)
     )
+
+
+@query(
+    "funnel_ttc_percentiles",
+    oracle="""
+        WITH d AS (SELECT user_id, ts::date AS day, event_type,
+                          epoch_ns(ts) AS tns
+                   FROM events),
+        t1 AS (SELECT user_id, day, min(tns) AS t1
+               FROM d WHERE event_type = 'view' GROUP BY 1, 2),
+        t3 AS (SELECT d.user_id, d.day, min(d.tns) AS t3
+               FROM d JOIN t1 USING (user_id, day)
+               WHERE d.event_type = 'purchase' AND d.tns > t1.t1
+               GROUP BY 1, 2),
+        c AS (SELECT t3.day,
+                     (t3.t3 - t1.t1) / 1e9 AS ttc_sec
+              FROM t3 JOIN t1 USING (user_id, day))
+        SELECT day,
+               count(*)::bigint AS n_conversions,
+               round(quantile_cont(ttc_sec, 0.5), 2) AS median_ttc_sec,
+               round(quantile_cont(ttc_sec, 0.9), 2) AS p90_ttc_sec
+        FROM c
+        GROUP BY day
+    """,
+    category="event-analytics",
+)
+def funnel_ttc_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per day, median and p90 seconds from a
+    user's first view to their first subsequent purchase — the latency
+    companion to funnel_user_day's stage counts (funnels say how many
+    convert; this says how long conversion takes).
+
+    Same (user_id, day)-keyed join chain as the funnel, with timestamps
+    carried as integer event-time nanoseconds (ts_ns — no timezone or
+    float-epoch drift; both engines divide the same exact integers).
+    Percentiles are exact interpolated over the per-day conversion sets.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+        F.col("ts_ns").alias("tns"),
+    )
+    keys = ["user_id", "day"]
+    t1 = (
+        d.filter(F.col("event_type") == "view")
+        .groupBy(*keys)
+        .agg(F.min("tns").alias("t1"))
+    )
+    t3 = (
+        d.filter(F.col("event_type") == "purchase")
+        .join(t1, keys)
+        .filter(F.col("tns") > F.col("t1"))
+        .groupBy(*keys)
+        .agg(F.min("tns").alias("t3"))
+    )
+    c = t3.join(t1, keys).select(
+        "day", ((F.col("t3") - F.col("t1")) / 1e9).alias("ttc_sec")
+    )
+    return (
+        c.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+            F.round(F.expr("percentile(ttc_sec, 0.5)"), 2).alias("median_ttc_sec"),
+            F.round(F.expr("percentile(ttc_sec, 0.9)"), 2).alias("p90_ttc_sec"),
+        )
+        .select(
+            F.col("day").cast("timestamp_ntz").alias("day"),
+            "n_conversions",
+            "median_ttc_sec",
+            "p90_ttc_sec",
+        )
+    )

@@ -431,3 +431,82 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "chi2_event_weekday",
+    oracle="""
+        WITH xy AS (SELECT event_type AS x, isodow(ts) - 1 AS y,
+                           count(*)::bigint AS o
+                    FROM events GROUP BY 1, 2),
+        spine AS (SELECT x, y FROM (SELECT DISTINCT x FROM xy),
+                                   (SELECT DISTINCT y FROM xy)),
+        f AS (SELECT spine.x, spine.y, coalesce(o, 0) AS o
+              FROM spine LEFT JOIN xy ON spine.x = xy.x AND spine.y = xy.y),
+        m AS (SELECT x, y, o,
+                     sum(o) OVER (PARTITION BY x) AS nx,
+                     sum(o) OVER (PARTITION BY y) AS ny,
+                     sum(o) OVER ()               AS n
+              FROM f),
+        d AS (SELECT count(DISTINCT x) AS cx, count(DISTINCT y) AS cy FROM f)
+        SELECT max(n)::bigint AS n,
+               ((max(cx) - 1) * (max(cy) - 1))::bigint AS dof,
+               round(sum(pow(o - nx * ny / n::double, 2)
+                         / (nx * ny / n::double)), 4) AS chi2,
+               round(sqrt(sum(pow(o - nx * ny / n::double, 2)
+                              / (nx * ny / n::double))
+                          / (max(n) * least(max(cx) - 1, max(cy) - 1))), 6)
+                 AS cramers_v
+        FROM m, d
+    """,
+    category="ml-prep",
+)
+def chi2_event_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test (+ Cramér's V effect size) between
+    event_type and weekday — the frequentist companion to
+    mutual_information_events: MI measures dependence in nats, χ²/V gives
+    the test statistic and a normalized [0,1] effect size.
+
+    Same scale shape as the MI query: the fact table collapses to the
+    contingency table first, a |X|×|Y| spine pins zero cells (χ² needs
+    expected-vs-observed on EVERY cell, not just observed ones), and
+    marginals are window sums over ≤35 rows. Expected counts are ratios of
+    exact integers; only the final χ² sum and sqrt touch floats.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    xy = (
+        ev.select(
+            F.col("event_type").alias("x"), F.expr("weekday(ts)").alias("y")
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    spine = xy.select("x").distinct().crossJoin(xy.select("y").distinct())
+    f = spine.join(xy, ["x", "y"], "left").select(
+        "x", "y", F.coalesce("o", F.lit(0)).alias("o")
+    )
+    m = f.select(
+        "x",
+        "y",
+        "o",
+        F.sum("o").over(Window.partitionBy("x")).alias("nx"),
+        F.sum("o").over(Window.partitionBy("y")).alias("ny"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    d = f.agg(
+        F.countDistinct("x").alias("cx"), F.countDistinct("y").alias("cy")
+    )
+    e = F.col("nx") * F.col("ny") / F.col("n").cast("double")
+    cell = F.pow(F.col("o") - e, 2) / e
+    return m.crossJoin(F.broadcast(d)).agg(
+        F.max("n").cast("bigint").alias("n"),
+        ((F.max("cx") - 1) * (F.max("cy") - 1)).cast("bigint").alias("dof"),
+        F.round(F.sum(cell), 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.sum(cell)
+                / (F.max("n") * F.least(F.max("cx") - 1, F.max("cy") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
