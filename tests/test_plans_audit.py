@@ -385,3 +385,45 @@ def test_zipf_global_sort_is_take_ordered_spine(spark, sf_oracle):
     df = REGISTRY["zipf_tail_index"].fn(spark, sf_oracle)
     plan = _final_plan(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join is the runtime complement to operators/skew.py salting:
+    a hot key that would pin one reducer gets its partition SPLIT at
+    runtime (SortMergeJoin(skew=true) reading an 'AQEShuffleRead skewed').
+    Thresholds are lowered to make the toy-scale hot key cross the same
+    code path a 100 TB hot key crosses at defaults."""
+    from pyspark.sql import functions as F
+
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(300000).select(
+            F.when(F.col("id") % 3 == 0, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+        )
+        j = left.join(right, "k")
+        assert j.count() == 300000  # every left row matches exactly once
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
