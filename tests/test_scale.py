@@ -28,6 +28,8 @@ SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
         "mutual_information_events",
         "winsorize_order_value",
         "key_skew_profile",
+        "chi2_event_weekday",
+        "funnel_ttc_percentiles",
     ],
 )
 def test_counts_grow_with_sf(name, spark):
