@@ -275,3 +275,56 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.sum("n").alias("n"), F.round(F.sum("total"), 2).alias("total"))
     )
+
+
+@query(
+    "incremental_join_maintenance",
+    oracle="""
+        SELECT c_mktsegment,
+               count(*)::bigint AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    category="aggregation",
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance: with orders split into base O0 and
+    delta dO (by order date) and customer into base C0 and delta dC (by key
+    mod), the joined view is maintained as the delta identity
+
+        (O0 + dO) JOIN (C0 + dC) = O0 JOIN C0  +  dO JOIN C0
+                                 + O0 JOIN dC  +  dO JOIN dC
+
+    — three delta joins touch only delta-sized inputs; the full-recompute
+    O0 JOIN C0 term would already be materialized in a real pipeline. The
+    oracle computes the DIRECT join, so the value hash proves the
+    decomposition is exhaustive and disjoint (a wrong split double-counts
+    or drops rows). Completes the incremental-maintenance triangle beside
+    incremental_agg_merge (rollups) and table_diff_cdc (snapshot diffs).
+    Every term shuffles on the same join key, and the final per-segment
+    aggregate is map-side combinable over the union.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cut = F.lit("1998-01-01").cast("timestamp_ntz")
+    o0 = orders.filter(F.col("o_orderdate") < cut)
+    do = orders.filter(F.col("o_orderdate") >= cut)
+    c0 = cust.filter(F.col("c_custkey") % 10 != 0)
+    dc = cust.filter(F.col("c_custkey") % 10 == 0)
+    on = [F.col("o_custkey") == F.col("c_custkey")]
+    parts = [
+        o0.join(c0, on),
+        do.join(c0, on),
+        o0.join(dc, on),
+        do.join(dc, on),
+    ]
+    j = parts[0]
+    for p in parts[1:]:
+        j = j.unionByName(p)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
