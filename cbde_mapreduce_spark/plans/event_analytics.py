@@ -524,3 +524,75 @@ def funnel_ttc_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_ttc_sec",
         )
     )
+
+
+CEP_PATTERN = "v[^e]*c[^e]*p"  # view→click→purchase with no error between
+
+
+@query(
+    "cep_pattern_matches",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, ts::date AS day,
+                   string_agg(left(event_type, 1), '' ORDER BY ts, event_id)
+                     AS s
+            FROM events GROUP BY user_id, ts::date
+        )
+        SELECT day,
+               count(*)::bigint AS n_units,
+               sum(CASE WHEN regexp_matches(s, '{CEP_PATTERN}')
+                        THEN 1 ELSE 0 END)::bigint AS n_matching,
+               sum(len(regexp_extract_all(s, '{CEP_PATTERN}')))::bigint
+                 AS total_matches
+        FROM seq GROUP BY day
+    """,
+    category="event-analytics",
+)
+def cep_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern counts: per user-day, the ordered
+    event-initial string (view→v, click→c, …) is matched against
+    ``v[^e]*c[^e]*p`` — a conversion with NO error event in between — the
+    MATCH_RECOGNIZE / Flink-CEP representative re-expressed as ordered
+    string aggregation + regex, which distributes as one groupBy.
+
+    The per-unit sequence string is bounded by a user-day's events (≤
+    dozens), so the collected string is session-sized, never corpus-sized;
+    both engines run the same greedy non-overlapping scan so match counts
+    agree exactly. Output per day: units, units matching at least once,
+    total non-overlapping matches.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            F.expr("left(event_type, 1)").alias("i"),
+            "ts",
+            "event_id",
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.expr(
+                "listagg(i, '') WITHIN GROUP (ORDER BY ts, event_id)"
+            ).alias("s")
+        )
+    )
+    matches = F.size(F.expr(f"regexp_extract_all(s, '{CEP_PATTERN}', 0)"))
+    return (
+        seq.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_units"),
+            F.sum(
+                F.when(F.col("s").rlike(CEP_PATTERN), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_matching"),
+            F.sum(matches).cast("bigint").alias("total_matches"),
+        )
+        .select(
+            F.col("day").cast("timestamp_ntz").alias("day"),
+            "n_units",
+            "n_matching",
+            "total_matches",
+        )
+    )
