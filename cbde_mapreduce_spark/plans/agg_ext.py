@@ -328,3 +328,97 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@query(
+    "weighted_median_price",
+    oracle="""
+        WITH s AS (
+            SELECT l_returnflag, l_extendedprice, l_quantity,
+                   sum(l_quantity) OVER (PARTITION BY l_returnflag
+                                         ORDER BY l_extendedprice,
+                                                  l_orderkey, l_linenumber
+                                         ROWS UNBOUNDED PRECEDING) AS cw,
+                   sum(l_quantity) OVER (PARTITION BY l_returnflag) AS w
+            FROM lineitem)
+        SELECT l_returnflag,
+               count(*)::bigint AS n,
+               round(max(w), 2) AS w_total,
+               round(min(CASE WHEN cw >= w / 2 THEN l_extendedprice END), 4)
+                 AS weighted_median
+        FROM s
+        GROUP BY l_returnflag
+    """,
+    category="aggregation",
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (quantity-weighted extended price per return flag):
+    the smallest price whose cumulative weight reaches half the group's
+    total — the robust center that plain median misses when weights vary.
+
+    Cumulative weights run over an explicit ROWS frame with a
+    (price, orderkey, linenumber) total order, so both engines accumulate
+    the SAME float sequence and cross the W/2 threshold on the same row —
+    exact equality without rounding tricks on the path. The whole-partition
+    total rides the same shuffle as a frameless window. Exact semantics is
+    the contract here; the 100 TB form is a two-pass bucketed quantile
+    (histogram pass → in-bucket pass) or t-digest.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    wo = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    s = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_quantity",
+        F.sum("l_quantity").over(wo).alias("cw"),
+        F.sum("l_quantity").over(wall).alias("w"),
+    )
+    return s.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.max("w"), 2).alias("w_total"),
+        F.round(
+            F.min(
+                F.when(F.col("cw") >= F.col("w") / 2, F.col("l_extendedprice"))
+            ),
+            4,
+        ).alias("weighted_median"),
+    )
+
+
+@query(
+    "decimal_exact_revenue",
+    oracle="""
+        SELECT o_orderstatus,
+               count(*)::bigint AS n,
+               sum(o_totalprice::decimal(18,2))::varchar AS revenue_exact
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    category="aggregation",
+)
+def decimal_exact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money arithmetic in DECIMAL, not double: per-status revenue summed as
+    decimal(18,2) and emitted as a STRING, so the check is exact to the
+    cent with no float rounding discipline at all — the representation a
+    finance-grade pipeline must use, and at 100 TB decimal sums stay exact
+    where double sums drift with partition count and add order.
+
+    Same combinable one-groupBy shape as the double version
+    (global_agg_lineitem); only the type lane differs (Spark widens the
+    accumulator to decimal(28,2), DuckDB to decimal(38,2) — same digits,
+    same string).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("string")
+        .alias("revenue_exact"),
+    )

@@ -510,3 +510,99 @@ def chi2_event_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+_AB_SPLIT = "2024-01-16"  # events span 2024-01-01 .. 2024-01-30
+
+
+@query(
+    "ab_test_conversion",
+    oracle=f"""
+        WITH u AS (
+            SELECT CASE WHEN ts < TIMESTAMP '{_AB_SPLIT}' THEN 'A' ELSE 'B'
+                   END AS grp,
+                   user_id, ts::date AS day,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     AS converted
+            FROM events GROUP BY 1, 2, 3),
+        s AS (SELECT
+                sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END)::bigint AS n_a,
+                sum(CASE WHEN grp = 'A' THEN converted ELSE 0 END)::bigint
+                  AS conv_a,
+                sum(CASE WHEN grp = 'B' THEN 1 ELSE 0 END)::bigint AS n_b,
+                sum(CASE WHEN grp = 'B' THEN converted ELSE 0 END)::bigint
+                  AS conv_b
+              FROM u)
+        SELECT n_a, conv_a, n_b, conv_b,
+               round(conv_a / n_a::double, 6) AS p_a,
+               round(conv_b / n_b::double, 6) AS p_b,
+               round((conv_a / n_a::double - conv_b / n_b::double)
+                     / sqrt(((conv_a + conv_b) / (n_a + n_b)::double)
+                            * (1 - (conv_a + conv_b) / (n_a + n_b)::double)
+                            * (1.0 / n_a + 1.0 / n_b)), 4) AS z_stat,
+               (abs((conv_a / n_a::double - conv_b / n_b::double)
+                    / sqrt(((conv_a + conv_b) / (n_a + n_b)::double)
+                           * (1 - (conv_a + conv_b) / (n_a + n_b)::double)
+                           * (1.0 / n_a + 1.0 / n_b))) > 1.96)::int
+                 AS significant_95
+        FROM s
+    """,
+    category="ml-prep",
+)
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on daily conversion, first half of the month vs
+    second — the A/B-test readout (χ² screens categorical independence;
+    this is the two-sample hypothesis test with a decision threshold).
+
+    The unit is a USER-DAY (did this user purchase today?), the standard
+    daily-conversion unit — per-user-over-15-days conversion saturates at
+    ~100% on this fixture and degenerates the pooled variance to zero.
+    Unit flags collapse in one combinable groupBy; the four counts that
+    remain are exact integers, so the pooled-variance z statistic is pure
+    scalar arithmetic regardless of scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.select(
+            F.when(
+                F.col("ts") < F.lit(_AB_SPLIT).cast("timestamp_ntz"), "A"
+            )
+            .otherwise("B")
+            .alias("grp"),
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            (F.col("event_type") == "purchase").cast("int").alias("pur"),
+        )
+        .groupBy("grp", "user_id", "day")
+        .agg(F.max("pur").alias("converted"))
+    )
+    s = u.agg(
+        F.sum(F.when(F.col("grp") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("grp") == "A", F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("grp") == "B", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("grp") == "B", F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    pa = F.col("conv_a") / F.col("n_a").cast("double")
+    pb = F.col("conv_b") / F.col("n_b").cast("double")
+    pp = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (pa - pb) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    return s.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(z) > 1.96).cast("int").alias("significant_95"),
+    )

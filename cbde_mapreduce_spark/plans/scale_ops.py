@@ -455,3 +455,44 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("cnt") / F.avg("cnt"), 6).alias("cv"),
         F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
     )
+
+
+SAMPLE_K = 3
+
+
+@query(
+    "sample_k_per_group",
+    oracle=f"""
+        SELECT user_id, event_id, rn
+        FROM (SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY md5(event_id::varchar),
+                                                 event_id) AS rn
+              FROM events)
+        WHERE rn <= {SAMPLE_K}
+    """,
+    category="scale",
+)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-key deterministic sampling: 3 events per user, chosen
+    by md5-hash order — the per-key downsampler that caps hot keys before
+    an expensive downstream op (rand() would be irreproducible; LIMIT
+    inside a group is order-dependent; hash order is both uniform-ish and
+    replayable).
+
+    One window on the group key: shuffle by user_id, sort each partition by
+    (md5(id), id), keep rn ≤ 3. The same hash trick at 100 TB caps any
+    key's contribution regardless of its raw frequency — the sampling face
+    of the skew toolkit (key_skew_profile → salting / capping).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        ev.select("user_id", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_K)
+    )

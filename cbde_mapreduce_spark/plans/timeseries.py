@@ -296,3 +296,46 @@ def rolling_corr_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") >= _CORR_FRAME)
         .select("user_id", "rn", "corr10")
     )
+
+
+@query(
+    "monthly_revenue_growth",
+    oracle="""
+        WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+                          count(*)::bigint AS n_orders,
+                          round(sum(o_totalprice), 2) AS revenue
+                   FROM orders GROUP BY 1)
+        SELECT month, n_orders, revenue,
+               round((revenue - lag(revenue) OVER (ORDER BY month))
+                     / lag(revenue) OVER (ORDER BY month), 6) AS mom_growth
+        FROM m
+    """,
+    category="time-series",
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the reporting staple: monthly
+    revenue plus its relative change vs the prior month (first month NULL).
+
+    The fact table collapses to ~80 month rows in one combinable groupBy;
+    the unpartitioned lag window then runs over the month spine only —
+    the same dimension-sized-global-window argument as
+    gini_customer_revenue (a window over months is never the scale
+    problem; a window over orders would be). Growth divides the
+    already-rounded revenues so both engines divide identical inputs.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    m = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "n_orders",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
+    )
