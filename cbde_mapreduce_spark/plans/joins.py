@@ -416,3 +416,45 @@ def point_in_time_status_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.round(F.sum("l_quantity"), 2).alias("total_qty"),
     )
+
+
+@query(
+    "null_safe_join_types",
+    oracle="""
+        WITH l AS (SELECT nullif(event_type, 'error') AS k, value FROM events),
+        d AS (SELECT DISTINCT nullif(event_type, 'error') AS k,
+                     coalesce(nullif(event_type, 'error'), '<err-null>')
+                       AS label
+              FROM events)
+        SELECT label,
+               count(*)::bigint AS n,
+               round(sum(l.value), 2) AS sum_value
+        FROM l JOIN d ON l.k IS NOT DISTINCT FROM d.k
+        GROUP BY label
+    """,
+    category="join",
+)
+def null_safe_join_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): error events carry
+    a NULL key and still match the dimension's NULL row — ordinary equality
+    silently DROPS them (NULL = NULL is NULL), the classic silent-data-loss
+    bug in key-normalization joins.
+
+    Non-vacuous by construction: the '<err-null>' output row exists only
+    because the null-safe semantics matched the NULL keys; a plain join
+    would lose those rows and the value hash would differ. Spark plans <=>
+    as a regular hash join key (no BNLJ penalty).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("nullif(event_type, 'error')")
+    l = ev.select(k.alias("k"), "value")
+    d = (
+        ev.select(k.alias("k"))
+        .distinct()
+        .select("k", F.coalesce(F.col("k"), F.lit("<err-null>")).alias("label"))
+    )
+    j = l.join(d, l["k"].eqNullSafe(d["k"]))
+    return j.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

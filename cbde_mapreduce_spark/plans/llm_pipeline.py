@@ -777,3 +777,60 @@ def chunk_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_md5"),
     )
+
+
+@query(
+    "stratified_split_quota",
+    oracle="""
+        WITH r AS (
+            SELECT lang, doc_id,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY md5(doc_id::varchar), doc_id)
+                     AS rk,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM documents),
+        a AS (SELECT lang,
+                     CASE WHEN rk <= (8 * n) // 10 THEN 'train'
+                          WHEN rk <= (9 * n) // 10 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM r)
+        SELECT lang, split, count(*)::bigint AS n_docs
+        FROM a GROUP BY lang, split
+    """,
+    category="llm-pipeline",
+)
+def stratified_split_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified 80/10/10 split PER LANGUAGE: within each language,
+    docs rank by md5-hash order and the first ⌊0.8n⌋ go to train, the next
+    ⌊0.9n⌋−⌊0.8n⌋ to val, the rest to test — every stratum hits its quota
+    exactly (a global hash split like dataset_split_assignment only hits
+    80/10/10 in expectation, so small languages can end up with an empty
+    eval set).
+
+    One window per stratum key: shuffle on lang, sort by the replayable
+    hash order, integer-threshold the rank — deterministic, and the
+    same shape caps any stratum at 100 TB. Counts per (lang, split) are
+    the verifiable contract; assignment itself is the rank predicate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    r = docs.select(
+        "lang",
+        "doc_id",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    a = r.select(
+        "lang",
+        F.when(F.col("rk") <= F.expr("(8 * n) div 10"), "train")
+        .when(F.col("rk") <= F.expr("(9 * n) div 10"), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return a.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )

@@ -16,7 +16,7 @@ from cbde_mapreduce_spark.operators.dedup import (
     minhash_lsh_neardup,
     simhash_fingerprints,
 )
-from cbde_mapreduce_spark.plans.registry import query
+from cbde_mapreduce_spark.plans.registry import REGISTRY, query
 from cbde_mapreduce_spark.sources import load_table
 
 
@@ -155,3 +155,27 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(
         drops, docs.doc_id == F.col("__drop_id"), "left_anti"
     ).select("doc_id", "lang")
+
+
+@query(
+    "neardup_components_star",
+    oracle=REGISTRY["neardup_components"].oracle,
+    category="dedup",
+)
+def neardup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same near-dup components, computed by alternating large-star /
+    small-star rounds (operators/iterative.py::connected_components_star)
+    instead of min-label propagation — O(log² n) rounds on ANY topology vs
+    O(diameter), the difference between ~20 and ~10⁶ shuffles on a
+    path-shaped 100 TB graph.
+
+    Identical contract (component id = min doc_id) and the SAME recursive-
+    CTE oracle as neardup_components, so the 100 TB-shape algorithm gets
+    its own driver-checkable value-hash row rather than riding on the
+    pytest equality assertion alone.
+    """
+    from cbde_mapreduce_spark.operators.iterative import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = jaccard_pairs(docs, k=3, threshold=0.1).select("doc_a", "doc_b")
+    return connected_components_star(edges, "doc_a", "doc_b")
