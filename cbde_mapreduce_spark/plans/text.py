@@ -620,3 +620,85 @@ def feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("l2_norm"),
         F.max("c").cast("bigint").alias("max_bucket"),
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_DOC = 0  # the fixture doc whose terms form the query
+BM25_TOP = 10
+
+
+@query(
+    "bm25_topk_docs",
+    oracle=f"""
+        WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+                     FROM documents),
+        tf AS (SELECT doc_id, t, count(*)::double AS tf
+               FROM tok GROUP BY doc_id, t),
+        dl AS (SELECT doc_id, count(*)::double AS len FROM tok GROUP BY doc_id),
+        stats AS (SELECT count(*)::double AS n, avg(len) AS avglen FROM dl),
+        df AS (SELECT t, count(*)::double AS df FROM tf GROUP BY t),
+        q AS (SELECT DISTINCT t FROM tf WHERE doc_id = {BM25_QUERY_DOC}),
+        s AS (SELECT tf.doc_id,
+                     sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                         * (tf.tf * ({BM25_K1} + 1))
+                         / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                            + {BM25_B} * dl.len / stats.avglen))) AS score
+              FROM tf JOIN q USING (t)
+                      JOIN dl USING (doc_id)
+                      CROSS JOIN stats
+                      JOIN df USING (t)
+              WHERE tf.doc_id <> {BM25_QUERY_DOC}
+              GROUP BY tf.doc_id)
+        SELECT doc_id, round(score, 6) AS bm25
+        FROM s
+        ORDER BY round(score, 6) DESC, doc_id
+        LIMIT {BM25_TOP}
+    """,
+    category="text",
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (Robertson/Lucene variant, k1=1.2, b=0.75): score every
+    document against the query terms of doc 0, return the top 10 — the
+    lexical-retrieval representative beside tfidf_top_terms (term weights)
+    and the embedding family (dense retrieval).
+
+    Scale shape: the postings table (doc, term, tf) is the only corpus-sized
+    relation; the query-term set is broadcast-small by construction, so the
+    scoring join prunes postings to query terms FIRST (broadcast semi-shape),
+    then joins the doc-length table and the 1-row corpus stats — no
+    all-terms × all-docs blowup. idf and the length normalization divide
+    exact counts, rounded once at the end; top-k is TakeOrdered with a
+    (score, doc_id) total order.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    tf = tok.groupBy("doc_id", "t").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("len").alias("avglen")
+    )
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    q = tf.filter(F.col("doc_id") == BM25_QUERY_DOC).select("t").distinct()
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    norm = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("len") / F.col("avglen")
+    )
+    s = (
+        tf.join(F.broadcast(q), "t")
+        .filter(F.col("doc_id") != BM25_QUERY_DOC)
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(df, "t")
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * (BM25_K1 + 1) / norm).alias("score"))
+    )
+    return (
+        s.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOP)
+    )
