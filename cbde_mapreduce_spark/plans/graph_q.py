@@ -438,3 +438,88 @@ def sssp_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").cast("bigint").alias("dist"))
         )
     return dist.orderBy(F.asc("dist"), F.asc("v")).limit(SSSP_TOP)
+
+
+@query(
+    "clustering_coeff_cosupplier",
+    oracle=f"""
+        WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+        e0 AS (SELECT x.s AS a, y.s AS b
+               FROM os x JOIN os y ON x.o = y.o AND x.s < y.s
+               GROUP BY 1, 2 HAVING count(*) >= {CO_OCCUR_MIN}),
+        e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        deg AS (SELECT a AS v, count(*)::bigint AS d FROM e GROUP BY a),
+        tri AS (SELECT t.a AS v, count(*)::bigint AS t2
+                FROM e t JOIN e0 uw ON t.b = uw.a
+                         JOIN e0 chk ON chk.a = least(t.a, uw.b)
+                                    AND chk.b = greatest(t.a, uw.b)
+                WHERE t.a <> uw.b
+                GROUP BY t.a)
+        SELECT deg.v, deg.d,
+               coalesce(tri.t2, 0) / 2 AS triangles,
+               round(coalesce(tri.t2, 0) / (deg.d * (deg.d - 1.0)), 6)
+                 AS clustering_coeff
+        FROM deg LEFT JOIN tri ON deg.v = tri.v
+        WHERE deg.d >= 2
+    """,
+    category="graph",
+)
+def clustering_coeff_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per vertex of the co-supplier graph:
+    2·triangles(v) / (d(v)·(d(v)−1)) — how close each supplier's
+    neighborhood is to a clique (the community-structure probe on top of
+    the global triangle count).
+
+    Triangles through v = closed wedges centered anywhere: enumerate
+    2-paths (v–u, u–w) on the symmetrized edge list, close them against
+    the ordered edge set via (least, greatest) — each triangle at v is
+    counted twice (once per wedge orientation), hence the /2. Same
+    wedge-join shape as triangle_count_cosupplier, plus a vertex-sized
+    degree join; at 100 TB the wedge join is the known cost and the
+    standard mitigations (degree-ordered orientation) apply unchanged.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    os_ = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    x = os_.alias("x")
+    y = os_.alias("y")
+    e0 = (
+        x.join(y, (F.col("x.o") == F.col("y.o")) & (F.col("x.s") < F.col("y.s")))
+        .groupBy(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= CO_OCCUR_MIN)
+        .select("a", "b")
+    )
+    e = e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = e.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    t = e.alias("t")
+    uw = e0.alias("uw")
+    chk = e0.alias("chk")
+    tri = (
+        t.join(uw, F.col("t.b") == F.col("uw.a"))
+        .filter(F.col("t.a") != F.col("uw.b"))
+        .join(
+            chk,
+            (F.col("chk.a") == F.least(F.col("t.a"), F.col("uw.b")))
+            & (F.col("chk.b") == F.greatest(F.col("t.a"), F.col("uw.b"))),
+        )
+        .groupBy(F.col("t.a").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t2"))
+    )
+    return (
+        deg.join(tri, "v", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            "v",
+            "d",
+            (F.coalesce(F.col("t2"), F.lit(0)) / 2).alias("triangles"),
+            F.round(
+                F.coalesce(F.col("t2"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1.0)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -339,3 +339,88 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
     )
+
+
+@query(
+    "ks_binned_order_drift",
+    oracle=f"""
+        WITH binned AS (
+            SELECT least(greatest(floor(o_totalprice / {_PSI_WIDTH}), 0),
+                         {_PSI_BINS - 1})::int AS bin,
+                   (o_orderdate < TIMESTAMP '{_PSI_SPLIT}')::int AS in_a
+            FROM orders),
+        c AS (SELECT bin,
+                     sum(in_a)::bigint     AS a_cnt,
+                     sum(1 - in_a)::bigint AS b_cnt
+              FROM binned GROUP BY bin),
+        spine AS (SELECT unnest(range({_PSI_BINS}))::int AS bin),
+        f AS (SELECT spine.bin,
+                     coalesce(a_cnt, 0) AS a_cnt,
+                     coalesce(b_cnt, 0) AS b_cnt
+              FROM spine LEFT JOIN c ON spine.bin = c.bin),
+        e AS (SELECT bin,
+                     sum(a_cnt) OVER (ORDER BY bin) AS ca,
+                     sum(b_cnt) OVER (ORDER BY bin) AS cb,
+                     sum(a_cnt) OVER () AS na,
+                     sum(b_cnt) OVER () AS nb
+              FROM f)
+        SELECT max(abs(ca / na::double - cb / nb::double)) AS ks_d,
+               max(na)::bigint AS n_a,
+               max(nb)::bigint AS n_b
+        FROM e
+    """,
+    category="time-series",
+)
+def ks_binned_order_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned Kolmogorov-Smirnov drift statistic on the same fixed bins as
+    psi_order_value_drift: D = max over bin edges of |ECDF_A − ECDF_B| —
+    the location-sensitive companion to PSI (PSI weights all bins; KS
+    catches a shift concentrated at one edge).
+
+    Exact KS needs a global sort of the value column; the binned variant
+    is exact FOR THE GRID and scale-sane — the fact table collapses to 10
+    bin counts, the ECDFs are window cumsums over those 10 rows, and the
+    statistic is their max gap. Counts are exact integers, so the ECDFs
+    divide identically in both engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    binned = orders.select(
+        F.least(
+            F.greatest(F.floor(F.col("o_totalprice") / _PSI_WIDTH), F.lit(0)),
+            F.lit(_PSI_BINS - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+        (F.col("o_orderdate") < F.lit(_PSI_SPLIT).cast("timestamp_ntz"))
+        .cast("int")
+        .alias("in_a"),
+    )
+    c = binned.groupBy("bin").agg(
+        F.sum("in_a").cast("bigint").alias("a_cnt"),
+        F.sum(1 - F.col("in_a")).cast("bigint").alias("b_cnt"),
+    )
+    spine = spark.range(_PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    f = spine.join(c, "bin", "left").select(
+        "bin",
+        F.coalesce("a_cnt", F.lit(0)).alias("a_cnt"),
+        F.coalesce("b_cnt", F.lit(0)).alias("b_cnt"),
+    )
+    wc = Window.orderBy("bin")
+    wall = Window.partitionBy()
+    e = f.select(
+        "bin",
+        F.sum("a_cnt").over(wc).alias("ca"),
+        F.sum("b_cnt").over(wc).alias("cb"),
+        F.sum("a_cnt").over(wall).alias("na"),
+        F.sum("b_cnt").over(wall).alias("nb"),
+    )
+    return e.agg(
+        F.max(
+            F.abs(
+                F.col("ca") / F.col("na").cast("double")
+                - F.col("cb") / F.col("nb").cast("double")
+            )
+        ).alias("ks_d"),
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+    )
