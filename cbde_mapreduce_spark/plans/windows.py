@@ -601,3 +601,73 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", F.round("__e", 4).alias("ewma"))
     )
+
+
+_DECILE_EDGES = [i / 10.0 for i in range(1, 10)]
+
+
+@query(
+    "decile_histogram_orders",
+    oracle="""
+        WITH e AS (SELECT quantile_cont(o_totalprice,
+                              [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                     AS qs
+                   FROM orders),
+        b AS (SELECT (CASE WHEN o_totalprice >= qs[1] THEN 1 ELSE 0 END
+                    + CASE WHEN o_totalprice >= qs[2] THEN 1 ELSE 0 END
+                    + CASE WHEN o_totalprice >= qs[3] THEN 1 ELSE 0 END
+                    + CASE WHEN o_totalprice >= qs[4] THEN 1 ELSE 0 END
+                    + CASE WHEN o_totalprice >= qs[5] THEN 1 ELSE 0 END
+                    + CASE WHEN o_totalprice >= qs[6] THEN 1 ELSE 0 END
+                    + CASE WHEN o_totalprice >= qs[7] THEN 1 ELSE 0 END
+                    + CASE WHEN o_totalprice >= qs[8] THEN 1 ELSE 0 END
+                    + CASE WHEN o_totalprice >= qs[9] THEN 1 ELSE 0 END)::int
+                     AS decile,
+                     o_totalprice
+              FROM orders, e)
+        SELECT decile,
+               count(*)::bigint AS n,
+               round(min(o_totalprice), 2) AS lo,
+               round(max(o_totalprice), 2) AS hi,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM b GROUP BY decile
+    """,
+    category="window",
+)
+def decile_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile assignment WITHOUT a global window — the
+    100 TB re-expression that ntile_percentile_orders' docstring promises:
+    compute the nine interpolated decile edges once (combinable aggregate,
+    broadcast as one row), then assign each order its decile by counting
+    edges ≤ value — one scan, no single-partition sort, same buckets
+    ntile(10) would produce up to edge-tie handling.
+
+    Edge determinism: both engines interpolate type-7 quantiles from the
+    same sorted values; a data point equals an edge only when the quantile
+    lands exactly on it (frac = 0), where both formulas return the point
+    itself — comparisons are therefore cross-engine stable with no
+    rounding on the path. At 100 TB the edges step swaps percentile for
+    approx_percentile (t-digest) and nothing else changes.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    edges = orders.agg(
+        *[
+            F.expr(f"percentile(o_totalprice, {q})").alias(f"q{i}")
+            for i, q in enumerate(_DECILE_EDGES, 1)
+        ]
+    )
+    b = orders.crossJoin(F.broadcast(edges))
+    decile = sum(
+        F.when(F.col("o_totalprice") >= F.col(f"q{i}"), 1).otherwise(0)
+        for i in range(1, 10)
+    ).cast("int")
+    return (
+        b.select(decile.alias("decile"), "o_totalprice")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
