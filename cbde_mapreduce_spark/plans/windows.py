@@ -181,8 +181,10 @@ def ntile_percentile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale note: a single global window is a deliberate single-partition
     sort; at 100 TB this op is re-expressed over a partition key or via
-    approx quantiles. Kept here because the operator semantics are part of
-    the reference surface.
+    quantile edges — `decile_histogram_orders` (below) IS that
+    re-expression, oracle-checked: edge aggregation + bucket-by-comparison,
+    no global sort. Kept here because the per-row operator semantics are
+    part of the reference surface.
     """
     orders = load_table(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
