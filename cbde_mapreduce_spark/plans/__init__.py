@@ -32,3 +32,5 @@ from cbde_mapreduce_spark.plans import agg_ext  # noqa: F401,E402
 from cbde_mapreduce_spark.plans import clean_ext  # noqa: F401,E402
 from cbde_mapreduce_spark.plans import timeseries  # noqa: F401,E402
 from cbde_mapreduce_spark.plans import mlprep  # noqa: F401,E402
+from cbde_mapreduce_spark.plans import retrieval  # noqa: F401,E402
+from cbde_mapreduce_spark.plans import stats_models  # noqa: F401,E402

@@ -8,7 +8,7 @@ tests/test_neardup.py (recall of planted near-duplicates).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cbde_mapreduce_spark.operators.dedup import (
@@ -179,3 +179,97 @@ def neardup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     edges = jaccard_pairs(docs, k=3, threshold=0.1).select("doc_a", "doc_b")
     return connected_components_star(edges, "doc_a", "doc_b")
+
+
+_SUBDUP_K = 50  # span length in characters
+_SUBDUP_MAXLEN = 4096  # generate_series bound for the oracle (max doc len)
+
+_SUBDUP_ORACLE = f"""
+    WITH pos AS (
+        SELECT doc_id, i, substr(text, i, {_SUBDUP_K}) AS g
+        FROM documents, generate_series(1, {_SUBDUP_MAXLEN}) t(i)
+        WHERE i <= length(text) - {_SUBDUP_K} + 1),
+    dupg AS (SELECT g FROM pos GROUP BY g
+             HAVING count(DISTINCT doc_id) > 1),
+    hit AS (SELECT doc_id, i FROM pos JOIN dupg USING (g)),
+    isl AS (SELECT doc_id, i,
+                   CASE WHEN max(i + {_SUBDUP_K} - 1) OVER (
+                            PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                            >= i THEN 0 ELSE 1 END AS new_island
+            FROM hit),
+    grp AS (SELECT doc_id, i,
+                   sum(new_island) OVER (PARTITION BY doc_id ORDER BY i)
+                     AS island
+            FROM isl),
+    spans AS (SELECT doc_id, island,
+                     min(i) AS s,
+                     max(i + {_SUBDUP_K} - 1) AS e
+              FROM grp GROUP BY doc_id, island)
+    SELECT doc_id,
+           count(*)::bigint AS n_spans,
+           sum(e - s + 1)::bigint AS dup_chars,
+           max(e - s + 1)::bigint AS max_span
+    FROM spans GROUP BY doc_id
+"""
+
+
+@query("substring_dup_spans", oracle=_SUBDUP_ORACLE, category="dedup")
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring detection (the Lee et al. 2022
+    "Deduplicating Training Data" problem): for every document, find the
+    character spans whose 50-char substrings also occur in some
+    OTHER document, merge overlapping hits into maximal spans, and report
+    span count / duplicated chars / longest span per doc.
+
+    The suffix-array formulation is inherently sequential; the distributed
+    re-expression is k-gram positional shingling: posexplode every k-char
+    window (corpus chars × 1 rows), count distinct docs per shingle, keep
+    cross-doc shingles, then merge overlapping [i, i+k) intervals per doc
+    with the gaps-and-islands pattern (running max of span end → island id
+    → min/max per island). Every stage is a shuffle on a data-parallel key
+    (shingle, then doc_id); the per-doc interval-merge window partitions by
+    doc. At 100 TB the shingle groupBy keys on xxhash64(g) (8-byte shuffle
+    keys instead of 50-char strings) with an md5 upgrade if collision odds
+    at corpus cardinality warrant 128 bits; the span algebra is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    k = _SUBDUP_K
+    pos = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(0)))
+            ).alias("i"),
+            "text",
+        )
+        .select("doc_id", "i", F.expr(f"substring(text, i, {k})").alias("g"))
+    )
+    dupg = pos.groupBy("g").agg(
+        F.count_distinct("doc_id").alias("nd")
+    ).filter(F.col("nd") > 1).select("g")
+    hit = pos.join(dupg, "g").select("doc_id", "i")
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = hit.select(
+        "doc_id",
+        "i",
+        F.when(F.max(F.col("i") + (k - 1)).over(wprev) >= F.col("i"), 0)
+        .otherwise(1)
+        .alias("new_island"),
+    )
+    wcum = Window.partitionBy("doc_id").orderBy("i")
+    grp = isl.select(
+        "doc_id", "i", F.sum("new_island").over(wcum).alias("island")
+    )
+    spans = grp.groupBy("doc_id", "island").agg(
+        F.min("i").alias("s"), F.max(F.col("i") + (k - 1)).alias("e")
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_chars"),
+        F.max(F.col("e") - F.col("s") + 1).cast("bigint").alias("max_span"),
+    )

@@ -1,0 +1,325 @@
+"""Closed-form statistical models from combinable aggregates (SURVEY.md §2
+widened): weight-of-evidence binning, multivariate OLS via normal equations,
+and the Kaplan-Meier survival estimator.
+
+The common scale shape: every model here reduces the fact table to a tiny
+sufficient-statistics relation in ONE map-side-combinable aggregation pass
+(10 bins / 9 raw moments / a day-domain lifetable), and all model arithmetic
+runs over that bounded relation. No MLlib, no iteration, no driver-side data
+movement beyond the statistics themselves.
+
+- ``woe_iv_binning_orders``: equal-frequency deciles come from broadcast
+  quantile edges (the decile_histogram_orders pattern — no global window),
+  then WOE/IV over the 10-row bin table.
+- ``ols_normal_equations``: 2-regressor least squares from raw moments
+  (Σx, Σx², Σxy …) solved by Cramer's rule on the centered 2×2 system —
+  the classic "ML on MapReduce" reduction (one pass, nine sums).
+- ``kaplan_meier_customers``: per-customer lifetimes (one shuffle on
+  custkey), then the product-limit estimator over the duration lifetable.
+  The cumulative window runs on the day-domain lifetable (bounded by the
+  calendar span, not the row count), ordered identically on both engines so
+  the ln-sum accumulates in the same order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cbde_mapreduce_spark.plans.registry import query
+from cbde_mapreduce_spark.sources import load_table
+
+_DECILE_QS = [i / 10.0 for i in range(1, 10)]
+
+_WOE_ORACLE = """
+    WITH e AS (SELECT quantile_cont(o_totalprice,
+                          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+               FROM orders),
+    b AS (SELECT (CASE WHEN o_totalprice >= qs[1] THEN 1 ELSE 0 END
+                + CASE WHEN o_totalprice >= qs[2] THEN 1 ELSE 0 END
+                + CASE WHEN o_totalprice >= qs[3] THEN 1 ELSE 0 END
+                + CASE WHEN o_totalprice >= qs[4] THEN 1 ELSE 0 END
+                + CASE WHEN o_totalprice >= qs[5] THEN 1 ELSE 0 END
+                + CASE WHEN o_totalprice >= qs[6] THEN 1 ELSE 0 END
+                + CASE WHEN o_totalprice >= qs[7] THEN 1 ELSE 0 END
+                + CASE WHEN o_totalprice >= qs[8] THEN 1 ELSE 0 END
+                + CASE WHEN o_totalprice >= qs[9] THEN 1 ELSE 0 END)::int
+                 AS decile,
+                 CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                   AS pos
+          FROM orders, e),
+    g AS (SELECT decile,
+                 count(*)::bigint AS n,
+                 sum(pos)::bigint AS pos
+          FROM b GROUP BY decile),
+    t AS (SELECT decile, n, pos, n - pos AS neg,
+                 sum(pos) OVER () AS pos_tot,
+                 sum(n - pos) OVER () AS neg_tot
+          FROM g)
+    SELECT decile, n, pos,
+           round(ln((pos::double / pos_tot) / (neg::double / neg_tot)), 6)
+             AS woe,
+           round((pos::double / pos_tot - neg::double / neg_tot)
+                 * ln((pos::double / pos_tot) / (neg::double / neg_tot)), 6)
+             AS iv
+    FROM t
+"""
+
+
+@query("woe_iv_binning_orders", oracle=_WOE_ORACLE, category="ml-prep")
+def woe_iv_binning_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value binning: o_totalprice deciles
+    scored against the URGENT-priority target — the credit-scoring feature
+    transform, model-free.
+
+    Deciles are assigned by counting broadcast quantile edges (the
+    decile_histogram_orders scale pattern: one combinable aggregate for the
+    edges, one scan to bin — no global window). WOE/IV arithmetic runs on
+    the 10-row bin table; the window totals there cover 10 rows, not the
+    fact table. Every decile holds ~10% of orders so both classes are
+    populated and the log-odds are finite by construction at this skew.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    edges = orders.agg(
+        *[
+            F.expr(f"percentile(o_totalprice, {q})").alias(f"q{i}")
+            for i, q in enumerate(_DECILE_QS, 1)
+        ]
+    )
+    b = orders.crossJoin(F.broadcast(edges))
+    decile = sum(
+        F.when(F.col("o_totalprice") >= F.col(f"q{i}"), 1).otherwise(0)
+        for i in range(1, 10)
+    ).cast("int")
+    pos = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+    g = (
+        b.select(decile.alias("decile"), pos.alias("pos"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("pos"),
+        )
+    )
+    w = Window.partitionBy()  # 10-row bin table, not the fact table
+    t = g.select(
+        "decile",
+        "n",
+        "pos",
+        (F.col("n") - F.col("pos")).alias("neg"),
+        F.sum("pos").over(w).alias("pos_tot"),
+        F.sum(F.col("n") - F.col("pos")).over(w).alias("neg_tot"),
+    )
+    pr = F.col("pos").cast("double") / F.col("pos_tot")
+    nr = F.col("neg").cast("double") / F.col("neg_tot")
+    return t.select(
+        "decile",
+        "n",
+        "pos",
+        F.round(F.log(pr / nr), 6).alias("woe"),
+        F.round((pr - nr) * F.log(pr / nr), 6).alias("iv"),
+    )
+
+
+_OLS_ORACLE = """
+    WITH m AS (
+        SELECT count(*)::double AS n,
+               sum(l_quantity::double) AS sx1,
+               sum(l_discount::double) AS sx2,
+               sum(l_extendedprice::double) AS sy,
+               sum(l_quantity::double * l_quantity::double) AS sx1x1,
+               sum(l_discount::double * l_discount::double) AS sx2x2,
+               sum(l_quantity::double * l_discount::double) AS sx1x2,
+               sum(l_quantity::double * l_extendedprice::double) AS sx1y,
+               sum(l_discount::double * l_extendedprice::double) AS sx2y,
+               sum(l_extendedprice::double * l_extendedprice::double) AS syy
+        FROM lineitem),
+    c AS (SELECT n,
+                 sx1x1 - sx1 * sx1 / n AS s11,
+                 sx2x2 - sx2 * sx2 / n AS s22,
+                 sx1x2 - sx1 * sx2 / n AS s12,
+                 sx1y - sx1 * sy / n AS s1y,
+                 sx2y - sx2 * sy / n AS s2y,
+                 syy - sy * sy / n AS syy_c,
+                 sx1 / n AS mx1, sx2 / n AS mx2, sy / n AS my
+          FROM m),
+    s AS (SELECT n, mx1, mx2, my, s1y, s2y, syy_c,
+                 (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS b1,
+                 (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2
+          FROM c)
+    SELECT n::bigint AS n,
+           round(my - b1 * mx1 - b2 * mx2, 4) AS b0,
+           round(b1, 4) AS b1,
+           round(b2, 4) AS b2,
+           round((b1 * s1y + b2 * s2y) / syy_c, 6) AS r2
+    FROM s
+"""
+
+
+@query("ols_normal_equations", oracle=_OLS_ORACLE, category="ml-prep")
+def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-regressor least squares fit l_extendedprice ~ l_quantity +
+    l_discount, solved in closed form: one aggregation pass collects the
+    nine raw moments, Cramer's rule on the centered 2×2 normal equations
+    yields the coefficients, plus R².
+
+    This is the canonical "learning as aggregation" reduction: the only
+    corpus-sized work is one map-side-combinable agg; the solve touches a
+    single row. Coefficients are rounded to 4 dp (their magnitude is ~10³;
+    cross-engine summation-order noise after the centered subtraction sits
+    around 1e-8 absolute).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x1 = F.col("l_quantity").cast("double")
+    x2 = F.col("l_discount").cast("double")
+    y = F.col("l_extendedprice").cast("double")
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x1).alias("sx1"),
+        F.sum(x2).alias("sx2"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * x1).alias("sx1x1"),
+        F.sum(x2 * x2).alias("sx2x2"),
+        F.sum(x1 * x2).alias("sx1x2"),
+        F.sum(x1 * y).alias("sx1y"),
+        F.sum(x2 * y).alias("sx2y"),
+        F.sum(y * y).alias("syy"),
+    )
+    c = m.select(
+        "n",
+        (F.col("sx1x1") - F.col("sx1") * F.col("sx1") / F.col("n")).alias("s11"),
+        (F.col("sx2x2") - F.col("sx2") * F.col("sx2") / F.col("n")).alias("s22"),
+        (F.col("sx1x2") - F.col("sx1") * F.col("sx2") / F.col("n")).alias("s12"),
+        (F.col("sx1y") - F.col("sx1") * F.col("sy") / F.col("n")).alias("s1y"),
+        (F.col("sx2y") - F.col("sx2") * F.col("sy") / F.col("n")).alias("s2y"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")).alias("syy_c"),
+        (F.col("sx1") / F.col("n")).alias("mx1"),
+        (F.col("sx2") / F.col("n")).alias("mx2"),
+        (F.col("sy") / F.col("n")).alias("my"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    s = c.select(
+        "n",
+        "mx1",
+        "mx2",
+        "my",
+        "s1y",
+        "s2y",
+        "syy_c",
+        ((F.col("s22") * F.col("s1y") - F.col("s12") * F.col("s2y")) / det).alias("b1"),
+        ((F.col("s11") * F.col("s2y") - F.col("s12") * F.col("s1y")) / det).alias("b2"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("my") - F.col("b1") * F.col("mx1") - F.col("b2") * F.col("mx2"), 4).alias("b0"),
+        F.round("b1", 4).alias("b1"),
+        F.round("b2", 4).alias("b2"),
+        F.round(
+            (F.col("b1") * F.col("s1y") + F.col("b2") * F.col("s2y")) / F.col("syy_c"), 6
+        ).alias("r2"),
+    )
+
+
+_KM_HORIZON_DAYS = 90
+
+_KM_ORACLE = f"""
+    WITH mx AS (SELECT max(o_orderdate)::date AS mend FROM orders),
+    u AS (SELECT o_custkey,
+                 date_diff('day', min(o_orderdate)::date,
+                           max(o_orderdate)::date) AS dur,
+                 CASE WHEN max(o_orderdate)::date
+                       <= (SELECT mend FROM mx) - INTERVAL {_KM_HORIZON_DAYS} DAY
+                      THEN 1 ELSE 0 END AS churned
+          FROM orders GROUP BY o_custkey),
+    lt AS (SELECT dur,
+                  sum(churned)::bigint AS d,
+                  sum(1 - churned)::bigint AS c
+           FROM u GROUP BY dur),
+    ar AS (SELECT dur, d, c,
+                  (SELECT count(*) FROM u)
+                  - coalesce(sum(d + c) OVER (ORDER BY dur
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS at_risk
+           FROM lt),
+    km AS (SELECT dur, d, c, at_risk,
+                  exp(sum(CASE WHEN d = 0 THEN 0.0
+                               ELSE ln(greatest(1.0 - d::double / at_risk,
+                                                1e-15)) END)
+                      OVER (ORDER BY dur)) AS surv
+           FROM ar)
+    SELECT dur::bigint AS dur, d, c, at_risk::bigint AS at_risk,
+           round(surv, 6) AS survival
+    FROM km
+"""
+
+
+@query("kaplan_meier_customers", oracle=_KM_ORACLE, category="ml-prep")
+def kaplan_meier_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve over customer lifetimes.
+
+    A customer's lifetime is first→last order date; customers whose last
+    order falls within 90 days of the corpus end are right-CENSORED (still
+    active), the rest are churn events. S(t) = Π_{{t_i<=t}} (1 - d_i/n_i).
+
+    Scale shape: one shuffle on custkey reduces orders to per-customer
+    (dur, churned); the lifetable groups that to one row per distinct
+    duration — bounded by the calendar span in days, not by customers — and
+    the at-risk / cumulative-hazard windows run over that bounded lifetable
+    in a deterministic dur order, so both engines accumulate the ln-sum in
+    the same sequence. The 1e-15 floor only engages if a duration exhausts
+    the risk set (S(t) collapses to 0 identically on both engines).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    mend = orders.agg(F.max(F.to_date("o_orderdate")).alias("mend"))
+    u = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min(F.to_date("o_orderdate")).alias("a"),
+            F.max(F.to_date("o_orderdate")).alias("b"),
+        )
+        .crossJoin(F.broadcast(mend))
+        .select(
+            F.datediff("b", "a").alias("dur"),
+            F.when(
+                F.col("b") <= F.date_sub(F.col("mend"), _KM_HORIZON_DAYS), 1
+            )
+            .otherwise(0)
+            .alias("churned"),
+        )
+    )
+    total = u.agg(F.count(F.lit(1)).alias("n_users"))
+    lt = (
+        u.groupBy("dur")
+        .agg(
+            F.sum("churned").cast("bigint").alias("d"),
+            F.sum(1 - F.col("churned")).cast("bigint").alias("c"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    # windows below run on the day-domain lifetable (~10^3 rows), not orders
+    wprev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("dur")
+    ar = lt.select(
+        "dur",
+        "d",
+        "c",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0))
+        ).alias("at_risk"),
+    )
+    lnf = F.when(F.col("d") == 0, F.lit(0.0)).otherwise(
+        F.log(
+            F.greatest(
+                F.lit(1.0) - F.col("d").cast("double") / F.col("at_risk"),
+                F.lit(1e-15),
+            )
+        )
+    )
+    km = ar.select(
+        F.col("dur").cast("bigint").alias("dur"),
+        "d",
+        "c",
+        F.col("at_risk").cast("bigint").alias("at_risk"),
+        F.round(F.exp(F.sum(lnf).over(wcum)), 6).alias("survival"),
+    )
+    return km
