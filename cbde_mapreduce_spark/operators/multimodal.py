@@ -138,3 +138,119 @@ def resize_media(multimodal: DataFrame, width: int = 16, height: int = 16) -> Da
             )
 
     return multimodal.select("doc_id", "payload").mapInPandas(resize, RESIZE_SCHEMA)
+
+
+PHASH_SCHEMA = "doc_id bigint, phash bigint"
+
+
+def _phash_kernel(b: bytes, grid: int = 32) -> int:
+    """Reference pHash over a byte payload: deterministic-fake 'resize' of
+    the byte stream onto a grid×grid u8 image (the resize_media sampling),
+    2-D DCT-II, low-frequency 8×8 block (DC dropped), median-threshold sign
+    bits packed into 63 bits. Pure numpy; used verbatim by the distributed
+    path and by the pytest twin, so the two cannot drift.
+    """
+    import numpy as np
+
+    n_px = grid * grid
+    if not b:
+        return 0
+    idx = (np.arange(n_px) * len(b)) // n_px
+    img = np.frombuffer(b, dtype=np.uint8)[idx].astype(np.float64).reshape(grid, grid)
+    # DCT-II matrix (orthonormal); grid is tiny so the matmul is trivial
+    k = np.arange(grid)
+    cm = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * grid))
+    d = cm @ img @ cm.T
+    low = d[:8, :8].flatten()[1:]  # drop the DC coefficient
+    med = np.median(low)
+    bits = (low > med).astype(np.uint64)
+    h = np.uint64(0)
+    for bit in bits:
+        h = (h << np.uint64(1)) | bit
+    return int(h)
+
+
+def perceptual_hash(multimodal: DataFrame, grid: int = 32) -> DataFrame:
+    """Distributed perceptual fingerprint: (doc_id, phash) via Arrow-batched
+    mapInPandas over the binary payload column. The codec-dependent step is
+    the deterministic byte-grid fake (see resize_media); a real image
+    decoder swaps in above the DCT without touching the Spark plumbing."""
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [
+                        _phash_kernel(bytes(p), grid) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return multimodal.select("doc_id", "payload").mapInPandas(hashes, PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(
+    multimodal: DataFrame,
+    max_hamming: int = 6,
+    grid: int = 32,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs (hamming(phash) <= max_hamming)
+    via band blocking, never all-pairs: the 63-bit hash splits into
+    ceil(63/band_bits) bands, and by pigeonhole any pair with hamming
+    distance < n_bands agrees on at least one whole band — so for
+    max_hamming < n_bands the (band_idx, band_value) bucket join has EXACT
+    recall, and the popcount(xor) verify step keeps only true near-pairs.
+    Same LSH discipline as MinHash banding and SimHash prefix blocking —
+    the shuffle moves (band, hash) pairs, verification is per-bucket.
+
+    The band width is the recall/selectivity dial (multi-index Hamming
+    search, Norouzi et al.): tight thresholds afford wide bands (small
+    buckets); loose thresholds need narrow bands, whose coarser buckets
+    admit more candidates — pick band_bits per threshold, the plan shape
+    does not change.
+    """
+    n_bands = (63 + band_bits - 1) // band_bits
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"exact recall needs max_hamming < n_bands ({n_bands}); "
+            f"got {max_hamming} — narrow band_bits"
+        )
+    mask = (1 << band_bits) - 1
+    h = perceptual_hash(multimodal, grid=grid)
+    bands = h.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("phash"), band_bits * i)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "phash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = bands.select(
+        F.col("band"), F.col("val"), F.col("doc_id").alias("a"), F.col("phash").alias("ha")
+    )
+    b = bands.select(
+        F.col("band"), F.col("val"), F.col("doc_id").alias("b"), F.col("phash").alias("hb")
+    )
+    cand = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("a", "b")
+    )

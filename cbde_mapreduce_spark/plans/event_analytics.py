@@ -10,7 +10,7 @@ distinct) so the join inputs are bounded by |users|·|days|, not |events|.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cbde_mapreduce_spark.plans.registry import query
@@ -595,4 +595,93 @@ def cep_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_matching",
             "total_matches",
         )
+    )
+
+
+_ATTR_LOOKBACK_DAYS = 3
+
+_ATTR_ORACLE = f"""
+    WITH ev AS (
+        SELECT user_id, ts, event_type, value,
+               CASE WHEN event_type = 'click'
+                    THEN json_extract(props, '$.k')::bigint END AS click_k
+        FROM events),
+    carry AS (
+        SELECT user_id, ts, event_type, value,
+               max(CASE WHEN event_type = 'click'
+                        THEN {{'cts': ts, 'ck': click_k}} END)
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS lc
+        FROM ev),
+    attr AS (
+        SELECT CASE WHEN lc IS NOT NULL
+                     AND lc.cts >= ts - INTERVAL {_ATTR_LOOKBACK_DAYS} DAY
+                    THEN 'ch' || (lc.ck % 4)::varchar
+                    ELSE 'organic' END AS channel,
+               value
+        FROM carry WHERE event_type = 'purchase')
+    SELECT channel,
+           count(*)::bigint AS n_purchases,
+           round(sum(value), 2) AS revenue
+    FROM attr GROUP BY channel
+"""
+
+
+@query("attribution_last_touch", oracle=_ATTR_ORACLE, category="event-analytics")
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to the
+    user's most recent click within a 3-day lookback (channel = click's
+    props.k mod 4), else to 'organic'; revenue and counts roll up per
+    channel.
+
+    The as-of matching is the carry-forward union shape, not a pair join:
+    one shuffle partitions all events by user_id, and a running max over
+    struct(ts, k) — ordered by the window's sort key first — carries the
+    latest click down to each purchase row in a single pass. That is the
+    same one-shuffle plan as sessionization, immune to the per-user event
+    blow-up a purchases×clicks join would produce on heavy users. The
+    lookback test then runs rowwise, and the final rollup is a combinable
+    aggregation over ≤5 channel keys.
+    """
+    events = load_table(spark, sf_dir, "events")
+    click_k = F.when(
+        F.col("event_type") == "click",
+        F.get_json_object("props", "$.k").cast("bigint"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry = events.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.max(
+            F.when(
+                F.col("event_type") == "click",
+                F.struct(F.col("ts").alias("cts"), click_k.alias("ck")),
+            )
+        )
+        .over(w)
+        .alias("lc"),
+    )
+    attributed = carry.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("lc").isNotNull()
+            & (
+                F.col("lc.cts")
+                >= F.col("ts") - F.expr(f"INTERVAL {_ATTR_LOOKBACK_DAYS} DAYS")
+            ),
+            F.concat(F.lit("ch"), (F.col("lc.ck") % 4).cast("string")),
+        )
+        .otherwise("organic")
+        .alias("channel"),
+        "value",
+    )
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("revenue"),
     )

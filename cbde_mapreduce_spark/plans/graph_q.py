@@ -523,3 +523,67 @@ def clustering_coeff_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+_HITS_TOP = 15
+
+_HITS_ORACLE = f"""
+    WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    a1 AS (SELECT s, count(*)::double AS a FROM e GROUP BY s),
+    a1n AS (SELECT s, a / (SELECT sum(a) FROM a1) AS a FROM a1),
+    h1 AS (SELECT c, sum(a1n.a) AS h FROM e JOIN a1n USING (s) GROUP BY c),
+    h1n AS (SELECT c, h / (SELECT sum(h) FROM h1) AS h FROM h1),
+    a2 AS (SELECT s, sum(h1n.h) AS a FROM e JOIN h1n USING (c) GROUP BY s)
+    SELECT s AS suppkey,
+           round(a / (SELECT sum(a) FROM a2), 6) AS authority
+    FROM a2
+    ORDER BY round(a / (SELECT sum(a) FROM a2), 6) DESC, s
+    LIMIT {_HITS_TOP}
+"""
+
+
+@query("hits_authority_suppliers", oracle=_HITS_ORACLE, category="graph")
+def hits_authority_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) on the bipartite customer→supplier trade graph:
+    customers are hubs, suppliers are authorities. One full hub↔authority
+    iteration with L1 normalization (init hub=1, so authority¹ = in-degree),
+    top-15 suppliers by the round-2 authority score.
+
+    Completes the link-analysis trio beside pagerank_trade_graph (global)
+    and personalized_pagerank (seeded). Each half-step is one shuffle of the
+    incidence list joined against the previous score vector; the L1
+    normalizers are single-row aggregates broadcast back — the same
+    scale shape as a PageRank round, alternating over the two vertex
+    classes. Scores round to 6 dp before the final sort so cross-engine
+    summation-order noise cannot reorder the cutoff.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    e = e.cache()
+    a1 = e.groupBy("s").agg(F.count(F.lit(1)).cast("double").alias("a"))
+    a1t = a1.agg(F.sum("a").alias("at"))
+    a1n = a1.crossJoin(F.broadcast(a1t)).select(
+        "s", (F.col("a") / F.col("at")).alias("a")
+    )
+    h1 = e.join(a1n, "s").groupBy("c").agg(F.sum("a").alias("h"))
+    h1t = h1.agg(F.sum("h").alias("ht"))
+    h1n = h1.crossJoin(F.broadcast(h1t)).select(
+        "c", (F.col("h") / F.col("ht")).alias("h")
+    )
+    a2 = e.join(h1n, "c").groupBy("s").agg(F.sum("h").alias("a"))
+    a2t = a2.agg(F.sum("a").alias("at"))
+    return (
+        a2.crossJoin(F.broadcast(a2t))
+        .select(
+            F.col("s").alias("suppkey"),
+            F.round(F.col("a") / F.col("at"), 6).alias("authority"),
+        )
+        .orderBy(F.desc("authority"), F.asc("suppkey"))
+        .limit(_HITS_TOP)
+    )

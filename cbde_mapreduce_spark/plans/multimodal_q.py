@@ -62,3 +62,22 @@ def frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_frames"),
         F.sum(F.octet_length("frame")).cast("bigint").alias("sampled_bytes"),
     )
+
+
+@query("phash_neardup_media", oracle=None, category="multimodal")
+def phash_neardup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-fingerprint near-duplicate pairs over the binary payload
+    column: byte-grid 'resize' → 2-D DCT → 63-bit sign hash → 16×4-bit band
+    blocking → exact popcount verify (hamming <= 14; non-vacuous at this
+    fixture, where the closest payload pairs sit at distance 14).
+
+    Rows-only by design: the DCT kernel is not SQL-expressible. Exactness
+    is covered in pytest instead (tests/test_phash.py): the banded pair set
+    is asserted equal to the brute-force all-pairs hamming set (the
+    pigeonhole guarantee), the distributed hashes equal the single-process
+    reference kernel, and a byte-edited planted near-dup is recovered.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from cbde_mapreduce_spark.operators.multimodal import phash_neardup_pairs
+
+    return phash_neardup_pairs(attach_binary_payload(docs), max_hamming=14)
