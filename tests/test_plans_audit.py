@@ -427,3 +427,58 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_attribution_single_user_shuffle_no_pair_join(spark, sf_oracle):
+    df = REGISTRY["attribution_last_touch"].fn(spark, sf_oracle)
+    plan = _executed_plan(df).split("Initial Plan")[0]  # AQE prints the plan twice
+    # carry-forward shape: no join anywhere (the naive plan is purchases x clicks)
+    assert "Join" not in plan
+    # exactly one width-changing exchange for the user window + final 5-key agg
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_substring_dup_windows_partition_by_doc(spark, sf_oracle):
+    df = REGISTRY["substring_dup_spans"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    # interval-merge windows must partition by doc_id, never a global sort
+    assert "Window [" in plan or "RunningWindowFunction" in plan or "Window" in plan
+    assert "SinglePartition" not in plan.split("TakeOrdered")[0]
+
+
+def test_rrf_windows_run_after_limit(spark, sf_oracle):
+    df = REGISTRY["hybrid_rrf_retrieval"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    # the global row_number windows are fed by TakeOrdered limits (<=L rows),
+    # so their single-partition exchange moves bounded data
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_item_item_cf_broadcasts_popularity(spark, sf_oracle):
+    df = REGISTRY["item_item_cf_topk"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    # popularity dims join broadcast; the only shuffle joins are the basket
+    # self-join on the customer key
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_woe_binning_no_global_window_on_facts(spark, sf_oracle):
+    df = REGISTRY["woe_iv_binning_orders"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    # decile assignment must come from broadcast edges, not ntile on a
+    # single-partition sort of the fact table ("percentile(" in the edges
+    # aggregate must not trip the check, hence the word boundary)
+    import re
+
+    assert not re.search(r"\bntile\(", plan.lower())
+    # the only single-partition segment is the 10-row bin-table window/agg
+    pre = plan.split("Window")[0] if "Window" in plan else plan
+    assert "SinglePartition" not in pre.split("BroadcastExchange")[0]
+
+
+def test_ols_is_one_partial_aggregation_pass(spark, sf_oracle):
+    df = REGISTRY["ols_normal_equations"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    assert "partial_" in plan  # map-side combine of the raw moments
+    assert "Join" not in plan  # closed-form solve: no join anywhere
