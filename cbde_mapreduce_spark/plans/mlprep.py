@@ -606,3 +606,181 @@ def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z_stat"),
         (F.abs(z) > 1.96).cast("int").alias("significant_95"),
     )
+
+
+_NEG_K = 4
+
+_NEG_ORACLE = f"""
+    WITH ring AS (
+        SELECT vec_id, label,
+               (ascii(substr(md5(vec_id::varchar), 1, 1))::bigint * 65536
+                + ascii(substr(md5(vec_id::varchar), 2, 1))::bigint * 256
+                + ascii(substr(md5(vec_id::varchar), 3, 1))::bigint) * 1024
+                + vec_id AS pos
+        FROM embeddings),
+    ordered AS (SELECT vec_id, label, pos,
+                       row_number() OVER (ORDER BY pos) AS rn,
+                       count(*) OVER () AS n
+                FROM ring),
+    cand AS (
+        SELECT a.vec_id AS anchor, a.label AS anchor_label,
+               b.vec_id AS negative, k.k AS slot
+        FROM ordered a
+        JOIN generate_series(1, {_NEG_K + 4}) k(k) ON true
+        JOIN ordered b
+          ON b.rn = ((a.rn - 1 + k.k) % a.n) + 1),
+    filt AS (
+        SELECT anchor, negative,
+               row_number() OVER (PARTITION BY anchor ORDER BY slot) AS nk
+        FROM cand WHERE negative <> anchor),
+    top AS (SELECT anchor, negative, nk FROM filt WHERE nk <= {_NEG_K})
+    SELECT anchor, nk AS slot, negative FROM top
+"""
+
+
+@query("contrastive_negatives_ring", oracle=_NEG_ORACLE, category="ml-prep")
+def contrastive_negatives_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic in-batch negative sampling for contrastive training:
+    every vector gets K=4 negatives — the next K distinct ids clockwise on
+    a hash ring (md5-derived position, vec_id tiebreak), the consistent-
+    hashing construction. Hash-ring adjacency is independent of id
+    locality, so neighbors on the ring are uniform draws from the corpus,
+    yet fully reproducible across runs, partitionings, and engines — the
+    property rand() sampling lacks.
+
+    Scale shape: one total order by ring position, then K successor taps
+    per row — no self-join against the full corpus, no driver
+    participation; the wrap-around for the last K rows is the only
+    cross-partition touch. The global row_number here runs as a
+    single-partition window (fine at this corpus); at 100 TB the rank
+    comes from the two-phase range-partitioned prefix machinery
+    (operators/prefix.py::exclusive_prefix_sum over per-partition counts
+    — P-way parallel), and the successor taps become per-partition lead()
+    plus a K-row boundary exchange. The modular-rank join used here is
+    the engine-portable expression of those taps.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    h = F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8"))
+    pos = (
+        (
+            F.ascii(F.substring(h, 1, 1)).cast("bigint") * 65536
+            + F.ascii(F.substring(h, 2, 1)).cast("bigint") * 256
+            + F.ascii(F.substring(h, 3, 1)).cast("bigint")
+        )
+        * 1024
+        + F.col("vec_id")
+    )
+    ring = emb.select("vec_id", "label", pos.alias("pos"))
+    wrn = Window.orderBy("pos")
+    ordered = ring.select(
+        "vec_id",
+        "label",
+        "pos",
+        F.row_number().over(wrn).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.orderBy("pos").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    a = ordered.select(
+        F.col("vec_id").alias("anchor"),
+        F.col("rn").alias("arn"),
+        F.col("n").alias("n"),
+    ).crossJoin(
+        F.broadcast(
+            load_table(spark, sf_dir, "embeddings")
+            .sparkSession.range(1, _NEG_K + 5)
+            .select(F.col("id").cast("int").alias("slot"))
+        )
+    )
+    b = ordered.select(F.col("vec_id").alias("negative"), F.col("rn").alias("brn"))
+    cand = a.join(
+        b,
+        ((F.col("arn") - 1 + F.col("slot")) % F.col("n")) + 1 == F.col("brn"),
+    ).filter(F.col("negative") != F.col("anchor"))
+    wk = Window.partitionBy("anchor").orderBy("slot")
+    return (
+        cand.select(
+            "anchor", "negative", F.row_number().over(wk).alias("nk")
+        )
+        .filter(F.col("nk") <= _NEG_K)
+        .select("anchor", F.col("nk").alias("slot"), "negative")
+    )
+
+
+_HNEG_LABEL = 0  # anchor class
+_HNEG_K = 2
+
+_HNEG_ORACLE = f"""
+    WITH n AS (
+        SELECT vec_id, label, embedding,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> x::double * x::double))) AS nrm
+        FROM embeddings),
+    p AS (
+        SELECT a.vec_id AS anchor, b.vec_id AS negative, b.label AS neg_label,
+               round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                     z -> z[1]::double * z[2]::double)) / (a.nrm * b.nrm), 6)
+                 AS sim
+        FROM n a JOIN n b ON b.label <> {_HNEG_LABEL}
+        WHERE a.label = {_HNEG_LABEL}),
+    r AS (SELECT anchor, negative, neg_label, sim,
+                 row_number() OVER (PARTITION BY anchor
+                                    ORDER BY sim DESC, negative) AS rk
+          FROM p)
+    SELECT anchor, rk, negative, neg_label, sim
+    FROM r WHERE rk <= {_HNEG_K}
+"""
+
+
+@query("hard_negative_mining", oracle=_HNEG_ORACLE, category="ml-prep")
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every anchor
+    vector of class 0, the K=2 most cosine-similar vectors of ANY OTHER
+    class — the examples a contrastive loss learns most from, and the
+    complement of contrastive_negatives_ring's uniform draws.
+
+    Exact form: the anchor side (one class) broadcasts against the corpus;
+    per-pair cosine via built-in higher-order functions (norms precomputed
+    once per side), then a per-anchor top-K window. Similarities round to
+    6 dp BEFORE ranking (negative-id tiebreak) so cross-engine float noise
+    cannot flip a rank. At corpus scale the candidate set comes from the
+    ANN family instead (IVF / LSH buckets in operators/similarity.py,
+    operators/iterative.py) and this exact pass runs only per-bucket —
+    mining stays a top-K window over candidates either way.
+    """
+    from cbde_mapreduce_spark.functions.vectors import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    anchors = n.filter(F.col("label") == _HNEG_LABEL).select(
+        F.col("vec_id").alias("anchor"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    cands = n.filter(F.col("label") != _HNEG_LABEL).select(
+        F.col("vec_id").alias("negative"),
+        F.col("label").alias("neg_label"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    p = F.broadcast(anchors).crossJoin(cands).select(
+        "anchor",
+        "negative",
+        "neg_label",
+        F.round(
+            dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+        ).alias("sim"),
+    )
+    wk = Window.partitionBy("anchor").orderBy(F.desc("sim"), F.asc("negative"))
+    return (
+        p.select("anchor", "negative", "neg_label", "sim", F.row_number().over(wk).alias("rk"))
+        .filter(F.col("rk") <= _HNEG_K)
+        .select("anchor", "rk", "negative", "neg_label", "sim")
+    )

@@ -323,3 +323,78 @@ def kaplan_meier_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.sum(lnf).over(wcum)), 6).alias("survival"),
     )
     return km
+
+
+_BOOT_B = 32  # bootstrap replicates
+# floor(cumsum(Poisson(1) pmf) * 65536) for k = 0..6: the md5-derived
+# 16-bit uniform is compared against this ladder to draw a weight in 0..7
+_BOOT_T = [24109, 48218, 60273, 64291, 65296, 65497, 65530]
+
+_BOOT_LADDER_SQL = " + ".join(f"CASE WHEN u >= {t} THEN 1 ELSE 0 END" for t in _BOOT_T)
+
+_BOOT_ORACLE = f"""
+    WITH reps AS (
+        SELECT o_totalprice AS x, b,
+               (ascii(substr(md5(o_orderkey::varchar || ':' || b::varchar), 1, 1)) * 256
+                + ascii(substr(md5(o_orderkey::varchar || ':' || b::varchar), 2, 1))) AS u
+        FROM orders, generate_series(0, {_BOOT_B - 1}) t(b)),
+    w AS (SELECT b, x, ({_BOOT_LADDER_SQL}) AS w FROM reps),
+    means AS (SELECT b, sum(w * x) / sum(w) AS m FROM w GROUP BY b),
+    pt AS (SELECT avg(o_totalprice) AS mean FROM orders)
+    SELECT round(pt.mean, 4) AS mean,
+           round(quantile_cont(m, 0.025), 4) AS ci_lo,
+           round(quantile_cont(m, 0.975), 4) AS ci_hi,
+           round(stddev_samp(m), 4) AS se_boot
+    FROM means, pt
+    GROUP BY pt.mean
+"""
+
+
+@query("bootstrap_ci_order_value", oracle=_BOOT_ORACLE, category="ml-prep")
+def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al., the resampling scheme built for
+    map-reduce): a 95% CI and bootstrap SE for mean(o_totalprice) from 32
+    replicates, each row carrying an independent Poisson(1) weight per
+    replicate — the streaming-safe surrogate for multinomial resampling,
+    since no replicate ever needs a global row count.
+
+    Determinism discipline: the weight is drawn from the first two md5
+    bytes of (orderkey ':' replicate) against a hard-coded inverse-CDF
+    ladder — the same engine-portable md5-bucket scheme as the dataset
+    splitters, so both engines draw IDENTICAL weights and the oracle
+    check is exact, not statistical. Scale shape: the replicate explode is
+    map-side (B× rows but zero extra shuffle width — the reduce is a
+    combinable sum keyed on the 32 replicate ids); the percentile runs
+    over the 32-row replicate-mean table.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    reps = orders.select(
+        F.col("o_totalprice").alias("x"),
+        "o_orderkey",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    h = F.md5(
+        F.encode(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            ),
+            "UTF-8",
+        )
+    )
+    u = F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    w = sum(F.when(u >= t, 1).otherwise(0) for t in _BOOT_T)
+    means = (
+        reps.select("b", "x", w.alias("w"))
+        .groupBy("b")
+        .agg((F.sum(F.col("w") * F.col("x")) / F.sum("w")).alias("m"))
+    )
+    pt = orders.agg(F.avg("o_totalprice").alias("mean"))
+    return means.crossJoin(F.broadcast(pt)).groupBy("mean").agg(
+        F.round(F.expr("percentile(m, 0.025)"), 4).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi"),
+        F.round(F.stddev_samp("m"), 4).alias("se_boot"),
+    ).select(
+        F.round("mean", 4).alias("mean"), "ci_lo", "ci_hi", "se_boot"
+    )

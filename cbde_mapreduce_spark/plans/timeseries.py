@@ -424,3 +424,73 @@ def ks_binned_order_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("na").cast("bigint").alias("n_a"),
         F.max("nb").cast("bigint").alias("n_b"),
     )
+
+
+_SEAS_ORACLE = """
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, sum(value) AS revenue
+        FROM events GROUP BY 1),
+    tr AS (
+        SELECT day, revenue,
+               avg(revenue) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+               count(*) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+        FROM daily),
+    dt AS (SELECT day, revenue, trend, revenue - trend AS detr,
+                  isodow(day) - 1 AS wd
+           FROM tr WHERE wn = 7),
+    seas AS (SELECT wd, avg(detr) AS seasonal FROM dt GROUP BY wd)
+    SELECT dt.day::timestamp AS day,
+           round(dt.revenue, 2) AS revenue,
+           round(dt.trend, 4) AS trend,
+           round(seas.seasonal, 4) AS seasonal,
+           round(dt.detr - seas.seasonal, 4) AS residual
+    FROM dt JOIN seas USING (wd)
+"""
+
+
+@query("seasonal_decompose_daily", oracle=_SEAS_ORACLE, category="time-series")
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily event revenue:
+    centered 7-day moving-average trend (full windows only), weekday
+    seasonal component as the mean detrended value per weekday, residual
+    as the remainder — the moving-average step of STL, model-free.
+
+    Scale shape: one combinable groupBy reduces events to the day-domain
+    series; the trend window, weekday seasonal aggregate, and the final
+    join all run over calendar-bounded relations (≤ days × 1 rows), so
+    the decomposition costs one fact-table scan regardless of event
+    volume. Weekday numbering is the cross-engine trap: Spark weekday()
+    is Monday=0, DuckDB dayofweek is Sunday=0 — the oracle uses
+    isodow-1 to agree.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum("value").alias("revenue")
+    )
+    wtr = Window.orderBy("day").rowsBetween(-3, 3)  # day-domain series
+    tr = daily.select(
+        "day",
+        "revenue",
+        F.avg("revenue").over(wtr).alias("trend"),
+        F.count(F.lit(1)).over(wtr).alias("wn"),
+    )
+    dt = tr.filter(F.col("wn") == 7).select(
+        "day",
+        "revenue",
+        "trend",
+        (F.col("revenue") - F.col("trend")).alias("detr"),
+        F.weekday("day").alias("wd"),
+    )
+    seas = dt.groupBy("wd").agg(F.avg("detr").alias("seasonal"))
+    return (
+        dt.join(F.broadcast(seas), "wd")
+        .select(
+            F.col("day").cast("timestamp_ntz").alias("day"),
+            F.round("revenue", 2).alias("revenue"),
+            F.round("trend", 4).alias("trend"),
+            F.round("seasonal", 4).alias("seasonal"),
+            F.round(F.col("detr") - F.col("seasonal"), 4).alias("residual"),
+        )
+    )
