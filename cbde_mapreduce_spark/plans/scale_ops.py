@@ -496,3 +496,42 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= SAMPLE_K)
     )
+
+
+_SEL_ORACLE = """
+    WITH n AS (SELECT count(*)::bigint AS n FROM orders),
+    k AS (SELECT n, (n + 1) // 2 AS k FROM n)
+    SELECT k.n, k.k,
+           (SELECT o_totalprice FROM orders
+            ORDER BY o_totalprice
+            LIMIT 1 OFFSET (SELECT k - 1 FROM k)) AS median
+    FROM k
+"""
+
+
+@query("exact_median_selection", oracle=_SEL_ORACLE, category="scale")
+def exact_median_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (lower) median of o_totalprice WITHOUT a global sort and
+    without a single-JVM percentile aggregate: iterative histogram
+    narrowing (operators/selection.py::kth_smallest) — the multi-round
+    selection algorithm every MPP engine reaches for when the column no
+    longer fits one reducer.
+
+    Per round, one combinable 32-bucket histogram aggregation runs over
+    the surviving rows and only the 32 counts reach the driver; the
+    survivor set shrinks ~32× per round (log₃₂ n rounds total), and the
+    finish is a bounded TakeOrdered over ≤4096 candidates. Contrast with
+    percentiles_order_value (single-aggregate exact percentile — correct
+    but collects the full column into one JVM aggregation buffer) and
+    decile_histogram_orders (interpolated edges): this is the exact-answer
+    scale path. The oracle is the direct ORDER BY / OFFSET definition.
+    """
+    from cbde_mapreduce_spark.operators.selection import kth_smallest
+
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    k = (n + 1) // 2
+    med = kth_smallest(orders, "o_totalprice", k)
+    return spark.createDataFrame(
+        [(n, k, med)], "n bigint, k bigint, median double"
+    )

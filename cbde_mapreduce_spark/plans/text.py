@@ -702,3 +702,63 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(BM25_TOP)
     )
+
+
+_GAP_ORACLE = """
+    WITH tok0 AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents WHERE text <> ''),
+    tok AS (SELECT doc_id, term FROM tok0 WHERE term <> ''),
+    g AS (SELECT term, doc_id,
+                 coalesce(doc_id - lag(doc_id) OVER (PARTITION BY term
+                                                     ORDER BY doc_id),
+                          doc_id + 1) AS gap
+          FROM tok)
+    SELECT term,
+           count(*)::bigint AS df,
+           max(gap)::bigint AS max_gap,
+           round(avg(gap), 4) AS avg_gap,
+           sum(2 * (length(printf('%b', gap)) - 1) + 1)::bigint AS gamma_bits,
+           round(sum(2 * (length(printf('%b', gap)) - 1) + 1)
+                 / count(*)::double, 4) AS bits_per_posting
+    FROM g GROUP BY term
+"""
+
+
+@query("postings_delta_stats", oracle=_GAP_ORACLE, category="text")
+def postings_delta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index storage planning for the inverted index: per-term posting-list
+    delta-gap statistics and the Elias-γ encoded size (2·⌊log₂ gap⌋ + 1
+    bits per gap) — the number an index builder needs before choosing a
+    compression codec, computed without building the index.
+
+    Delta gaps come from one lag() window partitioned by term over the
+    distinct (term, doc) postings (first posting's gap is doc_id+1, the
+    delta from the -1 sentinel). The bit length is length(bin(gap)) on
+    both engines — integer string length, never floor(log2(x)) float
+    arithmetic, which disagrees across engines exactly at powers of two.
+    One shuffle on the term key; every aggregate is combinable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.filter(F.col("text") != "")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    wt = Window.partitionBy("term").orderBy("doc_id")
+    g = tok.select(
+        "term",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(wt), F.col("doc_id") + 1
+        ).alias("gap"),
+    )
+    bits = 2 * (F.length(F.bin("gap")) - 1) + 1
+    return g.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.max("gap").cast("bigint").alias("max_gap"),
+        F.round(F.avg("gap"), 4).alias("avg_gap"),
+        F.sum(bits).cast("bigint").alias("gamma_bits"),
+        F.round(F.sum(bits) / F.count(F.lit(1)).cast("double"), 4).alias(
+            "bits_per_posting"
+        ),
+    )

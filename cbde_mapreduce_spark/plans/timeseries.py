@@ -494,3 +494,64 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("detr") - F.col("seasonal"), 4).alias("residual"),
         )
     )
+
+
+_TS_ORACLE = """
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, sum(value) AS y
+        FROM events GROUP BY 1),
+    xy AS (SELECT date_diff('day', (SELECT min(day) FROM daily), day) AS x, y
+           FROM daily),
+    slopes AS (SELECT (b.y - a.y) / (b.x - a.x) AS s
+               FROM xy a JOIN xy b ON a.x < b.x),
+    m AS (SELECT quantile_cont(s, 0.5) AS slope FROM slopes),
+    icepts AS (SELECT xy.y - m.slope * xy.x AS b0 FROM xy, m)
+    SELECT round(m.slope, 4) AS slope,
+           round(quantile_cont(b0, 0.5), 4) AS intercept,
+           (SELECT count(*) FROM slopes)::bigint AS n_pairs
+    FROM icepts, m
+    GROUP BY m.slope
+"""
+
+
+@query("theil_sen_trend_daily", oracle=_TS_ORACLE, category="time-series")
+def theil_sen_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily event revenue: the median slope over
+    all day-pairs, intercept as the median of per-point offsets — the
+    outlier-immune companion to the OLS fit (a single corrupted day moves
+    OLS; it cannot move a pairwise median until half the days break).
+
+    Scale shape: the fact table reduces to the day-domain series in one
+    combinable pass; the O(days²) pair join, both medians, and the final
+    cross joins run over calendar-bounded relations (here 30 rows → 435
+    pairs). For multi-year spans the pair blow-up stays trivial (10 years
+    → ~6.6M pairs, one task); only an UNAGGREGATED Theil-Sen over raw
+    points would need the repeated-median or sampling variants.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum("value").alias("y")
+    )
+    mind = daily.agg(F.min("day").alias("d0"))
+    xy = daily.crossJoin(F.broadcast(mind)).select(
+        F.datediff("day", "d0").alias("x"), "y"
+    )
+    a = xy.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = xy.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = a.join(b, F.col("xa") < F.col("xb")).select(
+        ((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))).alias("s")
+    )
+    m = slopes.agg(
+        F.expr("percentile(s, 0.5)").alias("slope"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    icepts = xy.crossJoin(F.broadcast(m)).select(
+        "slope", "n_pairs", (F.col("y") - F.col("slope") * F.col("x")).alias("b0")
+    )
+    return icepts.groupBy("slope", "n_pairs").agg(
+        F.expr("percentile(b0, 0.5)").alias("b0m")
+    ).select(
+        F.round("slope", 4).alias("slope"),
+        F.round("b0m", 4).alias("intercept"),
+        "n_pairs",
+    )
