@@ -284,3 +284,71 @@ def maxsim_label_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return maxsim_label_scores_sharded(emb, digits=6, n_shards=4)
+
+
+_MIPS_Q = 0  # query vector id
+_MIPS_TOP = 10
+
+_MIPS_ORACLE = f"""
+    WITH n AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> x::double * x::double))) AS nrm
+        FROM embeddings),
+    qv AS (SELECT embedding AS e, nrm AS qn FROM n WHERE vec_id = {_MIPS_Q}),
+    mx AS (SELECT max(nrm) AS m FROM n WHERE vec_id <> {_MIPS_Q}),
+    s AS (SELECT n.vec_id,
+                 list_sum(list_transform(list_zip(n.embedding, qv.e),
+                          z -> z[1]::double * z[2]::double)) AS ip,
+                 n.nrm
+          FROM n CROSS JOIN qv WHERE n.vec_id <> {_MIPS_Q})
+    SELECT vec_id,
+           round(s.ip / (qv.qn * mx.m), 6) AS aug_cos,
+           round(s.ip, 6) AS ip
+    FROM s CROSS JOIN qv CROSS JOIN mx
+    ORDER BY aug_cos DESC, vec_id
+    LIMIT {_MIPS_TOP}
+"""
+
+
+@query("mips_topk_augmented", oracle=_MIPS_ORACLE, category="similarity")
+def mips_topk_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search by the norm-augmentation reduction
+    (Bachrach et al. 2014): append sqrt(M² − ‖v‖²) to every candidate and
+    0 to the query, and cosine order on the augmented vectors equals
+    inner-product order on the originals — so the repo's entire cosine-ANN
+    stack (LSH buckets, IVF, PQ) serves MIPS queries unchanged.
+
+    The augmented cosine simplifies to ip/(‖q‖·M), which is what both
+    engines compute and rank on (rounded to 6 dp, vec_id tiebreak); the
+    oracle IS the reduction identity, so a hash-match certifies the
+    transform preserves the top-k. M is a one-row broadcast aggregate;
+    the scoring pass is one broadcast join of the query vector — the
+    same scale shape as the cosine brute-force baseline.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    qv = F.broadcast(
+        n.filter(F.col("vec_id") == _MIPS_Q).select(
+            F.col("e").alias("qe"), F.col("nrm").alias("qn")
+        )
+    )
+    cand = n.filter(F.col("vec_id") != _MIPS_Q)
+    mx = F.broadcast(cand.agg(F.max("nrm").alias("m")))
+    return (
+        cand.crossJoin(qv)
+        .crossJoin(mx)
+        .select(
+            "vec_id",
+            F.round(
+                dot(F.col("e"), F.col("qe")) / (F.col("qn") * F.col("m")), 6
+            ).alias("aug_cos"),
+            F.round(dot(F.col("e"), F.col("qe")), 6).alias("ip"),
+        )
+        .orderBy(F.desc("aug_cos"), F.asc("vec_id"))
+        .limit(_MIPS_TOP)
+    )

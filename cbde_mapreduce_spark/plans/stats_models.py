@@ -398,3 +398,68 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.round("mean", 4).alias("mean"), "ci_lo", "ci_hi", "se_boot"
     )
+
+
+_ANOVA_ORACLE = """
+    WITH g AS (SELECT c_mktsegment AS seg,
+                      count(*)::double AS n,
+                      sum(c_acctbal) AS s,
+                      sum(c_acctbal * c_acctbal) AS ss
+               FROM customer GROUP BY c_mktsegment),
+    tot AS (SELECT sum(n) AS n, sum(s) AS s, sum(ss) AS ss,
+                   count(*)::double AS k
+            FROM g),
+    parts AS (SELECT tot.k, tot.n,
+                     sum(g.s * g.s / g.n) - tot.s * tot.s / tot.n AS ssb,
+                     tot.ss - sum(g.s * g.s / g.n) AS ssw,
+                     tot.ss - tot.s * tot.s / tot.n AS sst
+              FROM g, tot GROUP BY tot.k, tot.n, tot.s, tot.ss)
+    SELECT k::bigint AS k, n::bigint AS n,
+           round(ssb / (k - 1) / (ssw / (n - k)), 6) AS f_stat,
+           round(ssb / sst, 6) AS eta_sq
+    FROM parts
+"""
+
+
+@query("anova_f_segments", oracle=_ANOVA_ORACLE, category="ml-prep")
+def anova_f_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does mean account balance differ across the five
+    market segments? F statistic and effect size (η²) from the
+    between/within sum-of-squares decomposition.
+
+    Same sufficient-statistics reduction as the OLS fit: ONE combinable
+    groupBy collects (n, Σy, Σy²) per segment; SSB/SSW/SST and the F ratio
+    are arithmetic over the 5-row group table (computational formulas —
+    no mean-subtraction second pass). The χ²/MI queries cover categorical×
+    categorical dependence; this is the categorical×continuous screen.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    y = F.col("c_acctbal")
+    g = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(y).alias("s"),
+        F.sum(y * y).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("tn"),
+        F.sum("s").alias("ts"),
+        F.sum("ss").alias("tss"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sgs"),
+    )
+    parts = tot.select(
+        "k",
+        F.col("tn").alias("n"),
+        (F.col("sgs") - F.col("ts") * F.col("ts") / F.col("tn")).alias("ssb"),
+        (F.col("tss") - F.col("sgs")).alias("ssw"),
+        (F.col("tss") - F.col("ts") * F.col("ts") / F.col("tn")).alias("sst"),
+    )
+    return parts.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1)) / (F.col("ssw") / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+        F.round(F.col("ssb") / F.col("sst"), 6).alias("eta_sq"),
+    )

@@ -762,3 +762,49 @@ def postings_delta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bits_per_posting"
         ),
     )
+
+
+_KWIC_TERM = "spark"
+_KWIC_CTX = 2  # words each side
+
+_KWIC_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents WHERE text <> ''),
+    hits AS (SELECT doc_id, ws, k.i AS p
+             FROM toks, generate_series(1, 4096) k(i)
+             WHERE k.i <= len(ws) AND ws[k.i] = '{_KWIC_TERM}')
+    SELECT doc_id, p::bigint AS pos,
+           array_to_string(ws[greatest(1, p - {_KWIC_CTX}):
+                              least(len(ws), p + {_KWIC_CTX})], ' ')
+             AS context
+    FROM hits
+"""
+
+
+@query("kwic_concordance", oracle=_KWIC_ORACLE, category="text")
+def kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance — distributed grep with context, the
+    original MapReduce demo upgraded: every occurrence of the term with a
+    ±2-word window around it, addressed by (doc, position).
+
+    posexplode gives the 1→N match positions; the context is a bounded
+    array slice of the SAME tokenized row (no join back to the corpus, no
+    second scan — tokens travel with their match). The filter on the
+    exploded term prunes to matches before any context materializes, so
+    the shuffle-free plan moves |matches| rows, not |tokens|.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    toks = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    hits = toks.select(
+        "doc_id",
+        "ws",
+        F.posexplode("ws"),
+    ).filter(F.col("col") == _KWIC_TERM)
+    p = F.col("pos") + 1  # 1-based token position
+    start = F.greatest(F.lit(1), p - _KWIC_CTX)
+    end = F.least(F.size("ws"), p + _KWIC_CTX)
+    return hits.select(
+        "doc_id",
+        p.cast("bigint").alias("pos"),
+        F.array_join(F.slice("ws", start, end - start + 1), " ").alias("context"),
+    )
