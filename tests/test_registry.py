@@ -29,7 +29,8 @@ def test_oracles_reference_only_fixture_tables():
             re.findall(r"(\w+)\s*(?:\([\w\s,]*\))?\s+AS\s*\(", spec.oracle, re.IGNORECASE)
         )
         refs = set(re.findall(r"(?:FROM|JOIN)\s+([a-zA-Z_]\w*)", spec.oracle))
-        unknown = refs - set(_TABLES) - ctes - {"LATERAL", "lateral"}
+        table_functions = {"generate_series", "range", "unnest"}
+        unknown = refs - set(_TABLES) - ctes - {"LATERAL", "lateral"} - table_functions
         assert not unknown, f"{name}: oracle references unknown relations {unknown}"
 
 
