@@ -88,3 +88,66 @@ def cm_estimate(
         .groupBy(col)
         .agg(F.min("cnt").alias("est"))
     )
+
+
+def mg_partials(items: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries: each partition reduces its
+    stream to <= k (item, cnt) counters — the deterministic mergeable
+    heavy-hitter summary (Agarwal et al., "Mergeable Summaries"), the
+    counter-based complement of the hash-based count-min sketch.
+
+    State lives across Arrow batches inside one mapInPandas partition
+    (the setup/accumulate/emit lifecycle); per batch the update is
+    vectorized: value_counts merges into the counter dict, then if more
+    than k counters survive, the (k+1)-th largest count is subtracted
+    from all and non-positive counters drop — the summary-merge form of
+    the classic decrement step, same error bound (<= n/(k+1) per item).
+    """
+    import pandas as pd
+
+    def summarize(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for item, c in pdf[col].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                t = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    i: c - t for i, c in counters.items() if c - t > 0
+                }
+        yield pd.DataFrame(
+            {"item": list(counters.keys()), "cnt": list(counters.values())}
+        )
+
+    return items.select(F.col(col).cast("string").alias(col)).mapInPandas(
+        summarize, "item string, cnt bigint"
+    )
+
+
+def mg_merge(partials: DataFrame, k: int) -> DataFrame:
+    """Merge per-partition MG summaries into one: pointwise sum, then
+    subtract the (k+1)-th largest combined count and keep the positive
+    remainder. Input is summary-sized (<= k rows per partition), so the
+    rank window and the scalar threshold touch bytes, not data."""
+    from pyspark.sql import Window
+
+    summed = partials.groupBy("item").agg(F.sum("cnt").alias("cnt"))
+    ranked = summed.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("item"))),
+    )
+    tail = ranked.filter(F.col("rk") == k + 1).select("cnt").collect()
+    t = tail[0]["cnt"] if tail else 0
+    return (
+        ranked.select("item", (F.col("cnt") - F.lit(t)).alias("est"))
+        .filter(F.col("est") > 0)
+    )
+
+
+def mg_heavy_hitters(items: DataFrame, col: str, k: int) -> DataFrame:
+    """End-to-end Misra-Gries: per-partition summaries -> one merged
+    <=k-counter summary. Guarantees (asserted in tests/test_sketches_mg.py):
+    est(x) <= true(x) <= est(x) + n/(k+1), so every item with true
+    frequency > n/(k+1) appears. Deterministic given the data (no hashing);
+    counts depend on partition layout only within the guarantee band."""
+    return mg_merge(mg_partials(items, col, k), k)

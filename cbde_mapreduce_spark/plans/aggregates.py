@@ -556,3 +556,25 @@ def range_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(h).cast("bigint").alias("fingerprint"),
         )
     )
+
+
+@query("mg_heavy_hitter_words", oracle=None, category="aggregation")
+def mg_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via Misra-Gries counters (k=8) over the token stream —
+    the deterministic, hash-free counterpart of cm_sketch_heavy_hitters on
+    the SAME stream: <=k counters per partition, merged by pointwise sum
+    plus one threshold subtraction (operators/sketches.py::mg_heavy_hitters).
+
+    Rows-only by design: MG counts are exact only up to the n/(k+1) band
+    and depend on partition layout within it. tests/test_sketches_mg.py
+    asserts the mergeable-summary guarantees against exact counts
+    (underestimate-only, band-bounded, no heavy hitter missed, exactness
+    when k >= vocabulary) and partitioning-invariance of the guarantee.
+    """
+    from cbde_mapreduce_spark.operators.sketches import mg_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    return mg_heavy_hitters(tok, "word", k=8).orderBy(F.desc("est"), F.asc("item"))

@@ -89,3 +89,110 @@ def item_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sc.orderBy(F.desc("cosine"), F.asc("p1"), F.asc("p2")).limit(_CF_TOP)
+
+
+_RFM_ORACLE = """
+    WITH mx AS (SELECT max(o_orderdate)::date AS mend FROM orders),
+    rfm AS (SELECT o_custkey,
+                   date_diff('day', max(o_orderdate)::date,
+                             (SELECT mend FROM mx)) AS r,
+                   count(*)::double AS f,
+                   sum(o_totalprice) AS m
+            FROM orders GROUP BY o_custkey),
+    e AS (SELECT quantile_cont(r, [0.2, 0.4, 0.6, 0.8]) AS re,
+                 quantile_cont(f, [0.2, 0.4, 0.6, 0.8]) AS fe,
+                 quantile_cont(m, [0.2, 0.4, 0.6, 0.8]) AS me
+          FROM rfm),
+    s AS (SELECT o_custkey, m,
+                 6 - (1 + CASE WHEN r >= re[1] THEN 1 ELSE 0 END
+                        + CASE WHEN r >= re[2] THEN 1 ELSE 0 END
+                        + CASE WHEN r >= re[3] THEN 1 ELSE 0 END
+                        + CASE WHEN r >= re[4] THEN 1 ELSE 0 END) AS rs,
+                 1 + CASE WHEN f >= fe[1] THEN 1 ELSE 0 END
+                   + CASE WHEN f >= fe[2] THEN 1 ELSE 0 END
+                   + CASE WHEN f >= fe[3] THEN 1 ELSE 0 END
+                   + CASE WHEN f >= fe[4] THEN 1 ELSE 0 END AS fs,
+                 1 + CASE WHEN m >= me[1] THEN 1 ELSE 0 END
+                   + CASE WHEN m >= me[2] THEN 1 ELSE 0 END
+                   + CASE WHEN m >= me[3] THEN 1 ELSE 0 END
+                   + CASE WHEN m >= me[4] THEN 1 ELSE 0 END AS ms
+          FROM rfm, e),
+    lab AS (SELECT o_custkey, m,
+                   CASE WHEN rs >= 4 AND fs >= 4 AND ms >= 4 THEN 'champions'
+                        WHEN rs >= 3 AND fs >= 4 THEN 'loyal'
+                        WHEN rs >= 4 AND fs <= 2 THEN 'new'
+                        WHEN rs <= 2 AND fs >= 3 THEN 'at_risk'
+                        WHEN rs <= 2 AND fs <= 2 THEN 'hibernating'
+                        ELSE 'other' END AS segment
+            FROM s)
+    SELECT segment,
+           count(*)::bigint AS n_customers,
+           round(sum(m), 2) AS revenue,
+           round(avg(m), 2) AS avg_monetary
+    FROM lab GROUP BY segment
+"""
+
+
+@query("rfm_segmentation", oracle=_RFM_ORACLE, category="recsys")
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary quintile
+    scores (5 = best) from broadcast quantile edges, combined into the
+    classic marketing segments (champions, loyal, new, at-risk,
+    hibernating) with customer counts and revenue per segment.
+
+    Same no-global-window discipline as decile_histogram_orders: ONE
+    groupBy reduces orders to per-customer RFM, one combinable aggregate
+    produces all twelve quintile edges, and scoring is edge-counting
+    against the broadcast 1-row edge table — ntile would need three
+    single-partition sorts of the customer table. Recency inverts the
+    edge count (low recency = high score) with the same >= comparisons on
+    both engines, so edge ties cannot diverge.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max(F.to_date("o_orderdate")).alias("mend"))
+    rfm = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last"),
+            F.count(F.lit(1)).cast("double").alias("f"),
+            F.sum("o_totalprice").alias("m"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.datediff("mend", "last").alias("r"),
+            "f",
+            "m",
+        )
+    )
+    edges = rfm.agg(
+        *[
+            F.expr(f"percentile({c}, {q})").alias(f"{c}e{i}")
+            for c in ("r", "f", "m")
+            for i, q in enumerate((0.2, 0.4, 0.6, 0.8), 1)
+        ]
+    )
+    s = rfm.crossJoin(F.broadcast(edges))
+    def score(c):
+        return sum(
+            F.when(F.col(c) >= F.col(f"{c}e{i}"), 1).otherwise(0)
+            for i in range(1, 5)
+        ) + 1
+    rs, fs, ms = (6 - score("r")), score("f"), score("m")
+    segment = (
+        F.when((rs >= 4) & (fs >= 4) & (ms >= 4), "champions")
+        .when((rs >= 3) & (fs >= 4), "loyal")
+        .when((rs >= 4) & (fs <= 2), "new")
+        .when((rs <= 2) & (fs >= 3), "at_risk")
+        .when((rs <= 2) & (fs <= 2), "hibernating")
+        .otherwise("other")
+    )
+    return (
+        s.select(segment.alias("segment"), "m")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.sum("m"), 2).alias("revenue"),
+            F.round(F.avg("m"), 2).alias("avg_monetary"),
+        )
+    )
