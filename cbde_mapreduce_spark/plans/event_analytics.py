@@ -685,3 +685,66 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
         F.round(F.sum("value"), 2).alias("revenue"),
     )
+
+
+_BURST_MIN_GAPS = 20
+
+_BURST_ORACLE = f"""
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                      ORDER BY ts, event_id)
+                 AS gap
+        FROM events),
+    s AS (SELECT user_id,
+                 count(gap)::bigint AS n_gaps,
+                 avg(gap / 1e6) AS mu,
+                 stddev_samp(gap / 1e6) AS sd
+          FROM g WHERE gap IS NOT NULL GROUP BY user_id
+          HAVING count(gap) >= {_BURST_MIN_GAPS})
+    SELECT user_id, n_gaps,
+           round(mu, 4) AS mean_gap_s,
+           round(sd, 4) AS sd_gap_s,
+           round((sd - mu) / (sd + mu), 6) AS burstiness
+    FROM s
+"""
+
+
+@query("interevent_burstiness", oracle=_BURST_ORACLE, category="event-analytics")
+def interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event burstiness per user (Goh-Barabási B = (σ−μ)/(σ+μ) of
+    the inter-event gaps): B→−1 is a metronome, B≈0 is Poisson, B→1 is
+    bursty — the behavioral-regularity screen behind bot detection and
+    session-gap tuning (it answers "is a 30-minute sessionization gap
+    meaningful for THIS user").
+
+    One shuffle on user_id feeds the lag() window and the per-user
+    moments (combinable avg/stddev on the same partitioning — no second
+    exchange); gaps are integer microseconds (epoch_us both engines)
+    divided once, so the moments see identical inputs. Users under 20
+    gaps are dropped where B's estimate is noise.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("ts_ns div 1000")  # loader's integer-ns column (tables.py)
+    g = events.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    s = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap").cast("bigint").alias("n_gaps"),
+            F.avg(F.col("gap") / 1e6).alias("mu"),
+            F.stddev_samp(F.col("gap") / 1e6).alias("sd"),
+        )
+        .filter(F.col("n_gaps") >= _BURST_MIN_GAPS)
+    )
+    return s.select(
+        "user_id",
+        "n_gaps",
+        F.round("mu", 4).alias("mean_gap_s"),
+        F.round("sd", 4).alias("sd_gap_s"),
+        F.round((F.col("sd") - F.col("mu")) / (F.col("sd") + F.col("mu")), 6).alias(
+            "burstiness"
+        ),
+    )

@@ -463,3 +463,117 @@ def anova_f_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f_stat"),
         F.round(F.col("ssb") / F.col("sst"), 6).alias("eta_sq"),
     )
+
+
+_DID_CUT = "1999-01-01"
+_DID_SEG = "BUILDING"
+
+_DID_ORACLE = f"""
+    WITH j AS (
+        SELECT CASE WHEN c.c_mktsegment = '{_DID_SEG}' THEN 1 ELSE 0 END AS treat,
+               CASE WHEN o.o_orderdate >= TIMESTAMP '{_DID_CUT}'
+                    THEN 1 ELSE 0 END AS post,
+               o.o_totalprice AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    g AS (SELECT treat, post, avg(y) AS m, count(*)::bigint AS n
+          FROM j GROUP BY treat, post),
+    p AS (SELECT
+            max(CASE WHEN treat = 1 AND post = 1 THEN m END) AS t_post,
+            max(CASE WHEN treat = 1 AND post = 0 THEN m END) AS t_pre,
+            max(CASE WHEN treat = 0 AND post = 1 THEN m END) AS c_post,
+            max(CASE WHEN treat = 0 AND post = 0 THEN m END) AS c_pre,
+            sum(n)::bigint AS n
+          FROM g)
+    SELECT n, round(t_pre, 4) AS treat_pre, round(t_post, 4) AS treat_post,
+           round(c_pre, 4) AS ctrl_pre, round(c_post, 4) AS ctrl_post,
+           round((t_post - t_pre) - (c_post - c_pre), 4) AS did
+    FROM p
+"""
+
+
+@query("diff_in_diff_orders", oracle=_DID_ORACLE, category="ml-prep")
+def diff_in_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the change in mean order value for the
+    BUILDING segment (treatment) across the 1999-01-01 cut, net of the
+    change for everyone else (control) — the workhorse causal estimator
+    when only parallel trends can be assumed, beside ab_test_conversion's
+    randomized-split z-test.
+
+    One broadcast join tags orders with the treatment flag, one combinable
+    groupBy produces the 2×2 cell means, and the estimator is arithmetic
+    over 4 rows pivoted into a single row via conditional max — no second
+    scan, no window.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        F.when(F.col("c_mktsegment") == _DID_SEG, 1).otherwise(0).alias("treat"),
+        F.when(
+            F.col("o_orderdate") >= F.lit(_DID_CUT).cast("timestamp_ntz"), 1
+        )
+        .otherwise(0)
+        .alias("post"),
+        F.col("o_totalprice").alias("y"),
+    )
+    g = j.groupBy("treat", "post").agg(
+        F.avg("y").alias("m"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    cell = lambda t, p: F.max(
+        F.when((F.col("treat") == t) & (F.col("post") == p), F.col("m"))
+    )
+    p = g.agg(
+        cell(1, 1).alias("t_post"),
+        cell(1, 0).alias("t_pre"),
+        cell(0, 1).alias("c_post"),
+        cell(0, 0).alias("c_pre"),
+        F.sum("n").alias("n"),
+    )
+    return p.select(
+        "n",
+        F.round("t_pre", 4).alias("treat_pre"),
+        F.round("t_post", 4).alias("treat_post"),
+        F.round("c_pre", 4).alias("ctrl_pre"),
+        F.round("c_post", 4).alias("ctrl_post"),
+        F.round(
+            (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")), 4
+        ).alias("did"),
+    )
+
+
+_ELAST_ORACLE = """
+    SELECT p.p_type,
+           regr_count(ln(l.l_quantity), ln(l.l_extendedprice))::bigint AS n,
+           round(regr_slope(ln(l.l_quantity), ln(l.l_extendedprice)), 6)
+             AS elasticity,
+           round(regr_r2(ln(l.l_quantity), ln(l.l_extendedprice)), 6) AS r2
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_type
+"""
+
+
+@query("grouped_elasticity_slopes", oracle=_ELAST_ORACLE, category="ml-prep")
+def grouped_elasticity_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group regression: log-log price elasticity of demand
+    (d ln qty / d ln price) fitted independently for each part type via
+    the built-in regr_* aggregates — grouped closed-form model fitting
+    with zero extra machinery.
+
+    regr_slope/regr_r2 are combinable aggregates (running co-moments), so
+    the whole per-type fit rides ONE shuffle of the broadcast-joined fact
+    table on p_type — the grouped companion to ols_normal_equations
+    (global, multivariate) and regr_aggs_lineitem (global, simple).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    y = F.log(F.col("l_quantity"))
+    x = F.log(F.col("l_extendedprice"))
+    return j.groupBy("p_type").agg(
+        F.expr("regr_count(ln(l_quantity), ln(l_extendedprice))")
+        .cast("bigint")
+        .alias("n"),
+        F.round(F.expr("regr_slope(ln(l_quantity), ln(l_extendedprice))"), 6).alias(
+            "elasticity"
+        ),
+        F.round(F.expr("regr_r2(ln(l_quantity), ln(l_extendedprice))"), 6).alias("r2"),
+    )

@@ -808,3 +808,81 @@ def kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.cast("bigint").alias("pos"),
         F.array_join(F.slice("ws", start, end - start + 1), " ").alias("context"),
     )
+
+
+_HEAPS_ORACLE = """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    dt AS (SELECT doc_id, greatest(len(ws) - 2, 0) AS ntri FROM d),
+    tri AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+            FROM d, generate_series(1, 4096) s(i)
+            WHERE i <= len(ws) - 2),
+    fo AS (SELECT g, min(doc_id) AS fd FROM tri GROUP BY g),
+    mx AS (SELECT max(doc_id) AS md FROM d),
+    cp AS (SELECT ((i * (md + 1)) // 10) - 1 AS c
+           FROM mx, generate_series(1, 10) s(i)),
+    pts AS (SELECT cp.c,
+                   (SELECT count(*) FROM fo WHERE fo.fd <= cp.c) AS v,
+                   (SELECT sum(dt.ntri) FROM dt WHERE dt.doc_id <= cp.c) AS n
+            FROM cp)
+    SELECT count(*)::bigint AS n_points,
+           round(regr_slope(ln(v), ln(n)), 4) AS beta,
+           round(exp(regr_intercept(ln(v), ln(n))), 4) AS k,
+           round(regr_r2(ln(v), ln(n)), 4) AS r2
+    FROM pts WHERE v > 0 AND n > 0
+"""
+
+
+@query("heaps_law_fit", oracle=_HEAPS_ORACLE, category="text")
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(N) = K·N^β of trigram-vocabulary growth along the
+    corpus — the companion corpus law to zipf_tail_index, and the number
+    that predicts vocabulary (and BPE merge-table) size at 100× the data.
+
+    The growth curve never materializes a running distinct count (the
+    global-window trap): each trigram contributes its FIRST document
+    (min(doc_id), one combinable groupBy), and V at a checkpoint is a
+    count of first-occurrences at or before it — 10 checkpoint rows
+    derived from the max doc id, evaluated as two small joins. The
+    log-log fit is regr_slope/regr_intercept over 10 points.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    dt = d.select(
+        "doc_id", F.greatest(F.size("ws") - 2, F.lit(0)).alias("ntri")
+    )
+    tri = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ws)-2, 0)),"
+                " i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"
+            )
+        ).alias("g"),
+    )
+    fo = tri.groupBy("g").agg(F.min("doc_id").alias("fd"))
+    mx = d.agg(F.max("doc_id").alias("md"))
+    cp = (
+        mx.select(
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("i"), "md"
+        )
+        .select(F.expr("((i * (md + 1)) div 10) - 1").alias("c"))
+    )
+    v = (
+        fo.crossJoin(F.broadcast(cp))
+        .filter(F.col("fd") <= F.col("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    n = (
+        dt.crossJoin(F.broadcast(cp))
+        .filter(F.col("doc_id") <= F.col("c"))
+        .groupBy("c")
+        .agg(F.sum("ntri").alias("n"))
+    )
+    pts = v.join(n, "c").filter((F.col("v") > 0) & (F.col("n") > 0))
+    return pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.round(F.expr("regr_slope(ln(v), ln(n))"), 4).alias("beta"),
+        F.round(F.exp(F.expr("regr_intercept(ln(v), ln(n))")), 4).alias("k"),
+        F.round(F.expr("regr_r2(ln(v), ln(n))"), 4).alias("r2"),
+    )
