@@ -178,3 +178,43 @@ def streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cbde_mapreduce_spark.streaming import run_streaming_ohlc
 
     return run_streaming_ohlc(spark, sf_dir)
+
+
+@query(
+    "streaming_attribution",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, ts, event_id, event_type, value,
+                   CASE WHEN event_type = 'click'
+                        THEN json_extract(props, '$.k')::bigint END AS ck
+            FROM events),
+        carry AS (
+            SELECT user_id, ts, event_type, value,
+                   max(CASE WHEN event_type = 'click'
+                            THEN {'cts': ts, 'ck': ck} END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS lc
+            FROM ev)
+        SELECT user_id, epoch_us(ts)::bigint AS ts_us,
+               CASE WHEN lc IS NOT NULL
+                     AND lc.cts >= ts - INTERVAL 3 DAY
+                    THEN 'ch' || (lc.ck % 4)::varchar
+                    ELSE 'organic' END AS channel,
+               value
+        FROM carry WHERE event_type = 'purchase'
+    """,
+    category="streaming",
+)
+def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-purchase last-touch attribution as a stateful stream
+    (streaming/stateful.py::run_stateful_attribution): the latest-click
+    carry lives in the state store keyed by user, and every purchase emits
+    its attributed channel at arrival (append mode) — the incremental twin
+    of attribution_last_touch's retrospective window rollup. On the
+    bounded backfill each emitted row equals the batch carry-forward
+    computation, which is the DuckDB oracle here (per-purchase rows, not
+    the channel rollup, so the state logic itself is value-checked)."""
+    from cbde_mapreduce_spark.streaming.stateful import run_stateful_attribution
+
+    return run_stateful_attribution(spark, sf_dir)

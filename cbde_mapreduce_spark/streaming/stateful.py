@@ -33,6 +33,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from cbde_mapreduce_spark.streaming.streams import events_stream
@@ -154,6 +155,86 @@ def run_tws_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .outputMode("update")
         .trigger(availableNow=True)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_tws_"))
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink)
+
+
+ATTR_OUTPUT_SCHEMA = "user_id bigint, ts_us bigint, channel string, value double"
+ATTR_STATE_SCHEMA = "click_ts bigint, click_k bigint"
+_ATTR_LOOKBACK_US = 3 * 24 * 3600 * 1_000_000  # 3 days, integer microseconds
+
+
+def _attribute_purchases(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Keyed last-touch attribution: state carries the user's most recent
+    click (ts, k) across micro-batches; each purchase row emits its channel
+    at arrival. Rows are sorted by (ts_us, event_id) inside the batch —
+    the same total order the batch window uses."""
+    import json
+
+    click_ts, click_k = state.get if state.exists else (-1, -1)
+    out: dict[str, list] = {"user_id": [], "ts_us": [], "channel": [], "value": []}
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for _, row in pdf.iterrows():
+            if row["event_type"] == "click":
+                click_ts = int(row["ts_us"])
+                click_k = int(json.loads(row["props"])["k"])
+            elif row["event_type"] == "purchase":
+                ts = int(row["ts_us"])
+                if click_ts >= 0 and click_ts >= ts - _ATTR_LOOKBACK_US:
+                    channel = f"ch{click_k % 4}"
+                else:
+                    channel = "organic"
+                out["user_id"].append(key[0])
+                out["ts_us"].append(ts)
+                out["channel"].append(channel)
+                out["value"].append(float(row["value"]))
+    state.update((click_ts, click_k))
+    yield pd.DataFrame(out)
+
+
+def run_stateful_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution as a stateful stream (append mode): the
+    streaming twin of plans/event_analytics.py::attribution_last_touch,
+    emitting one attributed row PER PURCHASE as it arrives instead of a
+    retrospective batch rollup.
+
+    The carry (latest click per user) is exactly the batch query's
+    struct-max window state, held in the state store keyed by user. On the
+    bounded AvailableNow backfill every emitted row equals the batch
+    computation — the oracle check. Unbounded deployments additionally
+    need event-time ordering per key (a watermark-sorted buffer, or
+    tolerance for late clicks re-attributing nothing retroactively) —
+    append-mode emissions are immutable, which is the honest semantic
+    difference from the re-runnable batch rollup.
+    """
+    stream = events_stream(spark, sf_dir)
+    src = stream.select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_type",
+        "props",
+        "value",
+    )
+    attributed = src.groupBy("user_id").applyInPandasWithState(
+        _attribute_purchases,
+        outputStructType=ATTR_OUTPUT_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"attrib_{uuid.uuid4().hex[:12]}"
+    query = (
+        attributed.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_attr_"))
         .start()
     )
     query.awaitTermination()
