@@ -748,3 +748,52 @@ def interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "burstiness"
         ),
     )
+
+
+_BITMASK_ORACLE = """
+    WITH d AS (
+        SELECT user_id,
+               date_diff('day', (SELECT min(ts)::date FROM events), ts::date)
+                 AS day_idx
+        FROM events),
+    m AS (SELECT user_id,
+                 bit_or(1::bigint << day_idx) AS mask
+          FROM d GROUP BY user_id)
+    SELECT user_id, mask,
+           bit_count(mask)::int AS n_active_days,
+           ((mask >> 0) & 1 = 1 AND (mask >> 29) & 1 = 1) AS first_and_last
+    FROM m
+"""
+
+
+@query("activity_bitmask_users", oracle=_BITMASK_ORACLE, category="event-analytics")
+def activity_bitmask_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity bitmask: bit d of a single bigint is set iff the
+    user was active on day d of the observation window — the bitmap-index
+    representation behind fast retention/segment math (N-day actives,
+    day-k cohort membership, arbitrary AND/OR audience combinations) at
+    one 8-byte word per user per month.
+
+    bit_or(1 << day_idx) is a combinable aggregate, so the whole index
+    builds in ONE shuffle of (user, day-bit) words; every downstream
+    retention question is then bit arithmetic on the mask (bit_count,
+    shifts) with no second pass over events. The 30-day fixture window
+    fits one bigint; longer windows shard into (user, month) words —
+    same aggregate, composite key.
+    """
+    events = load_table(spark, sf_dir, "events")
+    d0 = events.agg(F.min(F.to_date("ts")).alias("d0"))
+    d = events.crossJoin(F.broadcast(d0)).select(
+        "user_id", F.datediff(F.to_date("ts"), F.col("d0")).alias("day_idx")
+    )
+    m = d.groupBy("user_id").agg(
+        F.bit_or(F.expr("shiftleft(cast(1 as bigint), day_idx)")).alias("mask")
+    )
+    return m.select(
+        "user_id",
+        "mask",
+        F.bit_count("mask").cast("int").alias("n_active_days"),
+        F.expr("(mask & 1) = 1 AND (shiftright(mask, 29) & 1) = 1").alias(
+            "first_and_last"
+        ),
+    )

@@ -309,3 +309,73 @@ def table_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_RI_ORACLE = """
+    SELECT 'lineitem->orders' AS fk, (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))::bigint AS orphans
+    UNION ALL
+    SELECT 'lineitem->part', (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))::bigint
+    UNION ALL
+    SELECT 'lineitem->supplier', (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                          WHERE s.s_suppkey = l.l_suppkey))::bigint
+    UNION ALL
+    SELECT 'orders->customer', (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))::bigint
+    UNION ALL
+    SELECT 'customer->nation', (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey))::bigint
+    UNION ALL
+    SELECT 'nation->region', (SELECT count(*) FROM nation n
+        WHERE NOT EXISTS (SELECT 1 FROM region r
+                          WHERE r.r_regionkey = n.n_regionkey))::bigint
+"""
+
+
+@query("referential_integrity_audit", oracle=_RI_ORACLE, category="quality")
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the whole star: orphan counts for
+    all six FK edges in one result — the ingest-gate companion to
+    data_quality_checks (which audits values; this audits the JOIN GRAPH,
+    where a single orphan silently deletes rows from every inner join
+    downstream).
+
+    Each edge is one left-anti join counted; dimension sides broadcast, so
+    the fact table is scanned once per edge with no shuffle (at 100 TB the
+    three lineitem edges fuse into one scan by rewriting as a triple
+    left join + three conditional counts — same contract, one pass; kept
+    as anti joins here because the anti join IS the audited semantic).
+    The expected result on this referentially-intact fixture is six zero
+    rows — the audit's passing state, asserted non-vacuously by the FK
+    names themselves being present.
+    """
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("lineitem", "orders", "part", "supplier", "customer", "nation", "region")}
+
+    def orphans(fact, dim, fk, pk, label):
+        return (
+            t[fact]
+            .join(F.broadcast(t[dim].select(pk)), F.col(fk) == F.col(pk), "left_anti")
+            .agg(
+                F.lit(label).alias("fk"),
+                F.count(F.lit(1)).cast("bigint").alias("orphans"),
+            )
+        )
+
+    edges = [
+        orphans("lineitem", "orders", "l_orderkey", "o_orderkey", "lineitem->orders"),
+        orphans("lineitem", "part", "l_partkey", "p_partkey", "lineitem->part"),
+        orphans("lineitem", "supplier", "l_suppkey", "s_suppkey", "lineitem->supplier"),
+        orphans("orders", "customer", "o_custkey", "c_custkey", "orders->customer"),
+        orphans("customer", "nation", "c_nationkey", "n_nationkey", "customer->nation"),
+        orphans("nation", "region", "n_regionkey", "r_regionkey", "nation->region"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out

@@ -15,7 +15,7 @@ union+window trick (see operators/asof.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cbde_mapreduce_spark.operators.asof import asof_join
@@ -457,4 +457,59 @@ def null_safe_join_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_FWD_ORACLE = """
+    WITH ev AS (
+        SELECT user_id, event_id, ts, epoch_us(ts)::bigint AS ts_us, event_type
+        FROM events),
+    carry AS (
+        SELECT user_id, event_id, ts_us, event_type,
+               min(CASE WHEN event_type = 'click' THEN ts_us END)
+                 OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                 AS next_click_us
+        FROM ev)
+    SELECT user_id, event_id, ts_us,
+           (next_click_us - ts_us) AS lag_us
+    FROM carry WHERE event_type = 'purchase'
+"""
+
+
+@query("asof_forward_next_click", oracle=_FWD_ORACLE, category="join")
+def asof_forward_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: for every purchase, the microsecond lag to the user's
+    NEXT click strictly after it (NULL when none follows) — the mirror of
+    asof_join_purchase_click's backward match, closing the as-of family
+    (backward / forward correspond to ASOF >= / <= directions).
+
+    Same one-shuffle carry shape as the backward join, with the frame
+    reversed: a conditional min over (1 FOLLOWING, UNBOUNDED FOLLOWING)
+    carries the next click UP to each row — no purchases×clicks pair
+    join, integer-µs arithmetic end to end.
+    """
+    events = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    carry = events.select(
+        "user_id", "event_id", us.alias("ts_us"), "event_type"
+    ).select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "event_type",
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("ts_us"))
+        ).over(w).alias("next_click_us"),
+    )
+    return carry.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        (F.col("next_click_us") - F.col("ts_us")).alias("lag_us"),
     )
