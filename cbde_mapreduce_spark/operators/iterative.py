@@ -290,3 +290,63 @@ def connected_components_star(
     return members.unionByName(
         roots.select("v", F.col("v").alias("component"))
     )
+
+
+def pca_top_component(
+    emb: DataFrame, col: str = "embedding"
+) -> tuple[np.ndarray, float, int]:
+    """Top principal component via the tall-skinny PCA shape: accumulate
+    the d×d Gram matrix distributed, eigensolve on the driver.
+
+    Each partition reduces its rows to ONE flattened d·d partial Gram
+    (numpy X'X over Arrow batches) plus the d-vector sum and count —
+    mapInPandas emits a single summary row per partition, and a
+    positionwise array sum merges them. The driver then eigensolves the
+    64×64 covariance (bytes, not data). This is the correct distributed
+    PCA when d² fits one machine and n does not — pure power iteration
+    was measured UNUSABLE on this data (λ₂/λ₁ = 0.987 ⇒ ~700 rounds for
+    4-digit agreement); the Gram pass is exact in one scan. Sign fixed so
+    the largest-|loading| entry is positive (eigenvectors are
+    sign-ambiguous). Returns (unit component, eigenvalue, n_rows).
+    """
+    d_probe = len(emb.select(F.col(col).alias("e")).first()["e"])
+
+    def partial_gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g = np.zeros((d_probe, d_probe))
+        s_vec = np.zeros(d_probe)
+        n = 0
+        for pdf in batches:
+            x = np.array(pdf["e"].tolist(), dtype=np.float64)
+            if len(x):
+                g += x.T @ x
+                s_vec += x.sum(axis=0)
+                n += len(x)
+        yield pd.DataFrame(
+            {"g": [g.flatten().tolist()], "s": [s_vec.tolist()], "n": [n]}
+        )
+
+    parts = emb.select(F.col(col).cast("array<double>").alias("e")).mapInPandas(
+        partial_gram, "g array<double>, s array<double>, n bigint"
+    )
+    merged = parts.agg(
+        F.aggregate(
+            F.collect_list("g"),
+            F.array_repeat(F.lit(0.0), d_probe * d_probe),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("g"),
+        F.aggregate(
+            F.collect_list("s"),
+            F.array_repeat(F.lit(0.0), d_probe),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("s"),
+        F.sum("n").alias("n"),
+    ).first()
+    n = int(merged["n"])
+    g = np.array(merged["g"]).reshape(d_probe, d_probe)
+    mu = np.array(merged["s"]) / n
+    cov = g / n - np.outer(mu, mu)
+    w, vecs = np.linalg.eigh(cov)
+    v, lam = vecs[:, -1], float(w[-1])
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    return v, lam, n

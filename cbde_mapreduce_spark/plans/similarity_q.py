@@ -352,3 +352,90 @@ def mips_topk_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aug_cos"), F.asc("vec_id"))
         .limit(_MIPS_TOP)
     )
+
+
+_Q8_ORACLE = """
+    WITH dims AS (
+        SELECT i, e.embedding[i]::double AS v
+        FROM embeddings e, generate_series(1, 64) s(i)),
+    st AS (SELECT i, min(v) AS lo, max(v) AS hi FROM dims GROUP BY i),
+    sc AS (SELECT i, lo, hi, (hi - lo) / 255.0 AS scale FROM st),
+    q AS (SELECT d.i, d.v, sc.lo, sc.scale,
+                 least(255, greatest(0, floor((d.v - sc.lo) / sc.scale + 0.5)))
+                   AS code
+          FROM dims d JOIN sc ON d.i = sc.i),
+    err AS (SELECT i, avg(pow(v - (lo + code * scale), 2)) AS mse FROM q GROUP BY i)
+    SELECT sc.i AS dim, round(sc.lo, 6) AS lo, round(sc.hi, 6) AS hi,
+           round(sc.scale, 8) AS scale,
+           round(err.mse, 10) AS mse
+    FROM sc JOIN err ON sc.i = err.i
+"""
+
+
+@query("int8_quantization_stats", oracle=_Q8_ORACLE, category="similarity")
+def int8_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension uint8 quantization calibration for the embedding
+    column: asymmetric min/max range per dimension, the resulting scale,
+    and the round-trip MSE — the numbers that decide whether a 4× smaller
+    quantized index is acceptable before building it (the PQ family's
+    codebook-free little sibling).
+
+    One posexplode turns vectors into (dim, value) pairs; calibration is a
+    combinable per-dim min/max; the error pass re-joins the broadcast
+    64-row scale table and aggregates MSE per dim — two scans total,
+    shuffling only (dim, value) pairs and never materializing quantized
+    vectors. Round-half-up is spelled floor(x + 0.5) on both engines
+    (never round(), whose half-to-even tiebreak differs at exact halves).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "v")
+    ).select((F.col("i0") + 1).alias("i"), "v")
+    st = dims.groupBy("i").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    sc = st.select("i", "lo", "hi", ((F.col("hi") - F.col("lo")) / 255.0).alias("scale"))
+    q = dims.join(F.broadcast(sc), "i").select(
+        "i",
+        "v",
+        "lo",
+        "scale",
+        F.least(
+            F.lit(255.0),
+            F.greatest(F.lit(0.0), F.floor((F.col("v") - F.col("lo")) / F.col("scale") + 0.5)),
+        ).alias("code"),
+    )
+    err = q.groupBy("i").agg(
+        F.avg(F.pow(F.col("v") - (F.col("lo") + F.col("code") * F.col("scale")), 2)).alias("mse")
+    )
+    return (
+        sc.join(err, "i")
+        .select(
+            F.col("i").alias("dim"),
+            F.round("lo", 6).alias("lo"),
+            F.round("hi", 6).alias("hi"),
+            F.round("scale", 8).alias("scale"),
+            F.round("mse", 10).alias("mse"),
+        )
+    )
+
+
+@query("pca_top_component", oracle=None, category="similarity")
+def pca_top_component_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud via the tall-skinny PCA shape
+    (operators/iterative.py::pca_top_component): per-partition numpy Gram
+    partials merged by positionwise array sum, 64×64 eigensolve on the
+    driver — the driver sees d² floats, never data.
+
+    Output: one row per dimension (dim, loading) plus the shared
+    eigenvalue. Rows-only by design (an eigensolve is not DuckDB-SQL);
+    tests/test_pca.py pins it against numpy's exact eigendecomposition
+    (|cos| > 0.9999 to the true top eigenvector, eigenvalue within 0.1%)
+    and checks partitioning-invariance.
+    """
+    from cbde_mapreduce_spark.operators.iterative import pca_top_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v, lam, n = pca_top_component(emb)
+    rows = [(i + 1, float(v[i]), float(lam), int(n)) for i in range(len(v))]
+    return spark.createDataFrame(
+        rows, "dim int, loading double, eigenvalue double, n bigint"
+    )
