@@ -797,3 +797,77 @@ def activity_bitmask_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_and_last"
         ),
     )
+
+
+_RLE_ORACLE = """
+    WITH s AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events),
+    f AS (SELECT user_id, event_type,
+                 CASE WHEN prev IS NULL OR prev <> event_type
+                      THEN 1 ELSE 0 END AS brk,
+                 ts, event_id
+          FROM s),
+    r AS (SELECT user_id, event_type,
+                 sum(brk) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS run_id
+          FROM f),
+    runs AS (SELECT user_id, run_id, event_type, count(*)::bigint AS len
+             FROM r GROUP BY user_id, run_id, event_type)
+    SELECT user_id,
+           count(*)::bigint AS n_runs,
+           sum(len)::bigint AS n_events,
+           max(len)::bigint AS longest_run,
+           round(sum(len) / count(*)::double, 6) AS compression
+    FROM runs GROUP BY user_id
+"""
+
+
+@query("rle_event_runs", oracle=_RLE_ORACLE, category="event-analytics")
+def rle_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length structure of each user's event-type sequence: number of
+    maximal same-type runs, longest run, and the RLE compression ratio
+    (events per run) — the repetitiveness screen for clickstreams
+    (rage-clicks, retry loops, bot bursts all surface as long runs), and
+    the storage model behind run-length-encoded sequence columns.
+
+    Pure gaps-and-islands: one shuffle on user_id feeds the break-flag
+    lag, the running-sum run ids, and the two roll-ups — all four steps
+    share the same partitioning, so Catalyst plans a single exchange.
+    """
+    events = load_table(spark, sf_dir, "events")
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(wl).alias("prev"),
+    )
+    f = s.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("prev").isNull() | (F.col("prev") != F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    r = f.select(
+        "user_id", "event_type", F.sum("brk").over(wl).alias("run_id")
+    )
+    runs = r.groupBy("user_id", "run_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.sum("len").cast("bigint").alias("n_events"),
+        F.max("len").cast("bigint").alias("longest_run"),
+        F.round(F.sum("len") / F.count(F.lit(1)).cast("double"), 6).alias(
+            "compression"
+        ),
+    )

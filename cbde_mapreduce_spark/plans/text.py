@@ -886,3 +886,83 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.expr("regr_intercept(ln(v), ln(n))")), 4).alias("k"),
         F.round(F.expr("regr_r2(ln(v), ln(n))"), 4).alias("r2"),
     )
+
+
+_SPARSE_TOP = 20
+
+_SPARSE_ORACLE = f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                 FROM documents),
+    tf AS (SELECT doc_id, term, count(*)::double AS tf
+           FROM tok WHERE term <> '' GROUP BY doc_id, term),
+    df AS (SELECT term, count(*)::double AS df FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id)::double AS nd FROM tf),
+    w AS (SELECT tf.doc_id, tf.term,
+                 tf.tf * ln((SELECT nd FROM n) / df.df + 1) AS w
+          FROM tf JOIN df USING (term)),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+    dots AS (SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.w * b.w) AS dot
+             FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id),
+    sim AS (SELECT d1, d2,
+                   round(dot / (n1.nrm * n2.nrm), 6) AS cosine
+            FROM dots JOIN nrm n1 ON d1 = n1.doc_id
+                      JOIN nrm n2 ON d2 = n2.doc_id)
+    SELECT d1, d2, cosine
+    FROM sim
+    ORDER BY cosine DESC, d1, d2
+    LIMIT {_SPARSE_TOP}
+"""
+
+
+@query("sparse_cosine_topk_docs", oracle=_SPARSE_ORACLE, category="text")
+def sparse_cosine_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine: top-20 most lexically similar document pairs
+    via the inverted-index join — the sparse-vector twin of the dense
+    embedding family. A pair's dot product is the sum of w₁·w₂ over
+    SHARED terms only, so the self-join runs on the postings list keyed
+    by term and pairs that share nothing are never materialized — the
+    fundamental sparse-MIPS advantage over any dense all-pairs pass.
+
+    Per-term fan-out is O(df²); at corpus scale the standard guards are
+    stop-wording the df head (those terms carry ~zero idf weight anyway)
+    and prefix filtering (only each doc's top-weighted terms generate
+    candidates). idf uses ln(N/df + 1) so even corpus-wide terms keep a
+    positive finite weight. Scores round to 6 dp before the
+    (cosine, d1, d2) TakeOrdered.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    nd = float(tf.select("doc_id").distinct().count())
+    w = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(nd) / F.col("df") + 1)).alias("w"),
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select(F.col("doc_id").alias("d1"), "term", F.col("w").alias("w1"))
+    b = w.select(F.col("doc_id").alias("d2"), "term", F.col("w").alias("w2"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot"))
+    )
+    n1 = nrm.select(F.col("doc_id").alias("d1"), F.col("nrm").alias("nrm1"))
+    n2 = nrm.select(F.col("doc_id").alias("d2"), F.col("nrm").alias("nrm2"))
+    sim = (
+        dots.join(F.broadcast(n1), "d1")
+        .join(F.broadcast(n2), "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(F.col("dot") / (F.col("nrm1") * F.col("nrm2")), 6).alias("cosine"),
+        )
+    )
+    return sim.orderBy(F.desc("cosine"), F.asc("d1"), F.asc("d2")).limit(_SPARSE_TOP)
