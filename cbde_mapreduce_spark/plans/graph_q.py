@@ -587,3 +587,54 @@ def hits_authority_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("authority"), F.asc("suppkey"))
         .limit(_HITS_TOP)
     )
+
+
+_ASSORT_ORACLE = """
+    WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    deg AS (SELECT a AS v, count(*)::double AS d FROM e GROUP BY a)
+    SELECT (SELECT count(*) FROM e)::bigint AS n_directed_edges,
+           round(corr(da.d, db.d), 6) AS assortativity
+    FROM e JOIN deg da ON e.a = da.v
+           JOIN deg db ON e.b = db.v
+"""
+
+
+@query("degree_assortativity", oracle=_ASSORT_ORACLE, category="graph")
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the symmetrized trade graph: the Pearson
+    correlation of endpoint degrees over all directed edges (Newman's r) —
+    negative r means hubs attach to leaves (the usual shape of bipartite-
+    projected commerce graphs), and it is the one-number summary that
+    predicts whether degree-based partitioning will skew.
+
+    Degrees are one combinable groupBy; the edge list then joins the
+    degree table twice (both sides dimension-sized after aggregation) and
+    corr() is a single combinable co-moment aggregate — three shuffles
+    total, none wider than the edge list. Completes the graph-statistics
+    set beside degree_distribution, clustering coefficient, and triangles.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    e = e0.unionByName(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    deg = e.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    j = e.join(da, "a").join(db, "b")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_directed_edges"),
+        F.round(F.corr("da", "db"), 6).alias("assortativity"),
+    )

@@ -673,3 +673,56 @@ def decile_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+_WCD_ORACLE = """
+    WITH r AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
+               dense_rank() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_mktsegment) AS dr
+        FROM customer),
+    w AS (SELECT c_custkey, c_nationkey, c_acctbal,
+                 max(dr) OVER (PARTITION BY c_nationkey) AS n_segments
+          FROM r)
+    SELECT c_nationkey,
+           max(n_segments)::bigint AS n_segments,
+           count(*)::bigint AS n_customers,
+           round(sum(c_acctbal), 2) AS balance
+    FROM w GROUP BY c_nationkey
+"""
+
+
+@query("window_count_distinct_rewrite", oracle=_WCD_ORACLE, category="window")
+def window_count_distinct_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT x) OVER (PARTITION BY k) — which Spark's window
+    functions reject outright — via the canonical dense_rank rewrite:
+    dense_rank ordered by x within the partition reaches its maximum at
+    exactly the number of distinct x values, and max(dense_rank) over the
+    same partition broadcasts it to every row.
+
+    Both windows share one hash partitioning on the key (a single
+    exchange; the second window reuses the first's sort), so the rewrite
+    costs what one window costs — the reason it is THE idiom for
+    windowed distinct counts on every engine that lacks the native form.
+    The oracle runs the same rewrite in DuckDB, certifying the identity
+    end-to-end before the per-nation rollup.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    wk = Window.partitionBy("c_nationkey").orderBy("c_mktsegment")
+    r = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.dense_rank().over(wk).alias("dr"),
+    )
+    w = r.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.max("dr").over(Window.partitionBy("c_nationkey")).alias("n_segments"),
+    )
+    return w.groupBy("c_nationkey").agg(
+        F.max("n_segments").cast("bigint").alias("n_segments"),
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("balance"),
+    )
