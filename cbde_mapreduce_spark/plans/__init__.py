@@ -35,3 +35,4 @@ from cbde_mapreduce_spark.plans import mlprep  # noqa: F401,E402
 from cbde_mapreduce_spark.plans import retrieval  # noqa: F401,E402
 from cbde_mapreduce_spark.plans import stats_models  # noqa: F401,E402
 from cbde_mapreduce_spark.plans import recsys  # noqa: F401,E402
+from cbde_mapreduce_spark.plans import privacy  # noqa: F401,E402
