@@ -871,3 +871,63 @@ def rle_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "compression"
         ),
     )
+
+
+_OVL_ORACLE = """
+    WITH au AS (SELECT DISTINCT event_type, user_id FROM events),
+    sz AS (SELECT event_type, count(*)::bigint AS n FROM au GROUP BY event_type),
+    ix AS (SELECT a.event_type AS t1, b.event_type AS t2,
+                  count(*)::bigint AS both
+           FROM au a JOIN au b ON a.user_id = b.user_id
+                                AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+    SELECT ix.t1, ix.t2, ix.both,
+           s1.n AS n1, s2.n AS n2,
+           round(ix.both / (s1.n + s2.n - ix.both)::double, 6) AS jaccard
+    FROM ix JOIN sz s1 ON ix.t1 = s1.event_type
+            JOIN sz s2 ON ix.t2 = s2.event_type
+"""
+
+
+@query("audience_overlap_matrix", oracle=_OVL_ORACLE, category="event-analytics")
+def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: for every type pair, the
+    exact co-audience size and Jaccard similarity of their user sets —
+    the segment-overlap matrix behind "do purchasers also report errors"
+    questions, and the exact twin the KMV/HLL-intersection sketches
+    approximate at sketch cost.
+
+    The (type, user) incidence is distinct-ed FIRST, so the pair join is
+    the inverted-index self-join on user_id — audiences sharing no user
+    never pair up, and the shuffle carries incidence rows, never user
+    sets. Set sizes are a broadcast dimension joined after the reduce.
+    """
+    events = load_table(spark, sf_dir, "events")
+    au = events.select("event_type", "user_id").distinct()
+    sz = au.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = au.select(F.col("event_type").alias("t1"), "user_id")
+    b = au.select(F.col("event_type").alias("t2"), "user_id")
+    ix = (
+        a.join(b, "user_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("both"))
+    )
+    s1 = sz.select(F.col("event_type").alias("t1"), F.col("n").alias("n1"))
+    s2 = sz.select(F.col("event_type").alias("t2"), F.col("n").alias("n2"))
+    return (
+        ix.join(F.broadcast(s1), "t1")
+        .join(F.broadcast(s2), "t2")
+        .select(
+            "t1",
+            "t2",
+            "both",
+            "n1",
+            "n2",
+            F.round(
+                F.col("both")
+                / (F.col("n1") + F.col("n2") - F.col("both")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -784,3 +784,135 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _HNEG_K)
         .select("anchor", "rk", "negative", "neg_label", "sim")
     )
+
+
+_CM_ORACLE = f"""
+    WITH n AS (
+        SELECT vec_id, label, embedding,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> x::double * x::double))) AS nrm
+        FROM embeddings),
+    p AS (
+        SELECT a.vec_id AS qid, a.label AS qlabel,
+               b.vec_id AS nid, b.label AS nlabel,
+               round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                              z -> z[1]::double * z[2]::double))
+                     / (a.nrm * b.nrm), 6) AS sim
+        FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+    nn AS (SELECT qid, qlabel, nlabel,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY sim DESC, nid) AS rn
+           FROM p QUALIFY rn <= {_KNN_K}),
+    votes AS (SELECT qid, qlabel, nlabel, count(*) AS c,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY count(*) DESC, nlabel) AS vr
+              FROM nn GROUP BY qid, qlabel, nlabel),
+    pred AS (SELECT qid, qlabel AS true_label, nlabel AS pred_label
+             FROM votes WHERE vr = 1),
+    cm AS (SELECT true_label, pred_label, count(*)::bigint AS n
+           FROM pred GROUP BY true_label, pred_label),
+    tp AS (SELECT true_label AS label, n AS tp FROM cm
+           WHERE true_label = pred_label),
+    col AS (SELECT pred_label AS label, sum(n)::bigint AS pred_n
+            FROM cm GROUP BY pred_label),
+    row_ AS (SELECT true_label AS label, sum(n)::bigint AS true_n
+             FROM cm GROUP BY true_label)
+    SELECT row_.label,
+           row_.true_n,
+           coalesce(col.pred_n, 0) AS pred_n,
+           coalesce(tp.tp, 0) AS tp,
+           round(coalesce(tp.tp, 0) / nullif(col.pred_n, 0)::double, 6)
+             AS precision,
+           round(coalesce(tp.tp, 0) / row_.true_n::double, 6) AS recall
+    FROM row_ LEFT JOIN col USING (label) LEFT JOIN tp USING (label)
+"""
+
+
+@query("knn_confusion_matrix", oracle=_CM_ORACLE, category="ml-prep")
+def knn_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall of the leave-one-out 5-NN classifier —
+    the class-level diagnosis knn_label_accuracy's single number hides
+    (a 90% accuracy can still have one unusable class).
+
+    Same deterministic kNN vote as knn_label_accuracy (rounded sims,
+    vec_id/label tiebreaks); the confusion matrix is one groupBy over
+    predictions, and P/R come from its row/column marginals — all
+    |classes|²-bounded relations after the scored join. NULL precision
+    (a never-predicted class) is surfaced, not hidden.
+    """
+    from cbde_mapreduce_spark.functions.vectors import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    a = n.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, F.col("qid") != F.col("nid")).select(
+        "qid",
+        "qlabel",
+        "nid",
+        "nlabel",
+        F.round(
+            dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+        ).alias("sim"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    nn = pairs.withColumn("rn", F.row_number().over(wq)).filter(
+        F.col("rn") <= _KNN_K
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("nlabel"))
+    pred = (
+        nn.groupBy("qid", "qlabel", "nlabel")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            F.col("qlabel").alias("true_label"),
+            F.col("nlabel").alias("pred_label"),
+        )
+    )
+    cm = pred.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tp = cm.filter(F.col("true_label") == F.col("pred_label")).select(
+        F.col("true_label").alias("label"), F.col("n").alias("tp")
+    )
+    col = cm.groupBy(F.col("pred_label").alias("label")).agg(
+        F.sum("n").cast("bigint").alias("pred_n")
+    )
+    row_ = cm.groupBy(F.col("true_label").alias("label")).agg(
+        F.sum("n").cast("bigint").alias("true_n")
+    )
+    out = (
+        row_.join(col, "label", "left")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            "true_n",
+            F.coalesce("pred_n", F.lit(0)).alias("pred_n"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.round(
+                F.coalesce("tp", F.lit(0))
+                / F.nullif(F.col("pred_n"), F.lit(0)).cast("double"),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.coalesce("tp", F.lit(0)) / F.col("true_n").cast("double"), 6
+            ).alias("recall"),
+        )
+    )
+    return out
