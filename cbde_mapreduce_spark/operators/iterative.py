@@ -292,23 +292,16 @@ def connected_components_star(
     )
 
 
-def pca_top_component(
+def covariance_matrix(
     emb: DataFrame, col: str = "embedding"
-) -> tuple[np.ndarray, float, int]:
-    """Top principal component via the tall-skinny PCA shape: accumulate
-    the d×d Gram matrix distributed, eigensolve on the driver.
-
-    Each partition reduces its rows to ONE flattened d·d partial Gram
+) -> tuple[np.ndarray, int]:
+    """Exact d×d covariance of an array column via the tall-skinny shape:
+    each partition reduces its rows to ONE flattened d·d partial Gram
     (numpy X'X over Arrow batches) plus the d-vector sum and count —
-    mapInPandas emits a single summary row per partition, and a
-    positionwise array sum merges them. The driver then eigensolves the
-    64×64 covariance (bytes, not data). This is the correct distributed
-    PCA when d² fits one machine and n does not — pure power iteration
-    was measured UNUSABLE on this data (λ₂/λ₁ = 0.987 ⇒ ~700 rounds for
-    4-digit agreement); the Gram pass is exact in one scan. Sign fixed so
-    the largest-|loading| entry is positive (eigenvectors are
-    sign-ambiguous). Returns (unit component, eigenvalue, n_rows).
-    """
+    mapInPandas emits a single summary row per partition, a positionwise
+    array sum merges them, and the driver assembles Σxxᵀ/n − μμᵀ from
+    bytes, never data. One scan, exact (up to float summation order).
+    Returns (covariance, n_rows)."""
     d_probe = len(emb.select(F.col(col).alias("e")).first()["e"])
 
     def partial_gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -344,7 +337,20 @@ def pca_top_component(
     n = int(merged["n"])
     g = np.array(merged["g"]).reshape(d_probe, d_probe)
     mu = np.array(merged["s"]) / n
-    cov = g / n - np.outer(mu, mu)
+    return g / n - np.outer(mu, mu), n
+
+
+def pca_top_component(
+    emb: DataFrame, col: str = "embedding"
+) -> tuple[np.ndarray, float, int]:
+    """Top principal component: distributed covariance (covariance_matrix)
+    + driver eigensolve — the correct distributed PCA when d² fits one
+    machine and n does not. Pure power iteration was measured UNUSABLE on
+    this data (λ₂/λ₁ = 0.987 ⇒ ~700 rounds for 4-digit agreement); the
+    Gram pass is exact in one scan. Sign fixed so the largest-|loading|
+    entry is positive (eigenvectors are sign-ambiguous). Returns
+    (unit component, eigenvalue, n_rows)."""
+    cov, n = covariance_matrix(emb, col)
     w, vecs = np.linalg.eigh(cov)
     v, lam = vecs[:, -1], float(w[-1])
     if v[int(np.argmax(np.abs(v)))] < 0:

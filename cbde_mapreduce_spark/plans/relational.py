@@ -279,3 +279,55 @@ def collation_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("seg").alias("n_distinct_binary"),
         F.countDistinct(F.expr("seg COLLATE UTF8_LCASE")).alias("n_distinct_ci"),
     )
+
+
+# business days from the Monday epoch 1970-01-05 to date x (half-open):
+# f(x) = 5 * (days div 7) + least(days mod 7, 5); lag = f(ship) - f(order).
+# Pure integer arithmetic on datediff — no engine weekday() numbering
+# (Spark weekday is Monday=0, DuckDB dayofweek is Sunday=0; this formula
+# never consults either).
+_BDAY_F = (
+    "(5 * ((datediff(to_date({col}), DATE '1970-01-05')) div 7)"
+    " + least((datediff(to_date({col}), DATE '1970-01-05')) % 7, 5))"
+)
+_BDAY_F_DUCK = (
+    "(5 * ((date_diff('day', DATE '1970-01-05', {col}::date)) // 7)"
+    " + least((date_diff('day', DATE '1970-01-05', {col}::date)) % 7, 5))"
+)
+
+_BDAY_ORACLE = f"""
+    WITH j AS (
+        SELECT {_BDAY_F_DUCK.format(col='l.l_shipdate')}
+               - {_BDAY_F_DUCK.format(col='o.o_orderdate')} AS bdays
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT bdays::bigint AS bdays,
+           count(*)::bigint AS n
+    FROM j GROUP BY bdays
+"""
+
+
+@query("business_days_to_ship", oracle=_BDAY_ORACLE, category="scalar")
+def business_days_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship lag in BUSINESS days (weekends excluded), as a histogram
+    over all lineitems — calendar arithmetic done the engine-portable way.
+
+    The trap: each engine numbers weekdays differently (Spark weekday()
+    Monday=0, DuckDB dayofweek Sunday=0, isodow Monday=1), so any formula
+    consulting a weekday function must be re-derived per engine. Instead,
+    business-days-since-a-known-Monday is the closed form
+    f(x) = 5·⌊d/7⌋ + min(d mod 7, 5) with d = days since 1970-01-05 — one
+    datediff and integer arithmetic that is textually near-identical on
+    both engines, and the lag is f(ship) − f(order). One broadcast-joined
+    scan plus a combinable histogram groupBy.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    bdays = F.expr(
+        _BDAY_F.format(col="l_shipdate")
+    ) - F.expr(_BDAY_F.format(col="o_orderdate"))
+    return (
+        j.select(bdays.cast("bigint").alias("bdays"))
+        .groupBy("bdays")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

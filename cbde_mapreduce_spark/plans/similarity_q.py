@@ -439,3 +439,40 @@ def pca_top_component_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "dim int, loading double, eigenvalue double, n bigint"
     )
+
+
+@query("embedding_isotropy", oracle=None, category="similarity")
+def embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotropy profile of the embedding space: the full covariance
+    eigenvalue spectrum plus the standard isotropy measures — λ_min/λ_max,
+    top-component explained-variance share, and participation ratio
+    ((Σλ)²/Σλ² — the effective dimensionality). Anisotropic (cone-shaped)
+    embedding spaces degrade cosine retrieval; this is the health check
+    run before trusting the similarity stack.
+
+    Built on the same one-scan distributed covariance as PCA
+    (operators/iterative.py::covariance_matrix — per-partition Gram
+    partials, driver-side eigensolve of d² bytes). Rows-only by design;
+    tests/test_pca.py pins the covariance path against numpy and the
+    spectrum is deterministic given the data up to float summation order.
+    """
+    import numpy as np
+
+    from cbde_mapreduce_spark.operators.iterative import covariance_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov, n = covariance_matrix(emb)
+    w = np.linalg.eigvalsh(cov)[::-1]  # descending
+    total = float(w.sum())
+    pr = float(total * total / float((w * w).sum()))
+    iso = float(w[-1] / w[0])
+    rows = [
+        (i + 1, float(w[i]), round(float(w[i] / total), 6), round(iso, 6),
+         round(pr, 4), int(n))
+        for i in range(len(w))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rank int, eigenvalue double, var_share double, isotropy double, "
+        "participation_ratio double, n bigint",
+    )

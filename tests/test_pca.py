@@ -35,3 +35,15 @@ def test_partitioning_invariant(spark, emb):
     # float sums differ in order across partitionings; direction must agree
     assert abs(float(np.dot(v1, v13))) > 0.999999
     assert lam1 == pytest.approx(lam13, rel=1e-9)
+
+
+def test_covariance_matches_numpy(spark, emb):
+    import numpy as np
+
+    from cbde_mapreduce_spark.operators.iterative import covariance_matrix
+
+    cov, n = covariance_matrix(emb)
+    x = np.array([r["embedding"] for r in emb.collect()], dtype=np.float64)
+    ref = np.cov(x, rowvar=False, bias=True)
+    assert n == len(x)
+    assert np.allclose(cov, ref, atol=1e-10)
