@@ -916,3 +916,114 @@ def knn_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+_JL_OUT = 16  # target dimensionality
+_JL_PAIRS = 100  # audited pairs: (p, p+100) for p in 0..99
+
+_JL_ORACLE = f"""
+    WITH signs AS (
+        SELECT j.j, i.i,
+               CASE WHEN (ascii(substr(md5(j.j::varchar || ':' || i.i::varchar), 1, 1)) * 256
+                          + ascii(substr(md5(j.j::varchar || ':' || i.i::varchar), 2, 1))) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM generate_series(1, {_JL_OUT}) j(j), generate_series(1, 64) i(i)),
+    dims AS (
+        SELECT vec_id, i.i, embedding[i.i]::double AS x
+        FROM embeddings, generate_series(1, 64) i(i)
+        WHERE vec_id < {2 * _JL_PAIRS}),
+    proj AS (
+        SELECT d.vec_id, s.j,
+               sum(s.s * d.x) / sqrt({_JL_OUT}::double) AS y
+        FROM dims d JOIN signs s ON d.i = s.i
+        GROUP BY d.vec_id, s.j),
+    dorig AS (
+        SELECT a.vec_id AS pa, b.vec_id AS pb,
+               sqrt(sum(pow(a.x - b.x, 2))) AS d_orig
+        FROM dims a JOIN dims b
+          ON b.vec_id = a.vec_id + {_JL_PAIRS} AND a.i = b.i
+        WHERE a.vec_id < {_JL_PAIRS}
+        GROUP BY a.vec_id, b.vec_id),
+    dproj AS (
+        SELECT a.vec_id AS pa, b.vec_id AS pb,
+               sqrt(sum(pow(a.y - b.y, 2))) AS d_proj
+        FROM proj a JOIN proj b
+          ON b.vec_id = a.vec_id + {_JL_PAIRS} AND a.j = b.j
+        WHERE a.vec_id < {_JL_PAIRS}
+        GROUP BY a.vec_id, b.vec_id)
+    SELECT dorig.pa, dorig.pb,
+           round(dorig.d_orig, 6) AS d_orig,
+           round(dproj.d_proj, 6) AS d_proj,
+           round(dproj.d_proj / dorig.d_orig, 6) AS ratio
+    FROM dorig JOIN dproj ON dorig.pa = dproj.pa
+"""
+
+
+@query("jl_projection_distortion", oracle=_JL_ORACLE, category="similarity")
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss audit: project 64-dim embeddings to 16 dims
+    with a DETERMINISTIC ±1 sign matrix (md5-parity entries, 1/√k scale)
+    and report per-pair distance distortion for 100 fixed pairs — the
+    measurement that decides whether the cheap projected index is safe to
+    search instead of the full vectors.
+
+    The projection is the (vec, dim)-exploded incidence joined against the
+    broadcast 1024-row sign matrix and re-aggregated — a matmul as a
+    groupBy, never a per-row Python kernel — and the same deterministic-
+    seed discipline as the samplers makes the whole audit oracle-exact.
+    Sign matrices satisfy JL with the same concentration as Gaussians
+    (Achlioptas 2003), which is why ±1-only entries suffice.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 2 * _JL_PAIRS
+    )
+    dims = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "x"),
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "x")
+    spark_ = emb.sparkSession
+    signs = (
+        spark_.range(1, _JL_OUT + 1)
+        .select(F.col("id").cast("int").alias("j"))
+        .crossJoin(spark_.range(1, 65).select(F.col("id").cast("int").alias("i")))
+    )
+    h = F.md5(
+        F.encode(
+            F.concat(F.col("j").cast("string"), F.lit(":"), F.col("i").cast("string")),
+            "UTF-8",
+        )
+    )
+    u = F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    signs = signs.select(
+        "j", "i", F.when(u % 2 == 0, 1.0).otherwise(-1.0).alias("s")
+    )
+    proj = (
+        dims.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg((F.sum(F.col("s") * F.col("x")) / float(_JL_OUT) ** 0.5).alias("y"))
+    )
+    da = dims.filter(F.col("vec_id") < _JL_PAIRS).select(
+        F.col("vec_id").alias("pa"), "i", F.col("x").alias("xa")
+    )
+    db = dims.select(F.col("vec_id").alias("pb"), "i", F.col("x").alias("xb"))
+    dorig = (
+        da.join(db, (F.col("pb") == F.col("pa") + _JL_PAIRS) & (da.i == db.i))
+        .groupBy("pa", "pb")
+        .agg(F.sqrt(F.sum(F.pow(F.col("xa") - F.col("xb"), 2))).alias("d_orig"))
+    )
+    pa_ = proj.filter(F.col("vec_id") < _JL_PAIRS).select(
+        F.col("vec_id").alias("pa"), "j", F.col("y").alias("ya")
+    )
+    pb_ = proj.select(F.col("vec_id").alias("pb"), "j", F.col("y").alias("yb"))
+    dproj = (
+        pa_.join(pb_, (F.col("pb") == F.col("pa") + _JL_PAIRS) & (pa_.j == pb_.j))
+        .groupBy("pa", "pb")
+        .agg(F.sqrt(F.sum(F.pow(F.col("ya") - F.col("yb"), 2))).alias("d_proj"))
+    )
+    return dorig.join(dproj, ["pa", "pb"]).select(
+        "pa",
+        "pb",
+        F.round("d_orig", 6).alias("d_orig"),
+        F.round("d_proj", 6).alias("d_proj"),
+        F.round(F.col("d_proj") / F.col("d_orig"), 6).alias("ratio"),
+    )

@@ -577,3 +577,100 @@ def grouped_elasticity_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.expr("regr_r2(ln(l_quantity), ln(l_extendedprice))"), 6).alias("r2"),
     )
+
+
+_CONF_ALPHA = 0.9  # target coverage
+
+_CONF_ORACLE = f"""
+    WITH base AS (
+        SELECT o_totalprice AS y,
+               date_diff('day', DATE '1995-01-01', o_orderdate::date)::double AS x,
+               (ascii(substr(md5(o_orderkey::varchar), 1, 1)) * 256
+                + ascii(substr(md5(o_orderkey::varchar), 2, 1))) % 100 AS b
+        FROM orders),
+    cal AS (SELECT * FROM base WHERE b < 50),
+    tst AS (SELECT * FROM base WHERE b >= 50),
+    fit AS (SELECT regr_slope(y, x) AS m, regr_intercept(y, x) AS c FROM cal),
+    q AS (SELECT quantile_cont(abs(cal.y - (fit.m * cal.x + fit.c)),
+                               {_CONF_ALPHA}) AS qhat
+          FROM cal, fit),
+    cov AS (SELECT count(*)::bigint AS n_test,
+                   sum(CASE WHEN abs(tst.y - (fit.m * tst.x + fit.c)) <= q.qhat
+                            THEN 1 ELSE 0 END)::bigint AS covered
+            FROM tst, fit, q)
+    SELECT (SELECT count(*) FROM cal)::bigint AS n_cal,
+           cov.n_test,
+           round(q.qhat, 4) AS qhat,
+           round(cov.covered / cov.n_test::double, 6) AS coverage
+    FROM cov, q
+"""
+
+
+@query("conformal_interval_orders", oracle=_CONF_ORACLE, category="ml-prep")
+def conformal_interval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval around a linear model of order
+    value: fit on a hash-split calibration half, take the 90th percentile
+    of absolute calibration residuals as the interval half-width q̂, and
+    measure empirical coverage on the held-out half — distribution-free
+    uncertainty with finite-sample guarantee, no model internals needed.
+
+    The split is the md5-bucket hash (never rand() — the same leakage-
+    safe discipline as the dataset splitters, and what makes the oracle
+    comparison exact); the fit is the combinable regr_* pass; q̂ is one
+    percentile over calibration residuals; coverage is one conditional
+    count over the test half with the 1-row fit and q̂ broadcast. Two
+    scans total regardless of scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    h = F.md5(F.encode(F.col("o_orderkey").cast("string"), "UTF-8"))
+    b = (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))) % 100
+    base = orders.select(
+        F.col("o_totalprice").alias("y"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+        b.alias("b"),
+    )
+    cal = base.filter(F.col("b") < 50)
+    tst = base.filter(F.col("b") >= 50)
+    fit = cal.agg(
+        F.expr("regr_slope(y, x)").alias("m"),
+        F.expr("regr_intercept(y, x)").alias("c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+    )
+    q = (
+        cal.crossJoin(F.broadcast(fit))
+        .select(
+            "n_cal",
+            F.abs(F.col("y") - (F.col("m") * F.col("x") + F.col("c"))).alias("r"),
+        )
+        .groupBy("n_cal")
+        .agg(F.expr(f"percentile(r, {_CONF_ALPHA})").alias("qhat"))
+    )
+    fitq = fit.crossJoin(F.broadcast(q.select("qhat")))
+    cov = (
+        tst.crossJoin(F.broadcast(fitq))
+        .select(
+            "n_cal",
+            "qhat",
+            (
+                F.abs(F.col("y") - (F.col("m") * F.col("x") + F.col("c")))
+                <= F.col("qhat")
+            )
+            .cast("int")
+            .alias("in_band"),
+        )
+        .groupBy("n_cal", "qhat")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum("in_band").cast("bigint").alias("covered"),
+        )
+    )
+    return cov.select(
+        "n_cal",
+        "n_test",
+        F.round("qhat", 4).alias("qhat"),
+        F.round(F.col("covered") / F.col("n_test").cast("double"), 6).alias(
+            "coverage"
+        ),
+    )
