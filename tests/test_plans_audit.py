@@ -482,3 +482,54 @@ def test_ols_is_one_partial_aggregation_pass(spark, sf_oracle):
     plan = _executed_plan(df)
     assert "partial_" in plan  # map-side combine of the raw moments
     assert "Join" not in plan  # closed-form solve: no join anywhere
+
+
+def test_sparse_cosine_no_cartesian(spark, sf_oracle):
+    df = REGISTRY["sparse_cosine_topk_docs"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    # pair candidates come from the term-keyed postings join, never a
+    # cross product of the document set
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bitmask_single_fact_exchange(spark, sf_oracle):
+    df = REGISTRY["activity_bitmask_users"].fn(spark, sf_oracle)
+    plan = _executed_plan(df).split("Initial Plan")[0]
+    # bit_or rides one user_id shuffle; the day-zero scalar broadcasts
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "partial_bit_or" in plan or "bit_or" in plan
+
+
+def test_burstiness_window_and_moments_share_exchange(spark, sf_oracle):
+    df = REGISTRY["interevent_burstiness"].fn(spark, sf_oracle)
+    plan = _executed_plan(df).split("Initial Plan")[0]
+    # lag window and per-user moments both key on user_id: one fact
+    # exchange (plus the final small-agg exchange at most)
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Join" not in plan
+
+
+def test_jl_sign_matrix_broadcasts(spark, sf_oracle):
+    df = REGISTRY["jl_projection_distortion"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    # the 1024-row sign matrix must broadcast; the matmul is a groupBy,
+    # not a per-row Python kernel
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_business_days_is_pure_arithmetic_scan(spark, sf_oracle):
+    df = REGISTRY["business_days_to_ship"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    # no Python, no window: one broadcast join + combinable histogram agg
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan
+
+
+def test_rle_single_user_exchange(spark, sf_oracle):
+    df = REGISTRY["rle_event_runs"].fn(spark, sf_oracle)
+    plan = _executed_plan(df).split("Initial Plan")[0]
+    # break flag, run ids, and both roll-ups all partition by user_id
+    assert plan.count("Exchange hashpartitioning") <= 1
