@@ -726,3 +726,76 @@ def window_count_distinct_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.round(F.sum("c_acctbal"), 2).alias("balance"),
     )
+
+
+_MOVERS_Y1, _MOVERS_Y2 = 1997, 1998
+_MOVERS_TOP = 20
+
+_MOVERS_ORACLE = f"""
+    WITH rev AS (
+        SELECT l_partkey AS partkey,
+               year(o_orderdate) AS y,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE year(o_orderdate) IN ({_MOVERS_Y1}, {_MOVERS_Y2})
+        GROUP BY 1, 2),
+    rk AS (SELECT partkey, y,
+                  row_number() OVER (PARTITION BY y
+                                     ORDER BY round(revenue, 2) DESC, partkey)
+                    AS rnk
+           FROM rev),
+    j AS (SELECT a.partkey, a.rnk AS rank_{_MOVERS_Y1}, b.rnk AS rank_{_MOVERS_Y2},
+                 a.rnk - b.rnk AS moved
+          FROM rk a JOIN rk b ON a.partkey = b.partkey
+          WHERE a.y = {_MOVERS_Y1} AND b.y = {_MOVERS_Y2})
+    SELECT partkey, rank_{_MOVERS_Y1}, rank_{_MOVERS_Y2}, moved
+    FROM j
+    ORDER BY abs(moved) DESC, partkey
+    LIMIT {_MOVERS_TOP}
+"""
+
+
+@query("rank_movers_parts", oracle=_MOVERS_ORACLE, category="window")
+def rank_movers_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year rank movers: each part's revenue rank in 1997 vs
+    1998 and the top-20 largest rank swings — the leaderboard-delta
+    query behind "what rose/fell fastest" dashboards.
+
+    The ranks LOOK like the global-window trap but are not: ranking runs
+    AFTER the fact table reduces to the (part, year) aggregate, so each
+    per-year window covers a part-dimension-bounded relation (|parts|
+    rows), not lineitems. Ranks order by ROUNDED revenue with a partkey
+    tiebreak (the cross-engine float discipline), the year join is a
+    self-join of the small rank table, and the final top-20 is
+    TakeOrdered on |moved|.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.year("o_orderdate").isin(_MOVERS_Y1, _MOVERS_Y2))
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.year("o_orderdate").alias("y"),
+        )
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    wy = Window.partitionBy("y").orderBy(
+        F.desc(F.round("revenue", 2)), F.asc("partkey")
+    )
+    rk = rev.select("partkey", "y", F.row_number().over(wy).alias("rnk"))
+    a = rk.filter(F.col("y") == _MOVERS_Y1).select(
+        "partkey", F.col("rnk").alias(f"rank_{_MOVERS_Y1}")
+    )
+    b = rk.filter(F.col("y") == _MOVERS_Y2).select(
+        "partkey", F.col("rnk").alias(f"rank_{_MOVERS_Y2}")
+    )
+    j = a.join(b, "partkey").select(
+        "partkey",
+        f"rank_{_MOVERS_Y1}",
+        f"rank_{_MOVERS_Y2}",
+        (F.col(f"rank_{_MOVERS_Y1}") - F.col(f"rank_{_MOVERS_Y2}")).alias("moved"),
+    )
+    return j.orderBy(F.abs(F.col("moved")).desc(), F.asc("partkey")).limit(
+        _MOVERS_TOP
+    )
