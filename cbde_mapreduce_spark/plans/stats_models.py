@@ -674,3 +674,130 @@ def conformal_interval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage"
         ),
     )
+
+
+_CLV_HORIZON_M = 24
+
+_CLV_ORACLE = f"""
+    WITH mx AS (SELECT max(o_orderdate)::date AS mend FROM orders),
+    u AS (SELECT o_custkey,
+                 (date_diff('day', min(o_orderdate)::date,
+                            max(o_orderdate)::date) // 30)::bigint AS dur_m,
+                 CASE WHEN max(o_orderdate)::date
+                       <= (SELECT mend FROM mx) - INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END AS churned,
+                 sum(o_totalprice) AS rev
+          FROM orders GROUP BY o_custkey),
+    rate AS (SELECT sum(rev) / sum(dur_m + 1) AS m_rev FROM u),
+    lt AS (SELECT dur_m, sum(churned)::bigint AS d,
+                  sum(1 - churned)::bigint AS c
+           FROM u GROUP BY dur_m),
+    ar AS (SELECT dur_m, d, c,
+                  (SELECT count(*) FROM u)
+                  - coalesce(sum(d + c) OVER (ORDER BY dur_m
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS at_risk
+           FROM lt),
+    km AS (SELECT dur_m,
+                  exp(sum(CASE WHEN d = 0 THEN 0.0
+                               ELSE ln(greatest(1.0 - d::double / at_risk,
+                                                1e-15)) END)
+                      OVER (ORDER BY dur_m)) AS surv
+           FROM ar),
+    hz AS (SELECT m.m,
+                  (SELECT surv FROM km WHERE km.dur_m <= m.m
+                   ORDER BY km.dur_m DESC LIMIT 1) AS s_m
+           FROM generate_series(1, {_CLV_HORIZON_M}) m(m)),
+    acc AS (SELECT m, s_m,
+                   sum(s_m) OVER (ORDER BY m) AS cum_s
+            FROM hz)
+    SELECT acc.m AS month, round(acc.s_m, 6) AS survival,
+           round(rate.m_rev, 4) AS monthly_rev,
+           round(rate.m_rev * acc.cum_s, 2) AS expected_clv
+    FROM acc, rate
+"""
+
+
+@query("expected_clv_curve", oracle=_CLV_ORACLE, category="ml-prep")
+def expected_clv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected customer-lifetime-value curve: survival-discounted revenue
+    per 30-day month, CLV(h) = m̄ · Σ_{{m<=h}} S(m) for horizons 1..24 —
+    the actuarial composition of the Kaplan-Meier estimator
+    (kaplan_meier_customers, monthly buckets) with the average monthly
+    spend rate. This is a composition proof: the survival lifetable and
+    the spend rate are both sufficient-statistic relations, and the CLV
+    curve is a 24-row window over their join.
+
+    Per-horizon survival is the step-function value S(m) = survival at
+    the largest lifetable duration <= m — an as-of lookup expressed as a
+    conditional max_by over the (horizon × lifetable) join of two
+    bounded relations. One customer-key shuffle total; everything after
+    is calendar-bounded.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    mend = orders.agg(F.max(F.to_date("o_orderdate")).alias("mend"))
+    u = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min(F.to_date("o_orderdate")).alias("a"),
+            F.max(F.to_date("o_orderdate")).alias("b"),
+            F.sum("o_totalprice").alias("rev"),
+        )
+        .crossJoin(F.broadcast(mend))
+        .select(
+            (F.datediff("b", "a").cast("bigint") / 30).cast("bigint").alias("dur_m"),
+            F.when(F.col("b") <= F.date_sub(F.col("mend"), 90), 1)
+            .otherwise(0)
+            .alias("churned"),
+            "rev",
+        )
+    )
+    u = u.cache()
+    rate = u.agg((F.sum("rev") / F.sum(F.col("dur_m") + 1)).alias("m_rev"))
+    total = u.agg(F.count(F.lit(1)).alias("n_users"))
+    lt = (
+        u.groupBy("dur_m")
+        .agg(
+            F.sum("churned").cast("bigint").alias("d"),
+            F.sum(1 - F.col("churned")).cast("bigint").alias("c"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    wprev = Window.orderBy("dur_m").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("dur_m")
+    ar = lt.select(
+        "dur_m",
+        "d",
+        "c",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0))
+        ).alias("at_risk"),
+    )
+    lnf = F.when(F.col("d") == 0, F.lit(0.0)).otherwise(
+        F.log(
+            F.greatest(
+                F.lit(1.0) - F.col("d").cast("double") / F.col("at_risk"),
+                F.lit(1e-15),
+            )
+        )
+    )
+    km = ar.select("dur_m", F.exp(F.sum(lnf).over(wcum)).alias("surv"))
+    months = (
+        orders.sparkSession.range(1, _CLV_HORIZON_M + 1)
+        .select(F.col("id").cast("bigint").alias("m"))
+    )
+    hz = (
+        months.join(F.broadcast(km), km.dur_m <= months.m)
+        .groupBy("m")
+        .agg(F.expr("max_by(surv, dur_m)").alias("s_m"))
+    )
+    acc = hz.select(
+        "m", "s_m", F.sum("s_m").over(Window.orderBy("m")).alias("cum_s")
+    )
+    return acc.crossJoin(F.broadcast(rate)).select(
+        F.col("m").alias("month"),
+        F.round("s_m", 6).alias("survival"),
+        F.round("m_rev", 4).alias("monthly_rev"),
+        F.round(F.col("m_rev") * F.col("cum_s"), 2).alias("expected_clv"),
+    )

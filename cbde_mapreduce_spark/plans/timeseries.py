@@ -555,3 +555,37 @@ def theil_sen_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("b0m", 4).alias("intercept"),
         "n_pairs",
     )
+
+
+_ENV_ORACLE = """
+    SELECT date_trunc('day', ts)::timestamp AS day,
+           count(*)::bigint AS n,
+           round(quantile_cont(value, 0.1), 4) AS p10,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90
+    FROM events GROUP BY 1
+"""
+
+
+@query("daily_value_envelope", oracle=_ENV_ORACLE, category="time-series")
+def daily_value_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily P10/P50/P90 envelope of event values — the percentile band
+    every monitoring dashboard draws around its median line.
+
+    All three percentiles ride ONE combinable groupBy on the day key
+    (Spark's exact percentile aggregate buffers per group — fine while
+    groups are day-sized; the documented 100 TB swap is
+    approx_percentile's t-digest, same single-shuffle shape). Both
+    engines interpolate type-7 quantiles, rounded to 4 dp.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.expr("percentile(value, 0.1)"), 4).alias("p10"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        )
+        .select(F.col("day").cast("timestamp_ntz").alias("day"), "n", "p10", "p50", "p90")
+    )
