@@ -578,3 +578,77 @@ def mg_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("word") != ""
     )
     return mg_heavy_hitters(tok, "word", k=8).orderBy(F.desc("est"), F.asc("item"))
+
+
+_ABC_ORACLE = """
+    WITH rev AS (SELECT l_partkey AS partkey,
+                        sum(l_extendedprice * (1 - l_discount)) AS r
+                 FROM lineitem GROUP BY l_partkey),
+    rk AS (SELECT partkey, r,
+                  sum(round(r, 2)) OVER (ORDER BY round(r, 2) DESC, partkey)
+                    AS cum_r,
+                  sum(round(r, 2)) OVER () AS tot_r
+           FROM rev),
+    cls AS (SELECT partkey, r,
+                   CASE WHEN cum_r <= 0.8 * tot_r THEN 'A'
+                        WHEN cum_r <= 0.95 * tot_r THEN 'B'
+                        ELSE 'C' END AS abc
+            FROM rk)
+    SELECT abc,
+           count(*)::bigint AS n_parts,
+           round(sum(r), 2) AS revenue,
+           round(sum(r) / max(1.0) / (SELECT sum(r) FROM rev), 6) AS rev_share
+    FROM cls GROUP BY abc
+"""
+
+
+@query("abc_analysis_parts", oracle=_ABC_ORACLE, category="aggregation")
+def abc_analysis_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: class A = the
+    top-revenue parts carrying the first 80% of cumulative revenue, B =
+    the next 15%, C = the tail — the 80/20 inventory-prioritization
+    query.
+
+    The cumulative-share ranking LOOKS like a global-window trap but runs
+    over the parts DIMENSION after one combinable revenue aggregation
+    (|parts| rows, not lineitems), the same bounded-window argument as
+    rank_movers_parts. The running sum accumulates ROUNDED revenues in a
+    deterministic (rounded value, partkey) order, so both engines
+    accumulate identical sequences and the 80%/95% boundary cannot
+    waver on float noise.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
+    )
+    r2 = F.round("r", 2)
+    wcum = Window.orderBy(F.desc(r2), F.asc("partkey"))
+    wall = Window.partitionBy()
+    rk = rev.select(
+        "partkey",
+        "r",
+        F.sum(r2).over(wcum).alias("cum_r"),
+        F.sum(r2).over(wall).alias("tot_r"),
+    )
+    abc = (
+        F.when(F.col("cum_r") <= 0.8 * F.col("tot_r"), "A")
+        .when(F.col("cum_r") <= 0.95 * F.col("tot_r"), "B")
+        .otherwise("C")
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    return (
+        rk.select(abc.alias("abc"), "r")
+        .groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(F.sum("r"), 2).alias("revenue"),
+            F.sum("r").alias("_raw"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "abc",
+            "n_parts",
+            "revenue",
+            F.round(F.col("_raw") / F.col("t"), 6).alias("rev_share"),
+        )
+    )
