@@ -966,3 +966,89 @@ def sparse_cosine_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sim.orderBy(F.desc("cosine"), F.asc("d1"), F.asc("d2")).limit(_SPARSE_TOP)
+
+
+_KL_ORACLE = """
+    WITH tok AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+                 FROM documents),
+    tw AS (SELECT source, w, count(*)::double AS c
+           FROM tok WHERE w <> '' GROUP BY source, w),
+    vocab AS (SELECT DISTINCT w FROM tw),
+    srcs AS (SELECT DISTINCT source FROM tw),
+    vsize AS (SELECT count(*)::double AS v FROM vocab),
+    ns AS (SELECT source, sum(c) AS n FROM tw GROUP BY source),
+    grid AS (SELECT s.source, vb.w,
+                    (coalesce(tw.c, 0) + 1)
+                      / (ns.n + (SELECT v FROM vsize)) AS p
+             FROM srcs s CROSS JOIN vocab vb
+             LEFT JOIN tw ON tw.source = s.source AND tw.w = vb.w
+             JOIN ns ON ns.source = s.source),
+    pairs AS (SELECT a.source AS s1, b.source AS s2, a.w,
+                     a.p AS pa, b.p AS pb, (a.p + b.p) / 2 AS m
+              FROM grid a JOIN grid b
+                ON a.w = b.w AND a.source < b.source)
+    SELECT s1, s2,
+           round(sum(pa * ln(pa / pb)), 6) AS kl_ab,
+           round(sum(pb * ln(pb / pa)), 6) AS kl_ba,
+           round(sum(pa / 2 * ln(pa / m) + pb / 2 * ln(pb / m)), 6) AS jsd
+    FROM pairs GROUP BY s1, s2
+"""
+
+
+@query("source_divergence_matrix", oracle=_KL_ORACLE, category="text")
+def source_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distributional divergence between document sources: KL in
+    both directions and the symmetric Jensen-Shannon divergence over
+    add-one-smoothed unigram distributions — the corpus-mixing diagnostic
+    (which sources are interchangeable, which add genuinely new text)
+    that sits upstream of domain-mix weighting.
+
+    The corpus collapses to the (source, word) count table FIRST; the
+    dense probability grid (sources × vocab, Laplace-smoothed so KL is
+    finite everywhere) and the 190-pair join all run over
+    vocabulary-bounded relations. At web scale the vocab cap (top-k by
+    document frequency) bounds the grid — the divergences degrade
+    gracefully to their top-k truncations.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    tw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    vocab = tw.select("w").distinct()
+    srcs = tw.select("source").distinct()
+    v = float(vocab.count())
+    ns = tw.groupBy("source").agg(F.sum("c").alias("n"))
+    grid = (
+        srcs.crossJoin(vocab)
+        .join(tw, ["source", "w"], "left")
+        .join(F.broadcast(ns), "source")
+        .select(
+            "source",
+            "w",
+            ((F.coalesce("c", F.lit(0.0)) + 1) / (F.col("n") + v)).alias("p"),
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("s1"), "w", F.col("p").alias("pa")
+    )
+    b = grid.select(
+        F.col("source").alias("s2"), "w", F.col("p").alias("pb")
+    )
+    pairs = a.join(b, "w").filter(F.col("s1") < F.col("s2"))
+    m = (F.col("pa") + F.col("pb")) / 2
+    return pairs.groupBy("s1", "s2").agg(
+        F.round(F.sum(F.col("pa") * F.log(F.col("pa") / F.col("pb"))), 6).alias(
+            "kl_ab"
+        ),
+        F.round(F.sum(F.col("pb") * F.log(F.col("pb") / F.col("pa"))), 6).alias(
+            "kl_ba"
+        ),
+        F.round(
+            F.sum(
+                F.col("pa") / 2 * F.log(F.col("pa") / m)
+                + F.col("pb") / 2 * F.log(F.col("pb") / m)
+            ),
+            6,
+        ).alias("jsd"),
+    )
