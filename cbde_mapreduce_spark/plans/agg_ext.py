@@ -506,3 +506,85 @@ def kmv_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_err"
         ),
     )
+
+
+_BR_Y1, _BR_Y2 = 1997, 1998
+
+_BRIDGE_ORACLE = f"""
+    WITH base AS (
+        SELECT p.p_type AS ptype, year(o.o_orderdate) AS y,
+               sum(l.l_quantity)::double AS vol,
+               sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE year(o.o_orderdate) IN ({_BR_Y1}, {_BR_Y2})
+        GROUP BY 1, 2),
+    w AS (SELECT ptype,
+                 max(CASE WHEN y = {_BR_Y1} THEN vol END) AS v1,
+                 max(CASE WHEN y = {_BR_Y2} THEN vol END) AS v2,
+                 max(CASE WHEN y = {_BR_Y1} THEN rev END) AS r1,
+                 max(CASE WHEN y = {_BR_Y2} THEN rev END) AS r2
+          FROM base GROUP BY ptype),
+    d AS (SELECT ptype, v1, v2, r1, r2,
+                 r1 / v1 AS p1, r2 / v2 AS p2
+          FROM w WHERE v1 IS NOT NULL AND v2 IS NOT NULL)
+    SELECT ptype,
+           round(r2 - r1, 2) AS delta_rev,
+           round((v2 - v1) * p1, 2) AS volume_effect,
+           round((p2 - p1) * v1, 2) AS price_effect,
+           round((v2 - v1) * (p2 - p1), 2) AS mix_effect
+    FROM d
+"""
+
+
+@query("revenue_bridge_decomposition", oracle=_BRIDGE_ORACLE, category="aggregation")
+def revenue_bridge_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue bridge per part type between 1997 and 1998: the exact
+    price/volume/mix decomposition ΔR = Δv·p₁ + Δp·v₁ + Δv·Δp (the three
+    terms sum to delta_rev by algebraic identity — a built-in self-check
+    the driver's value hash exercises on every run).
+
+    One pass reduces the three-table star to the (type, year) grid
+    (dimensions broadcast), the year pivot is conditional max over the
+    6-row-per-type table, and the decomposition is scalar algebra —
+    the whole financial bridge costs one fact-table scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(F.year("o_orderdate").isin(_BR_Y1, _BR_Y2))
+        .groupBy(F.col("p_type").alias("ptype"), F.year("o_orderdate").alias("y"))
+        .agg(
+            F.sum("l_quantity").cast("double").alias("vol"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    cell = lambda y, c: F.max(F.when(F.col("y") == y, F.col(c)))
+    w = base.groupBy("ptype").agg(
+        cell(_BR_Y1, "vol").alias("v1"),
+        cell(_BR_Y2, "vol").alias("v2"),
+        cell(_BR_Y1, "rev").alias("r1"),
+        cell(_BR_Y2, "rev").alias("r2"),
+    )
+    d = w.filter(F.col("v1").isNotNull() & F.col("v2").isNotNull()).select(
+        "ptype",
+        "v1",
+        "v2",
+        "r1",
+        "r2",
+        (F.col("r1") / F.col("v1")).alias("p1"),
+        (F.col("r2") / F.col("v2")).alias("p2"),
+    )
+    return d.select(
+        "ptype",
+        F.round(F.col("r2") - F.col("r1"), 2).alias("delta_rev"),
+        F.round((F.col("v2") - F.col("v1")) * F.col("p1"), 2).alias("volume_effect"),
+        F.round((F.col("p2") - F.col("p1")) * F.col("v1"), 2).alias("price_effect"),
+        F.round(
+            (F.col("v2") - F.col("v1")) * (F.col("p2") - F.col("p1")), 2
+        ).alias("mix_effect"),
+    )
