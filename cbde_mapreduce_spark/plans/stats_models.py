@@ -801,3 +801,82 @@ def expected_clv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("m_rev", 4).alias("monthly_rev"),
         F.round(F.col("m_rev") * F.col("cum_s"), 2).alias("expected_clv"),
     )
+
+
+_TT_Z = 3.29  # ~ two-sided alpha 0.001 ≈ 0.005 Bonferroni-adjusted for 5 tests
+
+_TT_ORACLE = f"""
+    WITH g AS (SELECT c_mktsegment AS segment,
+                      count(*)::double AS n,
+                      sum(c_acctbal) AS s,
+                      sum(c_acctbal * c_acctbal) AS ss
+               FROM customer GROUP BY c_mktsegment),
+    tot AS (SELECT sum(n) AS tn, sum(s) AS ts, sum(ss) AS tss FROM g),
+    d AS (SELECT g.segment, g.n,
+                 g.s / g.n AS m,
+                 (g.ss - g.s * g.s / g.n) / (g.n - 1) AS v,
+                 (tot.tn - g.n) AS rn,
+                 (tot.ts - g.s) / (tot.tn - g.n) AS rm,
+                 ((tot.tss - g.ss) - (tot.ts - g.s) * (tot.ts - g.s)
+                   / (tot.tn - g.n)) / (tot.tn - g.n - 1) AS rv
+          FROM g, tot)
+    SELECT segment, n::bigint AS n,
+           round(m, 4) AS mean_bal,
+           round((m - rm) / sqrt(v / n + rv / rn), 4) AS t_stat,
+           abs((m - rm) / sqrt(v / n + rv / rn)) > {_TT_Z} AS significant
+    FROM d
+"""
+
+
+@query("segment_ttests_bonferroni", oracle=_TT_ORACLE, category="ml-prep")
+def segment_ttests_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five simultaneous Welch t-tests — each market segment's mean
+    account balance against the rest — with a Bonferroni-style critical
+    value (|t| > 3.29 ≈ two-sided α 0.001, i.e. 0.005 family-wise over 5
+    tests). The multiple-comparisons companion to anova_f_segments: the
+    omnibus F says "some segment differs", these say WHICH, with the
+    family-wise error controlled.
+
+    Sufficient statistics again: one combinable groupBy yields (n, Σy,
+    Σy²) per segment; every complement ("rest") statistic is derived by
+    subtracting from the global totals — no second scan, no per-test
+    pass. Welch's unequal-variance form avoids the pooled-variance
+    assumption the segments would violate.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    y = F.col("c_acctbal")
+    g = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(y).alias("s"),
+        F.sum(y * y).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("tn"), F.sum("s").alias("ts"), F.sum("ss").alias("tss")
+    )
+    d = g.crossJoin(F.broadcast(tot)).select(
+        "segment",
+        "n",
+        (F.col("s") / F.col("n")).alias("m"),
+        ((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)).alias("v"),
+        (F.col("tn") - F.col("n")).alias("rn"),
+        ((F.col("ts") - F.col("s")) / (F.col("tn") - F.col("n"))).alias("rm"),
+        (
+            (
+                (F.col("tss") - F.col("ss"))
+                - (F.col("ts") - F.col("s"))
+                * (F.col("ts") - F.col("s"))
+                / (F.col("tn") - F.col("n"))
+            )
+            / (F.col("tn") - F.col("n") - 1)
+        ).alias("rv"),
+    )
+    t = (F.col("m") - F.col("rm")) / F.sqrt(
+        F.col("v") / F.col("n") + F.col("rv") / F.col("rn")
+    )
+    return d.select(
+        "segment",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("m", 4).alias("mean_bal"),
+        F.round(t, 4).alias("t_stat"),
+        (F.abs(t) > _TT_Z).alias("significant"),
+    )
