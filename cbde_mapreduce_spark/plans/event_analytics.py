@@ -931,3 +931,58 @@ def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+_MPX_ORACLE = """
+    WITH s AS (SELECT user_id, event_type AS next,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+               FROM events),
+    tr AS (SELECT prev, next, count(*)::double AS n
+           FROM s WHERE prev IS NOT NULL GROUP BY prev, next),
+    tm AS (SELECT prev, next, n / sum(n) OVER (PARTITION BY prev) AS p
+           FROM tr),
+    scored AS (SELECT s.user_id, ln(tm.p) AS lp
+               FROM s JOIN tm ON s.prev = tm.prev AND s.next = tm.next
+               WHERE s.prev IS NOT NULL)
+    SELECT user_id,
+           count(*)::bigint AS n_transitions,
+           round(exp(-avg(lp)), 6) AS perplexity
+    FROM scored GROUP BY user_id
+"""
+
+
+@query("markov_perplexity_users", oracle=_MPX_ORACLE, category="event-analytics")
+def markov_perplexity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user perplexity under the corpus-wide first-order Markov model
+    of event transitions: exp(−mean ln p(next|prev)) — the sequence-
+    anomaly score (scripted/bot traffic follows transitions the global
+    model finds improbable, organic traffic hugs the model).
+
+    The transition model is event_transition_matrix's 5×5 table
+    (row-normalized over a 25-row aggregate), broadcast back onto the
+    lagged transition stream — so scoring costs the same single user_id
+    shuffle the lag already needs, plus a map-side model lookup. Every
+    observed transition has nonzero model probability by construction
+    (the model was estimated from the same stream), so ln() is total.
+    """
+    events = load_table(spark, sf_dir, "events")
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = events.select(
+        "user_id",
+        F.col("event_type").alias("next"),
+        F.lag("event_type").over(wl).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    tr = s.groupBy("prev", "next").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    tm = tr.select(
+        "prev",
+        "next",
+        (F.col("n") / F.sum("n").over(Window.partitionBy("prev"))).alias("p"),
+    )
+    scored = s.join(F.broadcast(tm), ["prev", "next"]).select(
+        "user_id", F.log("p").alias("lp")
+    )
+    return scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+        F.round(F.exp(-F.avg("lp")), 6).alias("perplexity"),
+    )
