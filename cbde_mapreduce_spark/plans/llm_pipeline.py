@@ -834,3 +834,98 @@ def stratified_split_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.groupBy("lang", "split").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
+
+
+_STUDY_SIZES = (16, 32, 64)  # window sizes; stride = window/2 each
+
+_STUDY_ORACLE = f"""
+    WITH t AS (SELECT doc_id, len(string_split(text, ' '))::bigint AS n
+               FROM documents WHERE text <> ''),
+    sizes AS (SELECT unnest([{", ".join(str(s) for s in _STUDY_SIZES)}])
+                AS w),
+    chunks AS (
+        SELECT t.doc_id, sizes.w, g.start
+        FROM t CROSS JOIN sizes
+        JOIN LATERAL (SELECT unnest(range(0, t.n, sizes.w // 2))::bigint
+                        AS start) g ON true),
+    per AS (SELECT w, doc_id,
+                   count(*)::bigint AS n_chunks,
+                   sum(least(w, (SELECT n FROM t t2
+                                 WHERE t2.doc_id = chunks.doc_id) - start))
+                     AS emitted
+            FROM chunks GROUP BY w, doc_id)
+    SELECT per.w AS window,
+           sum(per.n_chunks)::bigint AS n_chunks,
+           sum(per.emitted)::bigint AS emitted_tokens,
+           round(sum(per.emitted) / (SELECT sum(n) FROM t)::double, 6)
+             AS amplification,
+           round(avg(per.emitted * 1.0 / (per.n_chunks * per.w)), 6)
+             AS fill_ratio
+    FROM per GROUP BY per.w
+"""
+
+
+@query("chunk_size_study", oracle=_STUDY_ORACLE, category="llm-pipeline")
+def chunk_size_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-size sweep for the RAG chunker: for windows of 16/32/64
+    tokens (half-window stride), the corpus-wide chunk count, emitted
+    token volume, amplification factor (emitted / raw — the storage and
+    embedding-compute multiplier the overlap policy buys), and mean chunk
+    fill ratio (small windows waste less tail, large windows carry more
+    context). This is the study run ONCE before committing an embedding
+    budget, expressed as one query.
+
+    All three window sizes ride a single scan: the doc-length table cross
+    joins the 3-row size dimension, chunk starts explode per (doc, size),
+    and the roll-ups are combinable. No chunk text materializes — the
+    study needs only lengths, so the token amplification is arithmetic,
+    not data.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    t = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n")
+    )
+    sizes = docs.sparkSession.createDataFrame(
+        [(s,) for s in _STUDY_SIZES], "w bigint"
+    )
+    chunks = (
+        t.crossJoin(F.broadcast(sizes))
+        .select(
+            "doc_id",
+            "n",
+            "w",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    F.col("n") - 1,
+                    (F.col("w") / 2).cast("bigint"),
+                )
+            ).alias("start"),
+        )
+    )
+    per = chunks.groupBy("w", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(F.least(F.col("w"), F.col("n") - F.col("start"))).alias("emitted"),
+    )
+    tot = t.agg(F.sum("n").alias("raw"))
+    return (
+        per.groupBy(F.col("w").alias("window"))
+        .agg(
+            F.sum("n_chunks").cast("bigint").alias("n_chunks"),
+            F.sum("emitted").cast("bigint").alias("emitted_tokens"),
+            F.sum("emitted").alias("_emitted_raw"),
+            F.round(
+                F.avg(F.col("emitted") * 1.0 / (F.col("n_chunks") * F.col("w"))), 6
+            ).alias("fill_ratio"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "window",
+            "n_chunks",
+            "emitted_tokens",
+            F.round(F.col("_emitted_raw") / F.col("raw").cast("double"), 6).alias(
+                "amplification"
+            ),
+            "fill_ratio",
+        )
+    )

@@ -589,3 +589,46 @@ def daily_value_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("day").cast("timestamp_ntz").alias("day"), "n", "p10", "p50", "p90")
     )
+
+
+_MSI_ORACLE = """
+    WITH m AS (SELECT year(o_orderdate) AS y, month(o_orderdate) AS mo,
+                      sum(o_totalprice) AS rev
+               FROM orders GROUP BY 1, 2),
+    mm AS (SELECT mo, avg(rev) AS mo_avg, count(*)::bigint AS n_years
+           FROM m GROUP BY mo),
+    g AS (SELECT avg(rev) AS g_avg FROM m)
+    SELECT mm.mo AS month, mm.n_years,
+           round(mm.mo_avg, 2) AS avg_monthly_rev,
+           round(mm.mo_avg / g.g_avg, 6) AS seasonal_index
+    FROM mm, g
+"""
+
+
+@query("monthly_seasonality_index", oracle=_MSI_ORACLE, category="time-series")
+def monthly_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical month-of-year seasonality index over the 6-year order
+    history: each calendar month's average revenue (across years) divided
+    by the overall monthly average — index > 1 marks the high season,
+    and the vector of 12 indices is the multiplicative seasonal profile
+    a demand forecast divides out.
+
+    Two combinable aggregations (year-month revenue, then month-of-year
+    means) and a broadcast global mean — the calendar-bounded pattern
+    throughout: after the first groupBy no relation exceeds 12×|years|
+    rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("mo")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    mm = m.groupBy("mo").agg(
+        F.avg("rev").alias("mo_avg"), F.count(F.lit(1)).cast("bigint").alias("n_years")
+    )
+    g = m.agg(F.avg("rev").alias("g_avg"))
+    return mm.crossJoin(F.broadcast(g)).select(
+        F.col("mo").alias("month"),
+        "n_years",
+        F.round("mo_avg", 2).alias("avg_monthly_rev"),
+        F.round(F.col("mo_avg") / F.col("g_avg"), 6).alias("seasonal_index"),
+    )
