@@ -986,3 +986,64 @@ def markov_perplexity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
         F.round(F.exp(-F.avg("lp")), 6).alias("perplexity"),
     )
+
+
+_NVR_ORACLE = """
+    WITH o AS (SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
+                      o_totalprice AS rev
+               FROM orders),
+    first AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY o_custkey)
+    SELECT o.m::timestamp AS month,
+           round(sum(CASE WHEN o.m = first.m0 THEN o.rev ELSE 0 END), 2)
+             AS new_revenue,
+           round(sum(CASE WHEN o.m > first.m0 THEN o.rev ELSE 0 END), 2)
+             AS returning_revenue,
+           count(DISTINCT CASE WHEN o.m = first.m0 THEN o.o_custkey END)::bigint
+             AS new_customers,
+           count(DISTINCT CASE WHEN o.m > first.m0 THEN o.o_custkey END)::bigint
+             AS returning_customers
+    FROM o JOIN first USING (o_custkey)
+    GROUP BY o.m
+"""
+
+
+@query("new_vs_returning_revenue", oracle=_NVR_ORACLE, category="event-analytics")
+def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: monthly revenue and customer counts split into
+    NEW (first-ever order month) vs RETURNING — the decomposition that
+    tells acquisition apart from retention in a single chart, and the
+    revenue-side sibling of cohort_retention_purchases.
+
+    The first-order month is one combinable groupBy on the customer key;
+    classification is a join back on the same key (both sides already
+    partitioned by it — no extra exchange), and the monthly rollup
+    aggregates conditionals. The two count-distincts share the month
+    shuffle via Spark's expand strategy.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").alias("m"),
+        F.col("o_totalprice").alias("rev"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    j = o.join(first, "o_custkey")
+    is_new = F.col("m") == F.col("m0")
+    is_ret = F.col("m") > F.col("m0")
+    return (
+        j.groupBy(F.col("m").cast("timestamp_ntz").alias("month"))
+        .agg(
+            F.round(F.sum(F.when(is_new, F.col("rev")).otherwise(0.0)), 2).alias(
+                "new_revenue"
+            ),
+            F.round(F.sum(F.when(is_ret, F.col("rev")).otherwise(0.0)), 2).alias(
+                "returning_revenue"
+            ),
+            F.count_distinct(F.when(is_new, F.col("o_custkey")))
+            .cast("bigint")
+            .alias("new_customers"),
+            F.count_distinct(F.when(is_ret, F.col("o_custkey")))
+            .cast("bigint")
+            .alias("returning_customers"),
+        )
+    )
