@@ -652,3 +652,52 @@ def abc_analysis_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_raw") / F.col("t"), 6).alias("rev_share"),
         )
     )
+
+
+_CR_K = 10
+
+_CR_ORACLE = f"""
+    WITH cr AS (SELECT year(o_orderdate) AS y, o_custkey,
+                       sum(o_totalprice) AS rev
+                FROM orders GROUP BY 1, 2),
+    rk AS (SELECT y, rev,
+                  row_number() OVER (PARTITION BY y
+                                     ORDER BY round(rev, 2) DESC, o_custkey)
+                    AS rn
+           FROM cr)
+    SELECT y AS year,
+           count(*)::bigint AS n_customers,
+           round(sum(CASE WHEN rn <= {_CR_K} THEN rev ELSE 0 END), 2)
+             AS top{_CR_K}_revenue,
+           round(sum(CASE WHEN rn <= {_CR_K} THEN rev ELSE 0 END)
+                 / sum(rev), 6) AS cr{_CR_K}
+    FROM rk GROUP BY y
+"""
+
+
+@query("cr10_concentration_by_year", oracle=_CR_ORACLE, category="aggregation")
+def cr10_concentration_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-concentration trend: the CR-10 ratio (share of each year's
+    revenue held by its top-10 customers) per year — the time-series
+    companion to gini_customer_revenue's single-point inequality measure,
+    and the early-warning number for key-account dependency.
+
+    Ranking runs per year over the customer dimension AFTER the revenue
+    aggregation (|years|·|customers| rows), ordered by rounded revenue
+    with a custkey tiebreak; the CR share is a conditional sum over the
+    same ranked relation — one fact scan, one dimension-bounded window.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cr = orders.groupBy(
+        F.year("o_orderdate").alias("y"), "o_custkey"
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    wy = Window.partitionBy("y").orderBy(
+        F.desc(F.round("rev", 2)), F.asc("o_custkey")
+    )
+    rk = cr.select("y", "rev", F.row_number().over(wy).alias("rn"))
+    top = F.when(F.col("rn") <= _CR_K, F.col("rev")).otherwise(0.0)
+    return rk.groupBy(F.col("y").alias("year")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(F.sum(top), 2).alias(f"top{_CR_K}_revenue"),
+        F.round(F.sum(top) / F.sum("rev"), 6).alias(f"cr{_CR_K}"),
+    )
