@@ -41,9 +41,20 @@ HEADLINE = [
     "sessionize_events",
     "cosine_topk_similarity",
     "dedup_exact_docs",
+    # Round-4 additions (round-1 judge ask #8): one representative per major
+    # family added since round 1, so a regression anywhere in the registry's
+    # breadth is visible round-over-round, not just in the original 8.
+    "q7_nation_volume",  # 6-table star join
+    "scd2_customer_status",  # window-heavy (SCD2 change capture)
+    "pack_sequences_chunked",  # LLM-pipeline (sequence packing)
+    "sparse_cosine_topk_docs",  # guarded sparse TF-IDF postings join
+    "pagerank_trade_graph",  # iterative graph
 ]
 
-RUNS = 5
+#: 9 (was 5 through round 3): every headline query is sub-160 ms at sf0.1,
+#: where single-run noise is 1.2-1.9x (measured, BENCHNOTES.md) — more
+#: samples tighten the median for ~3 s of extra wall-clock.
+RUNS = 9
 
 
 def main() -> None:

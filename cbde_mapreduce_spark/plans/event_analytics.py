@@ -602,7 +602,7 @@ _ATTR_LOOKBACK_DAYS = 3
 
 _ATTR_ORACLE = f"""
     WITH ev AS (
-        SELECT user_id, ts, event_type, value,
+        SELECT user_id, ts, event_id, event_type, value,
                CASE WHEN event_type = 'click'
                     THEN json_extract(props, '$.k')::bigint END AS click_k
         FROM events),
@@ -610,7 +610,7 @@ _ATTR_ORACLE = f"""
         SELECT user_id, ts, event_type, value,
                max(CASE WHEN event_type = 'click'
                         THEN {{'cts': ts, 'ck': click_k}} END)
-                 OVER (PARTITION BY user_id ORDER BY ts
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS lc
         FROM ev),
@@ -650,8 +650,12 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("bigint"),
     )
     w = (
+        # (ts, event_id) tiebreak: peers at identical timestamps would
+        # otherwise be framed nondeterministically under a ROWS frame, and
+        # the streaming twin (run_stateful_attribution) sorts by
+        # (ts_us, event_id) — the two kernels must agree on ties.
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carry = events.select(

@@ -236,10 +236,15 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     k = _SUBDUP_K
     pos = (
-        docs.select(
+        # Docs shorter than k chars generate no positions — without the
+        # filter, sequence(1, 0) yields [1, 0] on Spark (default step -1
+        # when start > stop) and emits two phantom shingles the oracle's
+        # WHERE i <= length(text)-k+1 predicate excludes.
+        docs.filter(F.length("text") >= k)
+        .select(
             "doc_id",
             F.explode(
-                F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(0)))
+                F.sequence(F.lit(1), F.length("text") - (k - 1))
             ).alias("i"),
             "text",
         )

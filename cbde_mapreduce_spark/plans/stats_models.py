@@ -788,7 +788,10 @@ def expected_clv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").cast("bigint").alias("m"))
     )
     hz = (
-        months.join(F.broadcast(km), km.dur_m <= months.m)
+        # LEFT join: a horizon month below the minimum lifetable duration
+        # must surface with NULL survival (as the oracle's correlated
+        # subquery does), not be dropped from the curve.
+        months.join(F.broadcast(km), km.dur_m <= months.m, "left")
         .groupBy("m")
         .agg(F.expr("max_by(surv, dur_m)").alias("s_m"))
     )

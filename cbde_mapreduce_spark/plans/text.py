@@ -852,34 +852,44 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tri = d.select(
         "doc_id",
+        # Guarded: sequence(1, 0) on Spark yields [1, 0] (default step -1
+        # when start > stop), and ws[-1] then throws under ANSI mode — docs
+        # with <3 tokens must produce an empty trigram array, matching the
+        # oracle's WHERE i <= len(ws)-2 bound.
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(ws)-2, 0)),"
+                "CASE WHEN size(ws) >= 3 THEN"
+                " transform(sequence(1, size(ws)-2),"
                 " i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"
+                " ELSE array() END"
             )
         ).alias("g"),
     )
     fo = tri.groupBy("g").agg(F.min("doc_id").alias("fd"))
     mx = d.agg(F.max("doc_id").alias("md"))
     cp = (
+        # The checkpoint INDEX i rides along: when (md+1) is not a
+        # multiple of 10 two checkpoints can share the same c, and the
+        # oracle's regression weights that point twice (one pts row per
+        # cp row) — grouping by c alone would silently dedupe it.
         mx.select(
             F.explode(F.sequence(F.lit(1), F.lit(10))).alias("i"), "md"
         )
-        .select(F.expr("((i * (md + 1)) div 10) - 1").alias("c"))
+        .select("i", F.expr("((i * (md + 1)) div 10) - 1").alias("c"))
     )
     v = (
         fo.crossJoin(F.broadcast(cp))
         .filter(F.col("fd") <= F.col("c"))
-        .groupBy("c")
+        .groupBy("i", "c")
         .agg(F.count(F.lit(1)).alias("v"))
     )
     n = (
         dt.crossJoin(F.broadcast(cp))
         .filter(F.col("doc_id") <= F.col("c"))
-        .groupBy("c")
+        .groupBy("i", "c")
         .agg(F.sum("ntri").alias("n"))
     )
-    pts = v.join(n, "c").filter((F.col("v") > 0) & (F.col("n") > 0))
+    pts = v.join(n, ["i", "c"]).filter((F.col("v") > 0) & (F.col("n") > 0))
     return pts.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_points"),
         F.round(F.expr("regr_slope(ln(v), ln(n))"), 4).alias("beta"),
@@ -889,6 +899,11 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SPARSE_TOP = 20
+#: df-cap: drop terms present in more than this fraction of the corpus
+#: (the df head carries ~zero idf weight but O(df^2) join fan-out).
+_SPARSE_DF_FRAC = 0.5
+#: prefix filter: keep only each doc's top-m weighted terms.
+_SPARSE_TERMS_PER_DOC = 50
 
 _SPARSE_ORACLE = f"""
     WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
@@ -897,9 +912,14 @@ _SPARSE_ORACLE = f"""
            FROM tok WHERE term <> '' GROUP BY doc_id, term),
     df AS (SELECT term, count(*)::double AS df FROM tf GROUP BY term),
     n AS (SELECT count(DISTINCT doc_id)::double AS nd FROM tf),
-    w AS (SELECT tf.doc_id, tf.term,
-                 tf.tf * ln((SELECT nd FROM n) / df.df + 1) AS w
-          FROM tf JOIN df USING (term)),
+    wall AS (SELECT tf.doc_id, tf.term,
+                    tf.tf * ln((SELECT nd FROM n) / df.df + 1) AS w
+             FROM tf JOIN df USING (term)
+             WHERE df.df <= {_SPARSE_DF_FRAC} * (SELECT nd FROM n)),
+    w AS (SELECT doc_id, term, w FROM wall
+          QUALIFY row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY w DESC, term)
+                  <= {_SPARSE_TERMS_PER_DOC}),
     nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
     dots AS (SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.w * b.w) AS dot
              FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
@@ -924,12 +944,17 @@ def sparse_cosine_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     by term and pairs that share nothing are never materialized — the
     fundamental sparse-MIPS advantage over any dense all-pairs pass.
 
-    Per-term fan-out is O(df²); at corpus scale the standard guards are
-    stop-wording the df head (those terms carry ~zero idf weight anyway)
-    and prefix filtering (only each doc's top-weighted terms generate
-    candidates). idf uses ln(N/df + 1) so even corpus-wide terms keep a
-    positive finite weight. Scores round to 6 dp before the
-    (cosine, d1, d2) TakeOrdered.
+    Per-term fan-out is O(df²), so the two standard guards are APPLIED in
+    the plan (identically in the oracle, keeping the check exact): the df
+    head is capped (terms in > {_SPARSE_DF_FRAC:.0%} of docs are dropped —
+    they carry ~zero idf weight but quadratic join fan-out on one key at
+    corpus scale), and each doc keeps only its top-{_SPARSE_TERMS_PER_DOC}
+    weighted terms (prefix filter, deterministic (w DESC, term) tiebreak),
+    bounding the postings list to m·N rows and per-term fan-out to the
+    cap². The operator is thus truncated-vector cosine — exact by
+    definition, not an approximation of an unguarded query. idf uses
+    ln(N/df + 1) so surviving terms keep a positive finite weight. Scores
+    round to 6 dp before the (cosine, d1, d2) TakeOrdered.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
@@ -940,10 +965,19 @@ def sparse_cosine_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     nd = float(tf.select("doc_id").distinct().count())
-    w = tf.join(df, "term").select(
-        "doc_id",
-        "term",
-        (F.col("tf") * F.log(F.lit(nd) / F.col("df") + 1)).alias("w"),
+    wall = (
+        tf.join(df.filter(F.col("df") <= _SPARSE_DF_FRAC * nd), "term")
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.lit(nd) / F.col("df") + 1)).alias("w"),
+        )
+    )
+    wtop = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("term"))
+    w = (
+        wall.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= _SPARSE_TERMS_PER_DOC)
+        .drop("rn")
     )
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     a = w.select(F.col("doc_id").alias("d1"), "term", F.col("w").alias("w1"))

@@ -5,6 +5,8 @@ whole-stage codegen, top-k as TakeOrdered."""
 
 from __future__ import annotations
 
+import re
+
 from cbde_mapreduce_spark.plans import REGISTRY
 
 
@@ -491,6 +493,12 @@ def test_sparse_cosine_no_cartesian(spark, sf_oracle):
     # cross product of the document set
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+    # scale guards must be IN the plan, not prose: the df-cap filter on the
+    # postings (head terms never reach the pair join), and the per-doc
+    # top-m prefix filter — which Spark executes as a partial
+    # WindowGroupLimit pushed below the doc_id exchange.
+    assert re.search(r"Filter \(df#\d+ <= \d", plan), "df-cap filter missing"
+    assert "WindowGroupLimit" in plan and "row_number(), 50" in plan
 
 
 def test_bitmask_single_fact_exchange(spark, sf_oracle):
