@@ -77,8 +77,8 @@ _PRIORITY = [
     "ks_binned_order_drift",
     "clustering_coeff_cosupplier",
     "decile_histogram_orders",
-    "kmv_distinct_customers",
-    "streaming_session_counts",
+    "contrastive_negatives_ring",
+    "ntile_percentile_orders",
     "cm_sketch_heavy_hitters",
     "embedding_neardup_lsh",
     "hll_rollup_daily_users",
@@ -94,6 +94,8 @@ _PRIORITY = [
 #: ever checks more than 50 entries, the extra slots drain the backlog in
 #: the right order too.
 _STALENESS_TAIL = [
+    "streaming_session_counts",
+    "kmv_distinct_customers",
     "abc_analysis_parts",
     "activity_bitmask_users",
     "anova_f_segments",
@@ -110,7 +112,6 @@ _STALENESS_TAIL = [
     "cogroup_order_reconciliation",
     "collation_distinct_segments",
     "conformal_interval_orders",
-    "contrastive_negatives_ring",
     "corpus_prep_pipeline",
     "cr10_concentration_by_year",
     "cumulative_distinct_users",
@@ -227,7 +228,6 @@ _STALENESS_TAIL = [
     "multimodal_binary_features",
     "neardup_components",
     "ngram_jaccard_pairs",
-    "ntile_percentile_orders",
     "anti_join_inactive_customers",
     "asof_join_purchase_click",
     "collect_set_priorities",

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cbde_mapreduce_spark.operators.prefix import exclusive_prefix_sum
 from cbde_mapreduce_spark.plans.registry import query
 from cbde_mapreduce_spark.sources import load_table
 
@@ -649,15 +650,13 @@ def contrastive_negatives_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     property rand() sampling lacks.
 
     Scale shape: one total order by ring position, then K successor taps
-    per row — no self-join against the full corpus, no driver
-    participation; the wrap-around for the last K rows is the only
-    cross-partition touch. The global row_number here runs as a
-    single-partition window (fine at this corpus); at 100 TB the rank
-    comes from the two-phase range-partitioned prefix machinery
-    (operators/prefix.py::exclusive_prefix_sum over per-partition counts
-    — P-way parallel), and the successor taps become per-partition lead()
-    plus a K-row boundary exchange. The modular-rank join used here is
-    the engine-portable expression of those taps.
+    per row — no self-join against the full corpus. Round 4: the global
+    rank comes from the two-phase range-partitioned prefix machinery
+    (operators/prefix.py::exclusive_prefix_sum over per-row 1s — P-way
+    parallel, plan-asserted SinglePartition-free), not a global window;
+    the ring size n is a driver scalar (count() moves O(partitions)
+    partials) inlined into the modular-rank successor join, which the
+    planner runs as a plain hash equi-join on the computed rank key.
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     h = F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8"))
@@ -671,22 +670,13 @@ def contrastive_negatives_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.col("vec_id")
     )
     ring = emb.select("vec_id", "label", pos.alias("pos"))
-    wrn = Window.orderBy("pos")
-    ordered = ring.select(
-        "vec_id",
-        "label",
-        "pos",
-        F.row_number().over(wrn).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.orderBy("pos").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("n"),
-    )
+    n = ring.count()
+    ordered = exclusive_prefix_sum(
+        ring.withColumn("__one", F.lit(1)), "pos", "__one", out_col="__r0"
+    ).withColumn("rn", F.col("__r0") + 1)
     a = ordered.select(
         F.col("vec_id").alias("anchor"),
         F.col("rn").alias("arn"),
-        F.col("n").alias("n"),
     ).crossJoin(
         F.broadcast(
             load_table(spark, sf_dir, "embeddings")
@@ -697,7 +687,7 @@ def contrastive_negatives_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = ordered.select(F.col("vec_id").alias("negative"), F.col("rn").alias("brn"))
     cand = a.join(
         b,
-        ((F.col("arn") - 1 + F.col("slot")) % F.col("n")) + 1 == F.col("brn"),
+        ((F.col("arn") - 1 + F.col("slot")) % F.lit(n)) + 1 == F.col("brn"),
     ).filter(F.col("negative") != F.col("anchor"))
     wk = Window.partitionBy("anchor").orderBy("slot")
     return (

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cbde_mapreduce_spark.operators.prefix import exclusive_prefix_sum
 from cbde_mapreduce_spark.plans.registry import query
 from cbde_mapreduce_spark.sources import load_table
 
@@ -177,22 +178,49 @@ def rank_customers_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="window",
 )
 def ntile_percentile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile / percent_rank / cume_dist over a global order.
+    """ntile / percent_rank / cume_dist over a global order — computed on
+    the DISTRIBUTED prefix-sum rank path, not a single-partition window.
 
-    Scale note: a single global window is a deliberate single-partition
-    sort; at 100 TB this op is re-expressed over a partition key or via
-    quantile edges — `decile_histogram_orders` (below) IS that
-    re-expression, oracle-checked: edge aggregation + bucket-by-comparison,
-    no global sort. Kept here because the per-row operator semantics are
-    part of the reference surface.
+    Rounds 1-3 kept the naive ``Window.orderBy(...)`` form (a deliberate,
+    documented single-partition demo). Round 4 re-expresses the same
+    per-row semantics over ``exclusive_prefix_sum`` (operators/prefix.py):
+    range-partition + local sort gives each row its global rank r without
+    ever collapsing to one partition, and with a UNIQUE order key
+    (o_totalprice, o_orderkey) the three window functions are closed forms
+    of (r, n): percent_rank = (r-1)/(n-1), cume_dist = r/n, and ntile(4)
+    is the SQL-standard floor split (first n mod 4 buckets get one extra
+    row). The count n broadcasts as a one-row aggregate. Output is
+    bit-identical to the window form; the bucket-edge re-expression for
+    histogram-style use stays `decile_histogram_orders` below.
     """
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return orders.select(
+    base = orders.select("o_orderkey", "o_totalprice").withColumn(
+        "__one", F.lit(1)
+    )
+    ranked = exclusive_prefix_sum(
+        base, ["o_totalprice", "o_orderkey"], "__one", out_col="__r0"
+    ).withColumn("r", (F.col("__r0") + 1))
+    # n as a driver scalar: count() moves O(partitions) partial counts, and
+    # inlining it as a literal keeps the rank branch from being recomputed
+    # under a crossJoin with a one-row aggregate.
+    n = base.count()
+    # SQL-standard ntile(t): n div t rows per bucket, the first n mod t
+    # buckets take one extra. Exact integer arithmetic (div, not floating
+    # floor) so bucket edges can never drift at scale.
+    t = 4
+    q, rem = n // t, n % t
+    threshold = rem * (q + 1)
+    bucket = F.expr(
+        f"CASE WHEN r <= {threshold} THEN (r - 1) div {q + 1}"
+        f" ELSE {rem} + (r - {threshold} - 1) div {max(q, 1)} END"
+    )
+    return ranked.select(
         "o_orderkey",
-        F.ntile(4).over(w).cast("bigint").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        (bucket + 1).cast("bigint").alias("quartile"),
+        # max(n-1, 1): percent_rank of a single-row relation is 0 by the
+        # SQL convention, never a 0/0
+        F.round((F.col("r") - 1) / F.lit(float(max(n - 1, 1))), 6).alias("pct_rank"),
+        F.round(F.col("r") / F.lit(float(n)), 6).alias("cume"),
     )
 
 

@@ -580,3 +580,27 @@ def test_new_vs_returning_reuses_key_partitioning(spark, sf_oracle):
     plan = _executed_plan(df).split("Initial Plan")[0]
     # first-order groupBy and the classification join share o_custkey
     assert plan.count("Exchange hashpartitioning(o_custkey") <= 2
+
+
+def test_ntile_percentile_no_single_partition_window(spark, sf_oracle):
+    """ntile/percent_rank/cume_dist ride the distributed prefix-sum rank
+    (range partition + per-partition window + broadcast offsets) — the
+    round-1 single-partition global window must be gone for good."""
+    df = REGISTRY["ntile_percentile_orders"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    assert "SinglePartition" not in plan
+    assert not re.search(r"\bntile\(", plan.lower())
+    assert "percent_rank" not in plan.lower() and "cume_dist" not in plan.lower()
+
+
+def test_contrastive_ring_no_single_partition_window(spark, sf_oracle):
+    """The hash-ring rank rides the distributed prefix-sum path and the
+    ring size is an inlined driver scalar — no global window, and the
+    successor tap plans as an equi join, not a nested loop."""
+    df = REGISTRY["contrastive_negatives_ring"].fn(spark, sf_oracle)
+    plan = _executed_plan(df)
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    # the K successor taps are a hash equi-join on the computed modular
+    # rank (the only nested-loop is the broadcast of the K+4 slot rows)
+    assert "BroadcastHashJoin" in plan and "%" in plan
