@@ -406,29 +406,30 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     inequality screen (0 = uniform spend, →1 = one whale) run before
     deciding whether a per-customer key needs skew treatment.
 
-    Gini needs a global rank of the revenue vector, so the single-partition
-    window here is over the CUSTOMER AGGREGATE (dimension-sized: |customers|
-    ≪ |orders|), computed after the one map-side-combinable groupBy over the
-    fact table — the same dimension-vs-fact size argument that makes
-    broadcast joins sound. Rank ties are impossible by construction
-    ((revenue, custkey) is a total order), so ranks — and the closed-form
-    2·Σi·xᵢ/(n·Σx) − (n+1)/n — are cross-engine identical.
+    Gini needs a global rank of the revenue vector. Rounds 1-3 ran that
+    rank as a single-partition window over the customer aggregate
+    (defensible as dimension-sized, but customers are ~1e9 at the 100 TB
+    design point); round 4 moves it onto the distributed prefix-sum
+    machinery (operators/prefix.py): range-partition + per-partition
+    window + broadcast offsets, P-way parallel all the way. Rank ties
+    are impossible by construction ((revenue, custkey) is a total
+    order), so ranks — and the closed-form 2·Σi·xᵢ/(n·Σx) − (n+1)/n —
+    are cross-engine identical; n rides along as a driver scalar
+    (count() moves O(partitions) partials).
     """
     orders = load_table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
-    ranked = rev.select(
-        "r",
-        F.row_number()
-        .over(Window.orderBy(F.asc("r"), F.asc("o_custkey")))
-        .alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
+    n = rev.count()
+    ranked = exclusive_prefix_sum(
+        rev.withColumn("__one", F.lit(1)), ["r", "o_custkey"], "__one",
+        out_col="__r0",
+    ).withColumn("i", F.col("__r0") + 1)
     return ranked.agg(
-        F.max("n").cast("bigint").alias("n_customers"),
+        F.lit(n).cast("bigint").alias("n_customers"),
         F.round(F.sum("r"), 2).alias("total_revenue"),
         F.round(
-            2.0 * F.sum(F.col("i") * F.col("r")) / (F.max("n") * F.sum("r"))
-            - (F.max("n") + 1.0) / F.max("n"),
+            2.0 * F.sum(F.col("i") * F.col("r")) / (F.lit(n) * F.sum("r"))
+            - (F.lit(n) + 1.0) / F.lit(n),
             6,
         ).alias("gini"),
     )
