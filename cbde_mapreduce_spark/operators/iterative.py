@@ -302,7 +302,10 @@ def covariance_matrix(
     array sum merges them, and the driver assembles Σxxᵀ/n − μμᵀ from
     bytes, never data. One scan, exact (up to float summation order).
     Returns (covariance, n_rows)."""
-    d_probe = len(emb.select(F.col(col).alias("e")).first()["e"])
+    probe = emb.select(F.col(col).alias("e")).first()
+    if probe is None:  # empty corpus: callers emit a typed empty result
+        return None, 0
+    d_probe = len(probe["e"])
 
     def partial_gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         g = np.zeros((d_probe, d_probe))
@@ -351,6 +354,8 @@ def pca_top_component(
     entry is positive (eigenvectors are sign-ambiguous). Returns
     (unit component, eigenvalue, n_rows)."""
     cov, n = covariance_matrix(emb, col)
+    if cov is None:  # empty corpus
+        return None, 0.0, 0
     w, vecs = np.linalg.eigh(cov)
     v, lam = vecs[:, -1], float(w[-1])
     if v[int(np.argmax(np.abs(v)))] < 0:

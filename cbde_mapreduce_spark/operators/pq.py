@@ -39,6 +39,8 @@ def _sampled_matrix(emb: DataFrame, n_sample: int, seed: int) -> np.ndarray:
         .limit(n_sample)
         .toPandas()
     )
+    if not len(sample):  # empty corpus: nothing to train on
+        return None
     return np.stack(sample["embedding"].to_numpy()).astype(np.float64)
 
 
@@ -56,6 +58,8 @@ def pq_train_codebooks(
     the first k distinct sample rows per subspace.
     """
     x = _sampled_matrix(emb, n_sample, seed)
+    if x is None:  # empty corpus: callers emit a typed empty result
+        return None
     d = x.shape[1]
     assert d % m == 0, f"dim {d} not divisible by m={m}"
     sub = d // m
@@ -139,6 +143,10 @@ def ivf_pq_topk(
 
     centroids, assigned = kmeans_fit(emb, k=n_clusters, iters=kmeans_iters)
     books = pq_train_codebooks(emb, m=m, k=n_centroids, n_sample=n_sample, seed=seed)
+    if books is None:  # empty corpus
+        return spark.createDataFrame(
+            [], "qid bigint, nid bigint, adc_dist double, rn bigint"
+        )
     sub = books.shape[2]
 
     # Inverted file: (cluster, nid, codes) — cluster id IS the partition key.
@@ -239,6 +247,10 @@ def pq_adc_topk(
     """
     spark = emb.sparkSession
     books = pq_train_codebooks(emb, m=m, k=n_centroids, n_sample=n_sample, seed=seed)
+    if books is None:  # empty corpus
+        return spark.createDataFrame(
+            [], "qid bigint, nid bigint, adc_dist double, rn bigint"
+        )
     codes_pdf = pq_encode(emb, books).toPandas()  # n × (8 B + id) — the PQ win
     code_ids = codes_pdf["vec_id"].to_numpy(dtype=np.int64)
     code_mat = np.stack([np.frombuffer(b, dtype=np.uint8) for b in codes_pdf["codes"]])
@@ -370,6 +382,10 @@ def ivf_rpq_topk(
     books = pq_train_codebooks(
         resid, m=m, k=n_centroids, n_sample=n_sample, seed=seed
     )
+    if books is None:  # empty corpus
+        return emb.sparkSession.createDataFrame(
+            [], "qid bigint, nid bigint, adc_dist double, rn bigint"
+        )
     sub = books.shape[2]
     codes = pq_encode(resid, books).join(
         assigned.select("vec_id", "cluster"), "vec_id"

@@ -399,6 +399,7 @@ def cm_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no extra pass over the tokens
     n_tokens = (
         sketch.filter(F.col("row") == 0).agg(F.sum("cnt").alias("n")).first()["n"]
+        or 0  # empty corpus: sum() is NULL; threshold 0 over no rows
     )
     return (
         cm_estimate(tok, "word", sketch)

@@ -87,9 +87,11 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     verts = e.select(F.col("a").alias("v")).distinct()
     n = verts.count()
     deg = e.groupBy("a").agg(F.count(F.lit(1)).cast("double").alias("d"))
-    base = (1.0 - DAMPING) / n
+    # max(n, 1): with zero vertices every frame below is empty anyway;
+    # the guard only keeps the driver-side constants finite
+    base = (1.0 - DAMPING) / max(n, 1)
 
-    ranks = verts.withColumn("r", F.lit(1.0 / n))
+    ranks = verts.withColumn("r", F.lit(1.0 / max(n, 1)))
     for _ in range(N_ITERS):
         contrib = (
             e.join(ranks.withColumnRenamed("v", "a"), "a")

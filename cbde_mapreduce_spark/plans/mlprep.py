@@ -424,12 +424,15 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.withColumn("__one", F.lit(1)), ["r", "o_custkey"], "__one",
         out_col="__r0",
     ).withColumn("i", F.col("__r0") + 1)
+    # max(n, 1): sums are NULL on empty input so gini is NULL either way;
+    # the guard only avoids literal-zero denominators under ANSI
+    nn = max(n, 1)
     return ranked.agg(
         F.lit(n).cast("bigint").alias("n_customers"),
         F.round(F.sum("r"), 2).alias("total_revenue"),
         F.round(
-            2.0 * F.sum(F.col("i") * F.col("r")) / (F.lit(n) * F.sum("r"))
-            - (F.lit(n) + 1.0) / F.lit(n),
+            2.0 * F.sum(F.col("i") * F.col("r")) / (F.lit(nn) * F.sum("r"))
+            - (F.lit(nn) + 1.0) / F.lit(nn),
             6,
         ).alias("gini"),
     )
@@ -688,7 +691,10 @@ def contrastive_negatives_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = ordered.select(F.col("vec_id").alias("negative"), F.col("rn").alias("brn"))
     cand = a.join(
         b,
-        ((F.col("arn") - 1 + F.col("slot")) % F.lit(n)) + 1 == F.col("brn"),
+        # max(n, 1): no rows exist when n = 0, the guard only avoids a
+        # literal-zero modulus the optimizer rejects under ANSI
+        ((F.col("arn") - 1 + F.col("slot")) % F.lit(max(n, 1))) + 1
+        == F.col("brn"),
     ).filter(F.col("negative") != F.col("anchor"))
     wk = Window.partitionBy("anchor").orderBy("slot")
     return (

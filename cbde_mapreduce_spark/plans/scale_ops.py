@@ -531,7 +531,9 @@ def exact_median_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     n = orders.count()
     k = (n + 1) // 2
-    med = kth_smallest(orders, "o_totalprice", k)
+    # empty input: k = 0 has no defined order statistic; NULL median like
+    # the oracle's out-of-range scalar subquery
+    med = kth_smallest(orders, "o_totalprice", k) if k >= 1 else None
     return spark.createDataFrame(
         [(n, k, med)], "n bigint, k bigint, median double"
     )

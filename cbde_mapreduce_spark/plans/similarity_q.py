@@ -434,11 +434,12 @@ def pca_top_component_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cbde_mapreduce_spark.operators.iterative import pca_top_component
 
     emb = load_table(spark, sf_dir, "embeddings")
+    schema = "dim int, loading double, eigenvalue double, n bigint"
     v, lam, n = pca_top_component(emb)
+    if v is None:  # empty corpus
+        return spark.createDataFrame([], schema)
     rows = [(i + 1, float(v[i]), float(lam), int(n)) for i in range(len(v))]
-    return spark.createDataFrame(
-        rows, "dim int, loading double, eigenvalue double, n bigint"
-    )
+    return spark.createDataFrame(rows, schema)
 
 
 @query("embedding_isotropy", oracle=None, category="similarity")
@@ -462,6 +463,12 @@ def embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cov, n = covariance_matrix(emb)
+    if cov is None:  # empty corpus
+        return spark.createDataFrame(
+            [],
+            "rank int, eigenvalue double, var_share double, isotropy double, "
+            "participation_ratio double, n bigint",
+        )
     w = np.linalg.eigvalsh(cov)[::-1]  # descending
     total = float(w.sum())
     pr = float(total * total / float((w * w).sum()))

@@ -447,7 +447,9 @@ def anova_f_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("k"),
         F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sgs"),
     )
-    parts = tot.select(
+    # k > 0: the oracle's parts CTE joins the (empty-on-empty-input) group
+    # table, so an empty relation yields zero rows, not a NULL-stat row
+    parts = tot.filter(F.col("k") > 0).select(
         "k",
         F.col("tn").alias("n"),
         (F.col("sgs") - F.col("ts") * F.col("ts") / F.col("tn")).alias("ssb"),
@@ -638,21 +640,20 @@ def conformal_interval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("regr_intercept(y, x)").alias("c"),
         F.count(F.lit(1)).cast("bigint").alias("n_cal"),
     )
+    # GLOBAL aggregates (no groupBy on carried scalars): the oracle's CTEs
+    # aggregate without GROUP BY, so an empty split still yields the one
+    # NULL-stat summary row — a grouped Spark agg would vanish instead.
     q = (
-        cal.crossJoin(F.broadcast(fit))
+        cal.crossJoin(F.broadcast(fit.select("m", "c")))
         .select(
-            "n_cal",
-            F.abs(F.col("y") - (F.col("m") * F.col("x") + F.col("c"))).alias("r"),
+            F.abs(F.col("y") - (F.col("m") * F.col("x") + F.col("c"))).alias("r")
         )
-        .groupBy("n_cal")
         .agg(F.expr(f"percentile(r, {_CONF_ALPHA})").alias("qhat"))
     )
-    fitq = fit.crossJoin(F.broadcast(q.select("qhat")))
+    fitq = fit.crossJoin(F.broadcast(q))
     cov = (
-        tst.crossJoin(F.broadcast(fitq))
+        tst.crossJoin(F.broadcast(fitq.select("m", "c", "qhat")))
         .select(
-            "n_cal",
-            "qhat",
             (
                 F.abs(F.col("y") - (F.col("m") * F.col("x") + F.col("c")))
                 <= F.col("qhat")
@@ -660,13 +661,12 @@ def conformal_interval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("in_band"),
         )
-        .groupBy("n_cal", "qhat")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_test"),
             F.sum("in_band").cast("bigint").alias("covered"),
         )
     )
-    return cov.select(
+    return cov.crossJoin(F.broadcast(fitq.select("n_cal", "qhat"))).select(
         "n_cal",
         "n_test",
         F.round("qhat", 4).alias("qhat"),

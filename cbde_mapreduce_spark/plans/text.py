@@ -460,17 +460,24 @@ def pmi_bigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     t = docs.select(toks.alias("toks"))
-    big = t.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 1),
-                lambda i: F.struct(
-                    F.element_at("toks", i).alias("w1"),
-                    F.element_at("toks", i + 1).alias("w2"),
-                ),
-            )
-        ).alias("bg")
-    ).select("bg.w1", "bg.w2")
+    big = (
+        # size >= 2 guard: a single-token doc would make sequence(1, 0)
+        # count DOWN to [1, 0] and element_at(toks, 0) then throws
+        # INVALID_INDEX_OF_ZERO — one such doc crashes the whole query.
+        t.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("w1"),
+                        F.element_at("toks", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
     bc = big.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("double").alias("c_xy")
     )
@@ -542,7 +549,12 @@ def bigram_lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     big = (
+        # size >= 2 guard: a single-token doc would make sequence(1, 0)
+        # count DOWN to [1, 0] and element_at(toks, 0) then throws
+        # INVALID_INDEX_OF_ZERO — one such doc crashes the whole query
+        # (the oracle's w2 IS NOT NULL predicate drops it instead).
         docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
         .select(
             "doc_id",
             F.explode(

@@ -415,10 +415,12 @@ def ks_binned_order_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("b_cnt").over(wall).alias("nb"),
     )
     return e.agg(
+        # try_divide: an empty split (na or nb = 0) yields NULL ECDFs and a
+        # NULL statistic, matching DuckDB's NULL-on-zero division
         F.max(
             F.abs(
-                F.col("ca") / F.col("na").cast("double")
-                - F.col("cb") / F.col("nb").cast("double")
+                F.try_divide(F.col("ca"), F.col("na").cast("double"))
+                - F.try_divide(F.col("cb"), F.col("nb").cast("double"))
             )
         ).alias("ks_d"),
         F.max("na").cast("bigint").alias("n_a"),

@@ -220,7 +220,7 @@ def ntile_percentile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         # max(n-1, 1): percent_rank of a single-row relation is 0 by the
         # SQL convention, never a 0/0
         F.round((F.col("r") - 1) / F.lit(float(max(n - 1, 1))), 6).alias("pct_rank"),
-        F.round(F.col("r") / F.lit(float(n)), 6).alias("cume"),
+        F.round(F.col("r") / F.lit(float(max(n, 1))), 6).alias("cume"),
     )
 
 

@@ -87,6 +87,15 @@ def test_heaps_law_survives_short_docs(spark, edge_docs_dir):
     _assert_edge_parity(spark, "heaps_law_fit", edge_docs_dir)
 
 
+def test_bigram_queries_survive_single_token_docs(spark, edge_docs_dir):
+    """Single-token docs (incl. the empty doc, which splits to [''])
+    contribute zero bigrams — without the size>=2 guard, sequence(1, 0)
+    -> [1, 0] makes element_at(toks, 0) throw INVALID_INDEX_OF_ZERO and
+    one such doc kills the whole query."""
+    _assert_edge_parity(spark, "pmi_bigrams_top", edge_docs_dir)
+    _assert_edge_parity(spark, "bigram_lm_score_docs", edge_docs_dir)
+
+
 def test_substring_dup_short_docs_no_phantom_spans(spark, edge_docs_dir):
     """Identical sub-k-char docs produce NO spans; the shared 50-char run
     between the two long docs is still detected identically by both
