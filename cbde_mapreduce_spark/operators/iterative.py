@@ -128,11 +128,15 @@ def ivf_topk(
                 - 2.0 * (m @ cents.T)
                 + (cents * cents).sum(axis=1)[None, :]
             )
-            near = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+            # probe width caps at the actual centroid count (a corpus
+            # smaller than n_probe clusters would otherwise mis-align the
+            # repeated qid column with the probe list)
+            p = min(n_probe, cents.shape[0])
+            near = np.argsort(d2, axis=1, kind="stable")[:, :p]
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             yield pd.DataFrame(
                 {
-                    "qid": np.repeat(ids, n_probe),
+                    "qid": np.repeat(ids, p),
                     "cluster": near.ravel().astype(np.int32),
                 }
             )

@@ -168,8 +168,9 @@ def ivf_pq_topk(
                 - 2.0 * (x @ cents.T)
                 + (cents * cents).sum(axis=1)[None, :]
             )
-            near = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
-            idx = np.repeat(np.arange(len(x)), n_probe)
+            p = min(n_probe, cents.shape[0])  # see iterative.py::probes
+            near = np.argsort(d2, axis=1, kind="stable")[:, :p]
+            idx = np.repeat(np.arange(len(x)), p)
             yield pd.DataFrame(
                 {
                     "cluster": near.ravel().astype(np.int32),
@@ -402,8 +403,9 @@ def ivf_rpq_topk(
                 - 2.0 * (x @ cents.T)
                 + (cents * cents).sum(axis=1)[None, :]
             )
-            near = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
-            idx = np.repeat(np.arange(len(x)), n_probe)
+            p = min(n_probe, cents.shape[0])  # see iterative.py::probes
+            near = np.argsort(d2, axis=1, kind="stable")[:, :p]
+            idx = np.repeat(np.arange(len(x)), p)
             yield pd.DataFrame(
                 {
                     "cluster": near.ravel().astype(np.int32),

@@ -507,10 +507,14 @@ def chi2_event_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("n"),
         ((F.max("cx") - 1) * (F.max("cy") - 1)).cast("bigint").alias("dof"),
         F.round(F.sum(cell), 4).alias("chi2"),
+        # try_divide: a 1x1 contingency table has min(cx,cy)-1 = 0 and no
+        # defined V — NULL like DuckDB, not an ANSI error
         F.round(
             F.sqrt(
-                F.sum(cell)
-                / (F.max("n") * F.least(F.max("cx") - 1, F.max("cy") - 1))
+                F.try_divide(
+                    F.sum(cell),
+                    F.max("n") * F.least(F.max("cx") - 1, F.max("cy") - 1),
+                )
             ),
             6,
         ).alias("cramers_v"),
@@ -595,12 +599,25 @@ def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("conv_b"),
     )
-    pa = F.col("conv_a") / F.col("n_a").cast("double")
-    pb = F.col("conv_b") / F.col("n_b").cast("double")
-    pp = (F.col("conv_a") + F.col("conv_b")) / (
-        F.col("n_a") + F.col("n_b")
-    ).cast("double")
-    z = (pa - pb) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    # try_divide throughout: a one-sided split (n_a or n_b = 0) yields
+    # NULL rates/statistic like DuckDB, not an ANSI DIVIDE_BY_ZERO
+    pa = F.try_divide(F.col("conv_a"), F.col("n_a").cast("double"))
+    pb = F.try_divide(F.col("conv_b"), F.col("n_b").cast("double"))
+    pp = F.try_divide(
+        F.col("conv_a") + F.col("conv_b"),
+        (F.col("n_a") + F.col("n_b")).cast("double"),
+    )
+    z = F.try_divide(
+        pa - pb,
+        F.sqrt(
+            pp
+            * (1 - pp)
+            * (
+                F.try_divide(F.lit(1.0), F.col("n_a"))
+                + F.try_divide(F.lit(1.0), F.col("n_b"))
+            )
+        ),
+    )
     return s.select(
         "n_a",
         "conv_a",

@@ -398,9 +398,17 @@ def int8_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         "lo",
         "scale",
+        # try_divide: a constant dimension (hi = lo, scale 0) has no
+        # defined code — NULL, not an ANSI error
         F.least(
             F.lit(255.0),
-            F.greatest(F.lit(0.0), F.floor((F.col("v") - F.col("lo")) / F.col("scale") + 0.5)),
+            F.greatest(
+                F.lit(0.0),
+                F.floor(
+                    F.try_divide(F.col("v") - F.col("lo"), F.col("scale"))
+                    + 0.5
+                ),
+            ),
         ).alias("code"),
     )
     err = q.groupBy("i").agg(
@@ -471,11 +479,15 @@ def embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     w = np.linalg.eigvalsh(cov)[::-1]  # descending
     total = float(w.sum())
-    pr = float(total * total / float((w * w).sum()))
-    iso = float(w[-1] / w[0])
+    # a single vector has a zero covariance matrix: no defined spectrum
+    # shares — emit NaN measures rather than dividing by zero
+    sq = float((w * w).sum())
+    pr = total * total / sq if sq > 0 else float("nan")
+    iso = float(w[-1] / w[0]) if w[0] != 0 else float("nan")
     rows = [
-        (i + 1, float(w[i]), round(float(w[i] / total), 6), round(iso, 6),
-         round(pr, 4), int(n))
+        (i + 1, float(w[i]),
+         round(float(w[i] / total), 6) if total != 0 else float("nan"),
+         round(iso, 6), round(pr, 4), int(n))
         for i in range(len(w))
     ]
     return spark.createDataFrame(

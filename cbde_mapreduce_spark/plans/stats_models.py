@@ -109,14 +109,17 @@ def woe_iv_binning_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").over(w).alias("pos_tot"),
         F.sum(F.col("n") - F.col("pos")).over(w).alias("neg_tot"),
     )
-    pr = F.col("pos").cast("double") / F.col("pos_tot")
-    nr = F.col("neg").cast("double") / F.col("neg_tot")
+    # try_divide: a single-class input (pos_tot or neg_tot = 0) has no
+    # defined odds — NULL WOE like DuckDB, not an ANSI error
+    pr = F.try_divide(F.col("pos").cast("double"), F.col("pos_tot"))
+    nr = F.try_divide(F.col("neg").cast("double"), F.col("neg_tot"))
+    lo = F.log(F.try_divide(pr, nr))
     return t.select(
         "decile",
         "n",
         "pos",
-        F.round(F.log(pr / nr), 6).alias("woe"),
-        F.round((pr - nr) * F.log(pr / nr), 6).alias("iv"),
+        F.round(lo, 6).alias("woe"),
+        F.round((pr - nr) * lo, 6).alias("iv"),
     )
 
 
@@ -205,8 +208,14 @@ def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s1y",
         "s2y",
         "syy_c",
-        ((F.col("s22") * F.col("s1y") - F.col("s12") * F.col("s2y")) / det).alias("b1"),
-        ((F.col("s11") * F.col("s2y") - F.col("s12") * F.col("s1y")) / det).alias("b2"),
+        # try_divide: a degenerate design (n = 1, constant regressors)
+        # has det = 0 and no defined fit — NULL like DuckDB
+        F.try_divide(
+            F.col("s22") * F.col("s1y") - F.col("s12") * F.col("s2y"), det
+        ).alias("b1"),
+        F.try_divide(
+            F.col("s11") * F.col("s2y") - F.col("s12") * F.col("s1y"), det
+        ).alias("b2"),
     )
     return s.select(
         F.col("n").cast("bigint").alias("n"),
@@ -214,7 +223,11 @@ def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("b1", 4).alias("b1"),
         F.round("b2", 4).alias("b2"),
         F.round(
-            (F.col("b1") * F.col("s1y") + F.col("b2") * F.col("s2y")) / F.col("syy_c"), 6
+            F.try_divide(
+                F.col("b1") * F.col("s1y") + F.col("b2") * F.col("s2y"),
+                F.col("syy_c"),
+            ),
+            6,
         ).alias("r2"),
     )
 
@@ -388,7 +401,9 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     means = (
         reps.select("b", "x", w.alias("w"))
         .groupBy("b")
-        .agg((F.sum(F.col("w") * F.col("x")) / F.sum("w")).alias("m"))
+        # try_divide: a tiny corpus can draw total weight 0 for a
+        # replicate — NULL mean like DuckDB, not an ANSI error
+        .agg(F.try_divide(F.sum(F.col("w") * F.col("x")), F.sum("w")).alias("m"))
     )
     pt = orders.agg(F.avg("o_totalprice").alias("mean"))
     return means.crossJoin(F.broadcast(pt)).groupBy("mean").agg(
@@ -459,11 +474,16 @@ def anova_f_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts.select(
         F.col("k").cast("bigint").alias("k"),
         F.col("n").cast("bigint").alias("n"),
+        # try_divide: k = 1 or n = k makes the F ratio undefined — NULL
+        # like DuckDB, not an ANSI error
         F.round(
-            (F.col("ssb") / (F.col("k") - 1)) / (F.col("ssw") / (F.col("n") - F.col("k"))),
+            F.try_divide(
+                F.try_divide(F.col("ssb"), F.col("k") - 1),
+                F.try_divide(F.col("ssw"), F.col("n") - F.col("k")),
+            ),
             6,
         ).alias("f_stat"),
-        F.round(F.col("ssb") / F.col("sst"), 6).alias("eta_sq"),
+        F.round(F.try_divide(F.col("ssb"), F.col("sst")), 6).alias("eta_sq"),
     )
 
 
@@ -856,25 +876,36 @@ def segment_ttests_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = g.agg(
         F.sum("n").alias("tn"), F.sum("s").alias("ts"), F.sum("ss").alias("tss")
     )
+    # try_divide throughout: n = 1 (sample variance) or a single-segment
+    # table (rest-size 0) makes the statistic undefined — NULL like
+    # DuckDB, not an ANSI error
     d = g.crossJoin(F.broadcast(tot)).select(
         "segment",
         "n",
         (F.col("s") / F.col("n")).alias("m"),
-        ((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)).alias("v"),
+        F.try_divide(
+            F.col("ss") - F.col("s") * F.col("s") / F.col("n"),
+            F.col("n") - 1,
+        ).alias("v"),
         (F.col("tn") - F.col("n")).alias("rn"),
-        ((F.col("ts") - F.col("s")) / (F.col("tn") - F.col("n"))).alias("rm"),
-        (
-            (
-                (F.col("tss") - F.col("ss"))
-                - (F.col("ts") - F.col("s"))
-                * (F.col("ts") - F.col("s"))
-                / (F.col("tn") - F.col("n"))
-            )
-            / (F.col("tn") - F.col("n") - 1)
+        F.try_divide(
+            F.col("ts") - F.col("s"), F.col("tn") - F.col("n")
+        ).alias("rm"),
+        F.try_divide(
+            (F.col("tss") - F.col("ss"))
+            - (F.col("ts") - F.col("s"))
+            * F.try_divide(
+                F.col("ts") - F.col("s"), F.col("tn") - F.col("n")
+            ),
+            F.col("tn") - F.col("n") - 1,
         ).alias("rv"),
     )
-    t = (F.col("m") - F.col("rm")) / F.sqrt(
-        F.col("v") / F.col("n") + F.col("rv") / F.col("rn")
+    t = F.try_divide(
+        F.col("m") - F.col("rm"),
+        F.sqrt(
+            F.col("v") / F.col("n")
+            + F.try_divide(F.col("rv"), F.col("rn"))
+        ),
     )
     return d.select(
         "segment",

@@ -74,3 +74,44 @@ def test_every_query_survives_empty_input(spark, empty_sf_dir):
 def test_empty_divergence_allowlist_is_not_stale():
     missing = _KNOWN_EMPTY_DIVERGENCE - set(REGISTRY)
     assert not missing, missing
+
+
+@pytest.fixture(scope="module")
+def one_row_sf_dir(tmp_path_factory) -> str:
+    """Exactly one row per table — the (n-1)/rest-group/zero-variance
+    degenerate case the empty sweep cannot reach: sample variances divide
+    by n-1 = 0, single-segment stats leave an empty rest group, constant
+    dimensions quantize with scale 0, and k-means yields fewer centroids
+    than probes. Before this sweep existed, 13 queries crashed here."""
+    d = tmp_path_factory.mktemp("one_sf")
+    for t in TABLES:
+        tbl = pq.read_table(f"{_SRC_SF}/{t}.parquet")
+        pq.write_table(tbl.slice(0, 1), str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def test_every_query_survives_one_row_input(spark, one_row_sf_dir):
+    crashes: dict[str, str] = {}
+    mismatches: dict[str, str] = {}
+    for name, spec in sorted(REGISTRY.items()):
+        try:
+            n_spark = len(spec.fn(spark, one_row_sf_dir).collect())
+        except Exception as e:  # noqa: BLE001 — collecting a full report
+            crashes[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:120]}"
+            continue
+        if not spec.oracle:
+            continue
+        con = duckdb.connect()
+        try:
+            for t in TABLES:
+                con.sql(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{one_row_sf_dir}/{t}.parquet'"
+                )
+            n_oracle = len(con.sql(spec.oracle).fetchall())
+        finally:
+            con.close()
+        if n_spark != n_oracle:
+            mismatches[name] = f"spark={n_spark} oracle={n_oracle}"
+    assert not crashes, f"queries crashing on 1-row input: {crashes}"
+    assert not mismatches, f"1-row-input row divergence: {mismatches}"
