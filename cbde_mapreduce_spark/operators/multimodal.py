@@ -58,13 +58,20 @@ def extract_binary_features(multimodal: DataFrame) -> DataFrame:
 
     def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL payload (missing media) -> NULL features, matching the
+            # oracle's md5(NULL) / strlen(NULL)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "n_bytes": pd.array(
+                        [None if b is None else len(b) for b in pdf["payload"]],
+                        dtype="Int64",
+                    ),
                     "content_md5": pdf["payload"].map(
-                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                        lambda b: None
+                        if b is None
+                        else hashlib.md5(bytes(b)).hexdigest()
                     ),
                 }
             )
@@ -94,6 +101,8 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, blobs = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # missing media: no frames
+                    continue
                 b = bytes(payload)
                 n = (len(b) + frame_bytes - 1) // frame_bytes
                 for i in range(0, n, every_k):
@@ -178,11 +187,14 @@ def perceptual_hash(multimodal: DataFrame, grid: int = 32) -> DataFrame:
 
     def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # missing media carries no fingerprint
+            keep = pdf["payload"].notna()
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
+                    "doc_id": pdf["doc_id"][keep],
                     "phash": [
-                        _phash_kernel(bytes(p), grid) for p in pdf["payload"]
+                        _phash_kernel(bytes(p), grid)
+                        for p in pdf["payload"][keep]
                     ],
                 }
             )

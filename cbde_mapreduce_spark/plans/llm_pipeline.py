@@ -238,7 +238,8 @@ def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents WHERE doc_id % 11 = 0
         )
         SELECT new_id FROM newb
-        WHERE md5(text) NOT IN (SELECT h FROM seen)
+        WHERE md5(text) IS NULL
+           OR md5(text) NOT IN (SELECT h FROM seen WHERE h IS NOT NULL)
     """,
     category="llm_pipeline",
 )

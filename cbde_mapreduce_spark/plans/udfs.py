@@ -84,7 +84,8 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if sd and sd == sd:  # finite, non-zero sample stddev
             out["zscore"] = ((v - v.mean()) / sd).round(4)
-            return out
+            # NULL values carry no z-score (oracle: WHERE zscore IS NOT NULL)
+            return out[v.notna().to_numpy()]
         return out.iloc[0:0].assign(zscore=pd.Series(dtype="float64"))
 
     return (
@@ -152,6 +153,8 @@ def python_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="token string, pos int")
     class Tokenize:
         def eval(self, text: str):
+            if text is None:  # unnest(string_split(NULL)) yields no rows
+                return
             for i, w in enumerate(text.split(" ")):
                 yield (w, i + 1)
 
@@ -196,16 +199,20 @@ def udtf_table_arg_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     class LangStats:
         def __init__(self) -> None:
             self._lang = None
+            self._seen = False
             self._n = 0
             self._chars = 0
 
         def eval(self, row) -> None:
+            # a NULL lang is a real GROUP BY group (emitted with NULL key,
+            # like the declarative twin) — track row arrival separately
             self._lang = row["lang"]
+            self._seen = True
             self._n += 1
             self._chars += int(row["n_chars"])
 
         def terminate(self):
-            if self._lang is not None:
+            if self._seen:
                 yield (self._lang, self._n, self._chars)
 
     tag = uuid.uuid4().hex[:8]

@@ -175,26 +175,43 @@ def _attribute_purchases(
     the same total order the batch window uses."""
     import json
 
-    click_ts, click_k = state.get if state.exists else (-1, -1)
+    click_ts, click_k = state.get if state.exists else (-1, None)
     out: dict[str, list] = {"user_id": [], "ts_us": [], "channel": [], "value": []}
     for pdf in pdfs:
         pdf = pdf.sort_values(["ts_us", "event_id"])
         for _, row in pdf.iterrows():
             if row["event_type"] == "click":
                 click_ts = int(row["ts_us"])
-                click_k = int(json.loads(row["props"])["k"])
+                # NULL props / missing key carry a NULL channel key, like
+                # the batch twin's get_json_object
+                props = row["props"]
+                k = None
+                if props is not None:
+                    try:
+                        k = json.loads(props).get("k")
+                    except (ValueError, TypeError):
+                        k = None
+                click_k = int(k) if k is not None else None
             elif row["event_type"] == "purchase":
                 ts = int(row["ts_us"])
                 if click_ts >= 0 and click_ts >= ts - _ATTR_LOOKBACK_US:
-                    channel = f"ch{click_k % 4}"
+                    # in-lookback click with NULL key -> NULL channel
+                    # ('ch' || NULL is NULL in the oracle)
+                    channel = (
+                        f"ch{click_k % 4}" if click_k is not None else None
+                    )
                 else:
                     channel = "organic"
                 out["user_id"].append(key[0])
                 out["ts_us"].append(ts)
                 out["channel"].append(channel)
-                out["value"].append(float(row["value"]))
+                v = row["value"]
+                out["value"].append(None if pd.isna(v) else float(v))
     state.update((click_ts, click_k))
-    yield pd.DataFrame(out)
+    res = pd.DataFrame(out)
+    # nullable Float64 so a NULL purchase value arrives as SQL NULL, not NaN
+    res["value"] = pd.array(out["value"], dtype="Float64")
+    yield res
 
 
 def run_stateful_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
