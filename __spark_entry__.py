@@ -69,7 +69,7 @@ _PRIORITY = [
     "weighted_median_price",
     "decimal_exact_revenue",
     "ab_test_conversion",
-    "monthly_revenue_growth",
+    "abc_analysis_parts",
     "neardup_components_star",
     "stratified_split_quota",
     "null_safe_join_types",
@@ -96,7 +96,7 @@ _PRIORITY = [
 _STALENESS_TAIL = [
     "streaming_session_counts",
     "kmv_distinct_customers",
-    "abc_analysis_parts",
+    "monthly_revenue_growth",
     "activity_bitmask_users",
     "anova_f_segments",
     "asof_forward_next_click",

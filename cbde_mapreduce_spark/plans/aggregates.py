@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cbde_mapreduce_spark.operators.prefix import exclusive_prefix_sum
 from cbde_mapreduce_spark.plans.registry import query
 from cbde_mapreduce_spark.sources import load_table
 
@@ -585,14 +586,16 @@ _ABC_ORACLE = """
     WITH rev AS (SELECT l_partkey AS partkey,
                         sum(l_extendedprice * (1 - l_discount)) AS r
                  FROM lineitem GROUP BY l_partkey),
-    rk AS (SELECT partkey, r,
-                  sum(round(r, 2)) OVER (ORDER BY round(r, 2) DESC, partkey)
-                    AS cum_r,
-                  sum(round(r, 2)) OVER () AS tot_r
-           FROM rev),
+    c AS (SELECT partkey, r,
+                 CAST(round(round(r, 2) * 100, 0) AS BIGINT) AS cents
+          FROM rev),
+    rk AS (SELECT partkey, r, cents,
+                  sum(cents) OVER (ORDER BY cents DESC, partkey) AS cum_c,
+                  sum(cents) OVER () AS tot_c
+           FROM c),
     cls AS (SELECT partkey, r,
-                   CASE WHEN cum_r <= 0.8 * tot_r THEN 'A'
-                        WHEN cum_r <= 0.95 * tot_r THEN 'B'
+                   CASE WHEN 10 * cum_c <= 8 * tot_c  THEN 'A'
+                        WHEN 20 * cum_c <= 19 * tot_c THEN 'B'
                         ELSE 'C' END AS abc
             FROM rk)
     SELECT abc,
@@ -610,35 +613,36 @@ def abc_analysis_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the next 15%, C = the tail — the 80/20 inventory-prioritization
     query.
 
-    The cumulative-share ranking LOOKS like a global-window trap but runs
-    over the parts DIMENSION after one combinable revenue aggregation
-    (|parts| rows, not lineitems), the same bounded-window argument as
-    rank_movers_parts. The running sum accumulates ROUNDED revenues in a
-    deterministic (rounded value, partkey) order, so both engines
-    accumulate identical sequences and the 80%/95% boundary cannot
-    waver on float noise.
+    Round 4: the cumulative ranking rides the distributed prefix-sum
+    machinery (operators/prefix.py), not a single-partition window — at
+    the 100 TB design point parts are dimension-sized but still ~1e8
+    rows. Exactness discipline: per-part revenue is fixed to integer
+    CENTS (round(r, 2) x 100 as bigint) before accumulating, so the
+    prefix sums are associative integers — the distributed two-phase sum
+    cannot drift a Pareto boundary the way reassociated double addition
+    could — and the 80%/95% thresholds are exact integer comparisons
+    (10*cum <= 8*tot, 20*cum <= 19*tot) on both engines.
     """
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
     )
-    r2 = F.round("r", 2)
-    wcum = Window.orderBy(F.desc(r2), F.asc("partkey"))
-    wall = Window.partitionBy()
-    rk = rev.select(
-        "partkey",
-        "r",
-        F.sum(r2).over(wcum).alias("cum_r"),
-        F.sum(r2).over(wall).alias("tot_r"),
+    cents = F.round(F.round("r", 2) * 100, 0).cast("bigint")
+    c = rev.select(
+        "partkey", "r", cents.alias("cents"), (-cents).alias("neg_cents")
     )
+    ranked = exclusive_prefix_sum(
+        c, ["neg_cents", "partkey"], "cents", out_col="pre"
+    ).withColumn("cum_c", F.col("pre") + F.col("cents"))
+    tot_c = int(rev.agg(F.sum(cents)).first()[0] or 0)
     abc = (
-        F.when(F.col("cum_r") <= 0.8 * F.col("tot_r"), "A")
-        .when(F.col("cum_r") <= 0.95 * F.col("tot_r"), "B")
+        F.when(10 * F.col("cum_c") <= 8 * F.lit(tot_c), "A")
+        .when(20 * F.col("cum_c") <= 19 * F.lit(tot_c), "B")
         .otherwise("C")
     )
     tot = rev.agg(F.sum("r").alias("t"))
     return (
-        rk.select(abc.alias("abc"), "r")
+        ranked.select(abc.alias("abc"), "r")
         .groupBy("abc")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_parts"),

@@ -38,10 +38,10 @@ _BOUNDED_WINDOW_OK = {
     "largest_remainder_quota",  # per-source quota rows
     "monthly_revenue_growth",  # month spine
     "seasonal_decompose_daily",  # day spine
-    # dimension-sized aggregate, disclosed in-docstring; queued for the
-    # prefix-sum treatment (ROTATION.md round-5 note — gini got it in
-    # round 4, already in that round's driver window):
-    "abc_analysis_parts",  # per-part revenue aggregate
+    # (round 4 closed the list: abc_analysis_parts and
+    # gini_customer_revenue — the last dimension-sized offenders — were
+    # rewritten onto exclusive_prefix_sum; only genuinely bounded
+    # relations remain above.)
 }
 
 
