@@ -220,9 +220,14 @@ def sorted_neighborhood_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons total — no candidate blow-up on skewed buckets, at the cost
     of missing near-dups whose sort keys diverge. The sort partitions by
     lang (sort cost is per-language, never global), the expensive
-    levenshtein runs only on the 2n surviving neighbor pairs, and both
-    engines implement identical unit-cost Levenshtein so the distances are
-    cross-engine exact.
+    levenshtein runs only on the 2n surviving neighbor pairs. Cross-engine
+    caveat (found by the round-4 Unicode sweep): the distances agree
+    exactly on ASCII text, but Spark's levenshtein counts CODEPOINTS
+    while DuckDB's counts BYTES — on multibyte text (é=2, 東=3, 🚀=4
+    bytes) the two disagree and threshold membership can differ. The
+    engine keeps the codepoint semantics (the linguistically meaningful
+    edit distance); the oracle check is exact on the ASCII fixtures and
+    the divergence is allowlisted in tests/test_unicode_input.py.
     """
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")

@@ -1,0 +1,95 @@
+"""Multibyte-text portability sweep (round 4).
+
+The shipped fixtures are pure ASCII, so every byte-vs-character semantic
+difference between Spark and DuckDB is invisible to the parity sweep. This
+gate appends multibyte content (accents, CJK, astral-plane emoji) to ~20%
+of documents — keeping the stored n_chars consistent (character length,
+like the generator) — and re-runs the FULL value-level parity comparison
+for every oracled query, plus a crash check for rows-only ones.
+
+Result on first run: 262/263 oracled queries are value-exact under
+multibyte text. The one true divergence is allowlisted below:
+
+- ``sorted_neighborhood_neardup``: Spark's ``levenshtein`` counts
+  CODEPOINTS while DuckDB's counts BYTES ('é' → 1 vs 2, '東' → 1 vs 3,
+  '🚀' → 1 vs 4), so edit distances — and ≤-threshold pair membership —
+  disagree on multibyte text. The engine keeps the codepoint semantics
+  (the linguistically meaningful distance); on ASCII the two agree
+  exactly, which the main parity sweep pins.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from cbde_mapreduce_spark.plans import REGISTRY
+from cbde_mapreduce_spark.sources import TABLES
+from tests.parity import canonicalize, run_oracle
+
+_SRC_SF = "/root/testdata/sf0.001"
+_UNI_SUFFIX = " café 東京データ 🚀🚀 ñandú Straße"
+
+#: engine-semantics divergence on multibyte text, documented above
+_KNOWN_UNICODE_DIVERGENCE = {"sorted_neighborhood_neardup"}
+
+
+@pytest.fixture(scope="module")
+def unicode_sf_dir(tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("uni_sf")
+    con = duckdb.connect()
+    try:
+        con.sql(f"""COPY (SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN text || '{_UNI_SUFFIX}'
+               ELSE text END AS text,
+          lang, source,
+          CASE WHEN doc_id % 5 = 0
+               THEN length(text || '{_UNI_SUFFIX}')
+               ELSE n_chars END AS n_chars
+          FROM '{_SRC_SF}/documents.parquet')
+          TO '{d}/documents.parquet' (FORMAT parquet)""")
+        for t in TABLES:
+            if t != "documents":
+                con.sql(
+                    f"COPY (SELECT * FROM '{_SRC_SF}/{t}.parquet') "
+                    f"TO '{d}/{t}.parquet' (FORMAT parquet)"
+                )
+    finally:
+        con.close()
+    return str(d)
+
+
+def test_every_query_value_exact_on_multibyte_text(spark, unicode_sf_dir):
+    crashes: dict[str, str] = {}
+    diverged: dict[str, str] = {}
+    for name, spec in sorted(REGISTRY.items()):
+        if name in _KNOWN_UNICODE_DIVERGENCE:
+            continue
+        try:
+            sdf = spec.fn(spark, unicode_sf_dir)
+            if not spec.oracle:
+                sdf.collect()
+                continue
+            got = canonicalize(sdf.toPandas())
+        except Exception as e:  # noqa: BLE001 — collecting a full report
+            crashes[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:120]}"
+            continue
+        want = canonicalize(run_oracle(spec.oracle, unicode_sf_dir))
+        if list(got.columns) != list(want.columns):
+            diverged[name] = "columns"
+            continue
+        if len(got) != len(want):
+            diverged[name] = f"rows spark={len(got)} oracle={len(want)}"
+            continue
+        try:
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        except AssertionError as e:
+            diverged[name] = "values: " + str(e).splitlines()[0][:90]
+    assert not crashes, f"queries crashing on multibyte text: {crashes}"
+    assert not diverged, f"multibyte value divergence: {diverged}"
+
+
+def test_unicode_divergence_allowlist_is_not_stale():
+    missing = _KNOWN_UNICODE_DIVERGENCE - set(REGISTRY)
+    assert not missing, missing
