@@ -82,7 +82,9 @@ def exclusive_prefix_sum(
         .orderBy("__lo")
         .collect()
     )
-    prefix = list(itertools.accumulate([0] + [r["__tot"] for r in totals]))[:-1]
+    # NULL-aware: an all-NULL partition sums to None (mirrors
+    # exclusive_prefix_min's handling) and must contribute 0 to the prefix.
+    prefix = list(itertools.accumulate([0] + [r["__tot"] or 0 for r in totals]))[:-1]
     offsets = {r["__pid"]: off for r, off in zip(totals, prefix)}
     if not offsets:  # empty input: nothing to offset
         return df.withColumn(out_col, F.lit(0).cast("bigint"))

@@ -609,7 +609,7 @@ _ATTR_ORACLE = f"""
     carry AS (
         SELECT user_id, ts, event_type, value,
                max(CASE WHEN event_type = 'click'
-                        THEN {{'cts': ts, 'ck': click_k}} END)
+                        THEN {{'cts': ts, 'ceid': event_id, 'ck': click_k}} END)
                  OVER (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS lc
@@ -653,7 +653,9 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (ts, event_id) tiebreak: peers at identical timestamps would
         # otherwise be framed nondeterministically under a ROWS frame, and
         # the streaming twin (run_stateful_attribution) sorts by
-        # (ts_us, event_id) — the two kernels must agree on ties.
+        # (ts_us, event_id) — the two kernels must agree on ties. The
+        # carried struct also embeds event_id (cts, ceid, ck) so that two
+        # clicks at an identical ts resolve by event order, not channel key.
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -666,7 +668,11 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(
             F.when(
                 F.col("event_type") == "click",
-                F.struct(F.col("ts").alias("cts"), click_k.alias("ck")),
+                F.struct(
+                    F.col("ts").alias("cts"),
+                    F.col("event_id").alias("ceid"),
+                    click_k.alias("ck"),
+                ),
             )
         )
         .over(w)

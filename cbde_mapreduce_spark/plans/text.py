@@ -925,7 +925,7 @@ _SPARSE_ORACLE = f"""
     df AS (SELECT term, count(*)::double AS df FROM tf GROUP BY term),
     n AS (SELECT count(DISTINCT doc_id)::double AS nd FROM tf),
     wall AS (SELECT tf.doc_id, tf.term,
-                    tf.tf * ln((SELECT nd FROM n) / df.df + 1) AS w
+                    round(tf.tf * ln((SELECT nd FROM n) / df.df + 1), 9) AS w
              FROM tf JOIN df USING (term)
              WHERE df.df <= {_SPARSE_DF_FRAC} * (SELECT nd FROM n)),
     w AS (SELECT doc_id, term, w FROM wall
@@ -961,7 +961,9 @@ def sparse_cosine_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     head is capped (terms in > {_SPARSE_DF_FRAC:.0%} of docs are dropped —
     they carry ~zero idf weight but quadratic join fan-out on one key at
     corpus scale), and each doc keeps only its top-{_SPARSE_TERMS_PER_DOC}
-    weighted terms (prefix filter, deterministic (w DESC, term) tiebreak),
+    weighted terms (prefix filter, deterministic (w DESC, term) tiebreak;
+    w is rounded to 9 dp in plan AND oracle so the rank-50 boundary never
+    flips on the ~1-ulp JVM-vs-libm log divergence),
     bounding the postings list to m·N rows and per-term fan-out to the
     cap². The operator is thus truncated-vector cosine — exact by
     definition, not an approximation of an unguarded query. idf uses
@@ -982,7 +984,7 @@ def sparse_cosine_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "term",
-            (F.col("tf") * F.log(F.lit(nd) / F.col("df") + 1)).alias("w"),
+            F.round(F.col("tf") * F.log(F.lit(nd) / F.col("df") + 1), 9).alias("w"),
         )
     )
     wtop = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("term"))
