@@ -57,14 +57,33 @@ HEADLINE = [
 RUNS = 9
 
 
+def _shuffle_partitions_for(sf: float, cpus: int) -> int:
+    """Size shuffle partitions to the benchmark's data volume: the largest
+    shuffle at scale factor ``sf`` is lineitem (~6M rows/SF); target ~40k
+    rows per shuffle partition, floored at 4 and capped at the CPU count.
+
+    This is the static equivalent of what AQE's coalescePartitions does at
+    runtime (AQE stays ON in production session defaults — see session.py —
+    and is pinned off here only to keep stage-replanning driver latency out
+    of the sub-100 ms measurements). Measured at sf0.1 (BENCHNOTES.md
+    round-5): every headline query is flat-to-2x faster at the sized count
+    than at a fixed 32, because 32-way scheduling overhead dominates 2-4 MB
+    shuffles; at sf >= 1 the formula returns the CPU cap and is a no-op.
+    ``SPARK_SHUFFLE_PARTITIONS`` still overrides.
+    """
+    rows = int(6_000_000 * sf)
+    return max(4, min(cpus, rows // 40_000))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(
         app_name="cbde-mapreduce-spark-bench",
         shuffle_partitions=int(
             os.environ.get(
-                "SPARK_SHUFFLE_PARTITIONS", os.environ.get("SPARK_GRAFT_CPUS", "32")
+                "SPARK_SHUFFLE_PARTITIONS", str(_shuffle_partitions_for(sf, cpus))
             )
         ),
         extra_conf={
