@@ -613,8 +613,13 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Degrees are one combinable groupBy; the edge list then joins the
     degree table twice (both sides dimension-sized after aggregation) and
-    corr() is a single combinable co-moment aggregate — three shuffles
-    total, none wider than the edge list. Completes the graph-statistics
+    the correlation is a single combinable co-moment aggregate — three
+    shuffles total, none wider than the edge list. The ratio is composed
+    as try_divide(covar_samp, stddev·stddev) rather than F.corr: under
+    ANSI mode Spark's corr RAISES on a zero-variance regular graph (every
+    endpoint the same degree — the extreme-skew sweep's one-hot-key
+    fixture), while DuckDB's corr yields NULL; try_divide reproduces the
+    NULL. Completes the graph-statistics
     set beside degree_distribution, clustering coefficient, and triangles.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -638,5 +643,11 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = e.join(da, "a").join(db, "b")
     return j.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_directed_edges"),
-        F.round(F.corr("da", "db"), 6).alias("assortativity"),
+        F.round(
+            F.try_divide(
+                F.covar_samp("da", "db"),
+                F.stddev_samp("da") * F.stddev_samp("db"),
+            ),
+            6,
+        ).alias("assortativity"),
     )

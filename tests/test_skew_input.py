@@ -1,0 +1,103 @@
+"""Extreme-key-skew robustness sweep (round 5).
+
+The shipped fixtures have well-distributed keys, so nothing ever exercises
+the one-giant-group / one-hot-join-key regime that dominates real 100 TB
+corpora (a handful of users produce most events; boilerplate text repeats
+millions of times). This sweep rebuilds the sf0.001 fixtures with every
+FOREIGN-key / grouping column collapsed to a single value (primary keys
+stay unique, so referential integrity holds and join cardinalities stay
+well-defined) and duplicate-heavy document text (3 distinct texts across
+the corpus), then requires every registered query to (a) run without
+crashing and (b) for oracled queries, agree with DuckDB on the row count
+over the identical skewed data.
+
+This is a CORRECTNESS gate, not a performance one: it hunts kernels that
+assume key diversity — per-group pandas kernels handed one whole-table
+group, (n-1)/variance math over a single giant group, quantile/bucket
+logic that degenerates when every row shares one key, near-dup banding
+where every doc collides into one bucket.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from cbde_mapreduce_spark.plans import REGISTRY
+from cbde_mapreduce_spark.sources import TABLES
+
+_SRC_SF = "/root/testdata/sf0.001"
+
+#: FK / grouping columns collapsed to one constant (PKs left unique).
+_CONSTANT_COLS: dict[str, dict[str, object]] = {
+    "events": {"user_id": 7},
+    "orders": {"o_custkey": 7, "o_orderpriority": "1-URGENT"},
+    "lineitem": {"l_suppkey": 1, "l_partkey": 1},
+    "customer": {"c_nationkey": 3, "c_mktsegment": "BUILDING"},
+    "supplier": {"s_nationkey": 3},
+    "part": {},
+    "nation": {"n_regionkey": 0},
+    "region": {},
+    "documents": {"lang": "en", "source": "web"},
+    "embeddings": {"label": 0},
+}
+
+
+@pytest.fixture(scope="module")
+def skew_sf_dir(tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("skew_sf")
+    for t in TABLES:
+        tbl = pq.read_table(f"{_SRC_SF}/{t}.parquet")
+        for col, val in _CONSTANT_COLS.get(t, {}).items():
+            i = tbl.schema.get_field_index(col)
+            typ = tbl.schema.field(i).type
+            const = pa.array([val] * len(tbl)).cast(typ)
+            tbl = tbl.set_column(i, tbl.schema.field(i), const)
+        if t == "documents":
+            # duplicate-heavy corpus: every text is one of 3 values, so
+            # exact/near-dup queries see giant duplicate groups and LSH
+            # banding collapses into single buckets.
+            i = tbl.schema.get_field_index("text")
+            texts = tbl.column("text").to_pylist()
+            reps = [x for x in texts[:3] if x is not None][:3] or ["fallback text"]
+            skewed = [reps[j % len(reps)] for j in range(len(texts))]
+            tbl = tbl.set_column(
+                i, tbl.schema.field(i), pa.array(skewed, type=pa.string())
+            )
+            j = tbl.schema.get_field_index("n_chars")
+            nchars = pa.array(
+                [len(x) for x in skewed], type=tbl.schema.field(j).type
+            )
+            tbl = tbl.set_column(j, tbl.schema.field(j), nchars)
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def test_every_query_survives_extreme_key_skew(spark, skew_sf_dir):
+    crashes: dict[str, str] = {}
+    mismatches: dict[str, str] = {}
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM '{skew_sf_dir}/{t}.parquet'"
+            )
+        for name, spec in sorted(REGISTRY.items()):
+            try:
+                n_spark = len(spec.fn(spark, skew_sf_dir).collect())
+            except Exception as e:  # noqa: BLE001 — collecting a full report
+                crashes[name] = (
+                    f"{type(e).__name__}: {str(e).splitlines()[0][:120]}"
+                )
+                continue
+            if not spec.oracle:
+                continue
+            n_oracle = len(con.sql(spec.oracle).fetchall())
+            if n_spark != n_oracle:
+                mismatches[name] = f"spark={n_spark} oracle={n_oracle}"
+    finally:
+        con.close()
+    assert not crashes, f"queries crashing on skewed input: {crashes}"
+    assert not mismatches, f"skewed-input row divergence: {mismatches}"
