@@ -754,9 +754,12 @@ def interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_gaps",
         F.round("mu", 4).alias("mean_gap_s"),
         F.round("sd", 4).alias("sd_gap_s"),
-        F.round((F.col("sd") - F.col("mu")) / (F.col("sd") + F.col("mu")), 6).alias(
-            "burstiness"
-        ),
+        # try_divide: a user whose >=20 gaps are ALL zero (every event at
+        # one instant) has sd+mu = 0; DuckDB's 0/0 yields NULL, ANSI Spark
+        # raises — try_divide reproduces the NULL (uniform-ts skew sweep).
+        F.round(
+            F.try_divide(F.col("sd") - F.col("mu"), F.col("sd") + F.col("mu")), 6
+        ).alias("burstiness"),
     )
 
 

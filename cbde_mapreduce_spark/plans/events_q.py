@@ -181,8 +181,12 @@ def time_weighted_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead(us).over(w).alias("nxt"),
     ).filter(F.col("nxt").isNotNull())
     dt = F.col("nxt") - F.col("us")
+    # try_divide: if every reading of a user shares one instant, sum(dt)=0;
+    # DuckDB's 0/0 yields NULL, ANSI Spark raises (uniform-ts skew sweep).
     return s.groupBy("user_id").agg(
-        F.round(F.sum(F.col("value") * dt) / F.sum(dt), 6).alias("tw_avg"),
+        F.round(F.try_divide(F.sum(F.col("value") * dt), F.sum(dt)), 6).alias(
+            "tw_avg"
+        ),
         F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
     )
 

@@ -101,3 +101,54 @@ def test_every_query_survives_extreme_key_skew(spark, skew_sf_dir):
         con.close()
     assert not crashes, f"queries crashing on skewed input: {crashes}"
     assert not mismatches, f"skewed-input row divergence: {mismatches}"
+
+
+@pytest.fixture(scope="module")
+def same_ts_sf_dir(tmp_path_factory) -> str:
+    """Every temporal column collapsed to ONE instant — the time-skew twin
+    of the key-skew fixture: zero inter-event gaps (sessionization sees one
+    giant session, lag/EWMA/burstiness see all-zero deltas), a single OHLC
+    bar / calendar bucket, every order on one date. Tie-heavy windows must
+    stay deterministic through their (ts, id) tiebreaks, and DuckDB must
+    agree on the row counts over the identical data."""
+    d = tmp_path_factory.mktemp("same_ts_sf")
+    for t in TABLES:
+        tbl = pq.read_table(f"{_SRC_SF}/{t}.parquet")
+        for col in ("ts", "o_orderdate", "l_shipdate"):
+            if col in tbl.schema.names:
+                i = tbl.schema.get_field_index(col)
+                typ = tbl.schema.field(i).type
+                first = tbl.column(col)[0]
+                const = pa.array([first.as_py()] * len(tbl), type=typ)
+                tbl = tbl.set_column(i, tbl.schema.field(i), const)
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def test_every_query_survives_uniform_timestamps(spark, same_ts_sf_dir):
+    crashes: dict[str, str] = {}
+    mismatches: dict[str, str] = {}
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{same_ts_sf_dir}/{t}.parquet'"
+            )
+        for name, spec in sorted(REGISTRY.items()):
+            try:
+                n_spark = len(spec.fn(spark, same_ts_sf_dir).collect())
+            except Exception as e:  # noqa: BLE001 — collecting a full report
+                crashes[name] = (
+                    f"{type(e).__name__}: {str(e).splitlines()[0][:120]}"
+                )
+                continue
+            if not spec.oracle:
+                continue
+            n_oracle = len(con.sql(spec.oracle).fetchall())
+            if n_spark != n_oracle:
+                mismatches[name] = f"spark={n_spark} oracle={n_oracle}"
+    finally:
+        con.close()
+    assert not crashes, f"queries crashing on uniform-ts input: {crashes}"
+    assert not mismatches, f"uniform-ts row divergence: {mismatches}"
