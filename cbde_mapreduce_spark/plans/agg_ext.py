@@ -576,8 +576,10 @@ def revenue_bridge_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v2",
         "r1",
         "r2",
-        (F.col("r1") / F.col("v1")).alias("p1"),
-        (F.col("r2") / F.col("v2")).alias("p2"),
+        # try_divide: zero year volume (all quantities 0) makes the unit
+        # price 0/0 — DuckDB yields NULL, ANSI Spark raises.
+        F.try_divide(F.col("r1"), F.col("v1")).alias("p1"),
+        F.try_divide(F.col("r2"), F.col("v2")).alias("p2"),
     )
     return d.select(
         "ptype",

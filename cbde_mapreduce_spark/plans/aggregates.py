@@ -254,10 +254,23 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="aggregation",
 )
 def stats_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates: corr / covar_samp / stddev_samp / var_samp."""
+    """Statistical aggregates: corr / covar_samp / stddev_samp / var_samp.
+
+    The correlation is composed as try_divide(covar_samp, stddev·stddev)
+    — identical co-moments to F.corr (both columns are non-nullable, so
+    pairwise-complete and per-column moments coincide) — because ANSI
+    Spark's corr RAISES on a zero-variance column (e.g. every quantity
+    identical) where DuckDB's corr yields NULL (numeric-extremes sweep).
+    """
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(
+            F.try_divide(
+                F.covar_samp("l_quantity", "l_extendedprice"),
+                F.stddev_samp("l_quantity") * F.stddev_samp("l_extendedprice"),
+            ),
+            6,
+        ).alias("qty_price_corr"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
         F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
@@ -654,7 +667,9 @@ def abc_analysis_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abc",
             "n_parts",
             "revenue",
-            F.round(F.col("_raw") / F.col("t"), 6).alias("rev_share"),
+            # try_divide: zero total revenue (all-free lineitems) is 0/0 —
+            # DuckDB yields NULL, ANSI Spark raises (numeric-extremes sweep).
+            F.round(F.try_divide(F.col("_raw"), F.col("t")), 6).alias("rev_share"),
         )
     )
 
@@ -704,5 +719,6 @@ def cr10_concentration_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rk.groupBy(F.col("y").alias("year")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.round(F.sum(top), 2).alias(f"top{_CR_K}_revenue"),
-        F.round(F.sum(top) / F.sum("rev"), 6).alias(f"cr{_CR_K}"),
+        # try_divide: a zero-revenue year is 0/0 — DuckDB NULL, ANSI raises.
+        F.round(F.try_divide(F.sum(top), F.sum("rev")), 6).alias(f"cr{_CR_K}"),
     )

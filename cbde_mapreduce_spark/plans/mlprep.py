@@ -430,8 +430,12 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.agg(
         F.lit(n).cast("bigint").alias("n_customers"),
         F.round(F.sum("r"), 2).alias("total_revenue"),
+        # try_divide: zero total revenue (all totalprices 0) is 0/0 —
+        # DuckDB yields NULL, ANSI Spark raises (numeric-extremes sweep).
         F.round(
-            2.0 * F.sum(F.col("i") * F.col("r")) / (F.lit(nn) * F.sum("r"))
+            F.try_divide(
+                2.0 * F.sum(F.col("i") * F.col("r")), F.lit(nn) * F.sum("r")
+            )
             - (F.lit(nn) + 1.0) / F.lit(nn),
             6,
         ).alias("gini"),

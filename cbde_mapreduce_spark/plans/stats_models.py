@@ -563,12 +563,16 @@ def diff_in_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ELAST_ORACLE = """
+    WITH lx AS (
+        SELECT l_partkey,
+               CASE WHEN l_quantity > 0 THEN ln(l_quantity) END AS lq,
+               CASE WHEN l_extendedprice > 0 THEN ln(l_extendedprice) END AS lp
+        FROM lineitem)
     SELECT p.p_type,
-           regr_count(ln(l.l_quantity), ln(l.l_extendedprice))::bigint AS n,
-           round(regr_slope(ln(l.l_quantity), ln(l.l_extendedprice)), 6)
-             AS elasticity,
-           round(regr_r2(ln(l.l_quantity), ln(l.l_extendedprice)), 6) AS r2
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           regr_count(l.lq, l.lp)::bigint AS n,
+           round(regr_slope(l.lq, l.lp), 6) AS elasticity,
+           round(regr_r2(l.lq, l.lp), 6) AS r2
+    FROM lx l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_type
 """
 
@@ -585,19 +589,19 @@ def grouped_elasticity_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     table on p_type — the grouped companion to ols_normal_equations
     (global, multivariate) and regr_aggs_lineitem (global, simple).
     """
+    # The non-positive guard is EXPLICIT on both sides: Spark's ln yields
+    # NULL for <= 0 while DuckDB's ln RAISES on 0 (numeric-extremes sweep
+    # — a zero-quantity row crashed only the oracle); the shared CASE
+    # makes both engines drop those rows from the regression identically.
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    y = F.log(F.col("l_quantity"))
-    x = F.log(F.col("l_extendedprice"))
+    lq = "CASE WHEN l_quantity > 0 THEN ln(l_quantity) END"
+    lp = "CASE WHEN l_extendedprice > 0 THEN ln(l_extendedprice) END"
     return j.groupBy("p_type").agg(
-        F.expr("regr_count(ln(l_quantity), ln(l_extendedprice))")
-        .cast("bigint")
-        .alias("n"),
-        F.round(F.expr("regr_slope(ln(l_quantity), ln(l_extendedprice))"), 6).alias(
-            "elasticity"
-        ),
-        F.round(F.expr("regr_r2(ln(l_quantity), ln(l_extendedprice))"), 6).alias("r2"),
+        F.expr(f"regr_count({lq}, {lp})").cast("bigint").alias("n"),
+        F.round(F.expr(f"regr_slope({lq}, {lp})"), 6).alias("elasticity"),
+        F.round(F.expr(f"regr_r2({lq}, {lp})"), 6).alias("r2"),
     )
 
 

@@ -291,8 +291,20 @@ def rolling_corr_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("value").over(w).alias("vp"),
         F.row_number().over(w).alias("rn"),
     )
+    # Composed corr = try_divide(covar_samp, stddev·stddev) over the same
+    # frame instead of F.corr: ANSI Spark's corr RAISES on a zero-variance
+    # frame (a constant or stuck-sensor run — precisely what this monitor
+    # exists to catch) where DuckDB's corr yields NULL (numeric-extremes
+    # sweep). The stddevs are conditioned on the PAIR being complete, so
+    # NULL handling matches corr's pairwise-deletion semantics exactly.
+    both = F.col("value").isNotNull() & F.col("vp").isNotNull()
+    composed = F.try_divide(
+        F.covar_samp("value", "vp").over(wf),
+        F.stddev_samp(F.when(both, F.col("value"))).over(wf)
+        * F.stddev_samp(F.when(both, F.col("vp"))).over(wf),
+    )
     return (
-        s.withColumn("corr10", F.round(F.corr("value", "vp").over(wf), 4))
+        s.withColumn("corr10", F.round(composed, 4))
         .filter(F.col("rn") >= _CORR_FRAME)
         .select("user_id", "rn", "corr10")
     )
@@ -337,7 +349,9 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month",
         "n_orders",
         "revenue",
-        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
+        # try_divide: a zero-revenue prior month is x/0 — DuckDB yields
+        # NULL, ANSI Spark raises (numeric-extremes sweep).
+        F.round(F.try_divide(F.col("revenue") - prev, prev), 6).alias("mom_growth"),
     )
 
 
@@ -632,5 +646,9 @@ def monthly_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mo").alias("month"),
         "n_years",
         F.round("mo_avg", 2).alias("avg_monthly_rev"),
-        F.round(F.col("mo_avg") / F.col("g_avg"), 6).alias("seasonal_index"),
+        # try_divide: an all-zero-revenue spine makes g_avg 0 — DuckDB
+        # yields NULL, ANSI Spark raises (numeric-extremes sweep).
+        F.round(F.try_divide(F.col("mo_avg"), F.col("g_avg")), 6).alias(
+            "seasonal_index"
+        ),
     )

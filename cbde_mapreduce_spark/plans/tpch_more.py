@@ -163,7 +163,11 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return joined.agg(
-        F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_share")
+        # try_divide: zero window revenue (all discounts 1.0) is 0/0 —
+        # DuckDB yields NULL, ANSI Spark raises (numeric-extremes sweep).
+        F.round(F.try_divide(100.0 * F.sum(promo), F.sum(rev)), 6).alias(
+            "promo_share"
+        )
     )
 
 

@@ -125,9 +125,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
+            # try_divide: zero year volume (all discounts 1.0) is 0/0 —
+            # DuckDB yields NULL, ANSI Spark raises (numeric-extremes sweep).
             F.round(
-                F.sum(F.when(F.col("s_nationkey") == 8, vol).otherwise(F.lit(0.0)))
-                / F.sum(vol),
+                F.try_divide(
+                    F.sum(
+                        F.when(F.col("s_nationkey") == 8, vol).otherwise(F.lit(0.0))
+                    ),
+                    F.sum(vol),
+                ),
                 6,
             ).alias("mkt_share")
         )

@@ -577,7 +577,9 @@ def ratio_to_report_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     return rev.select(
         "nation",
         F.round("r", 2).alias("revenue"),
-        F.round(F.col("r") / F.sum("r").over(w), 6).alias("share"),
+        # try_divide: zero grand-total revenue is 0/0 — DuckDB yields NULL,
+        # ANSI Spark raises (numeric-extremes sweep).
+        F.round(F.try_divide(F.col("r"), F.sum("r").over(w)), 6).alias("share"),
         F.rank()
         .over(Window.orderBy(F.desc(F.round("r", 2)), F.asc("nation")))
         .cast("bigint")

@@ -75,18 +75,19 @@ def skew_sf_dir(tmp_path_factory) -> str:
     return str(d)
 
 
-def test_every_query_survives_extreme_key_skew(spark, skew_sf_dir):
+def _sweep(spark, sf_dir: str, regime: str) -> None:
+    """Run every registered query on ``sf_dir``; oracled queries must also
+    row-count-match DuckDB over the identical files. Oracle-side crashes
+    are defects too: the pair must agree on degenerate inputs."""
     crashes: dict[str, str] = {}
     mismatches: dict[str, str] = {}
     con = duckdb.connect()
     try:
         for t in TABLES:
-            con.sql(
-                f"CREATE VIEW {t} AS SELECT * FROM '{skew_sf_dir}/{t}.parquet'"
-            )
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         for name, spec in sorted(REGISTRY.items()):
             try:
-                n_spark = len(spec.fn(spark, skew_sf_dir).collect())
+                n_spark = len(spec.fn(spark, sf_dir).collect())
             except Exception as e:  # noqa: BLE001 — collecting a full report
                 crashes[name] = (
                     f"{type(e).__name__}: {str(e).splitlines()[0][:120]}"
@@ -94,13 +95,24 @@ def test_every_query_survives_extreme_key_skew(spark, skew_sf_dir):
                 continue
             if not spec.oracle:
                 continue
-            n_oracle = len(con.sql(spec.oracle).fetchall())
+            try:
+                n_oracle = len(con.sql(spec.oracle).fetchall())
+            except Exception as e:  # noqa: BLE001
+                crashes[name] = (
+                    f"oracle: {type(e).__name__}: "
+                    f"{str(e).splitlines()[0][:120]}"
+                )
+                continue
             if n_spark != n_oracle:
                 mismatches[name] = f"spark={n_spark} oracle={n_oracle}"
     finally:
         con.close()
-    assert not crashes, f"queries crashing on skewed input: {crashes}"
-    assert not mismatches, f"skewed-input row divergence: {mismatches}"
+    assert not crashes, f"queries crashing on {regime} input: {crashes}"
+    assert not mismatches, f"{regime} row divergence: {mismatches}"
+
+
+def test_every_query_survives_extreme_key_skew(spark, skew_sf_dir):
+    _sweep(spark, skew_sf_dir, "one-hot-key")
 
 
 @pytest.fixture(scope="module")
@@ -126,29 +138,38 @@ def same_ts_sf_dir(tmp_path_factory) -> str:
 
 
 def test_every_query_survives_uniform_timestamps(spark, same_ts_sf_dir):
-    crashes: dict[str, str] = {}
-    mismatches: dict[str, str] = {}
-    con = duckdb.connect()
-    try:
-        for t in TABLES:
-            con.sql(
-                f"CREATE VIEW {t} AS SELECT * FROM "
-                f"'{same_ts_sf_dir}/{t}.parquet'"
-            )
-        for name, spec in sorted(REGISTRY.items()):
-            try:
-                n_spark = len(spec.fn(spark, same_ts_sf_dir).collect())
-            except Exception as e:  # noqa: BLE001 — collecting a full report
-                crashes[name] = (
-                    f"{type(e).__name__}: {str(e).splitlines()[0][:120]}"
-                )
-                continue
-            if not spec.oracle:
-                continue
-            n_oracle = len(con.sql(spec.oracle).fetchall())
-            if n_spark != n_oracle:
-                mismatches[name] = f"spark={n_spark} oracle={n_oracle}"
-    finally:
-        con.close()
-    assert not crashes, f"queries crashing on uniform-ts input: {crashes}"
-    assert not mismatches, f"uniform-ts row divergence: {mismatches}"
+    _sweep(spark, same_ts_sf_dir, "uniform-ts")
+
+
+#: Degenerate numeric regime: every item free (discount 1.0 -> zero net
+#: revenue everywhere), zero quantities/taxes/totalprices, negative account
+#: balances and event values. Ratios whose denominator is a revenue,
+#: volume, or variance all hit 0/0 at once; log-transforms hit ln(0).
+_NUMERIC_EXTREMES: dict[str, dict[str, object]] = {
+    "lineitem": {"l_discount": 1.0, "l_tax": 0.0, "l_quantity": 0.0},
+    "orders": {"o_totalprice": 0.0},
+    "customer": {"c_acctbal": -1000.0},
+    "events": {"value": -5.0},
+}
+
+
+@pytest.fixture(scope="module")
+def numeric_extremes_sf_dir(tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("numext_sf")
+    for t in TABLES:
+        tbl = pq.read_table(f"{_SRC_SF}/{t}.parquet")
+        for col, val in _NUMERIC_EXTREMES.get(t, {}).items():
+            i = tbl.schema.get_field_index(col)
+            const = pa.array([val] * len(tbl)).cast(tbl.schema.field(i).type)
+            tbl = tbl.set_column(i, tbl.schema.field(i), const)
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def test_every_query_survives_numeric_extremes(spark, numeric_extremes_sf_dir):
+    """Before this sweep existed, 11 queries crashed Spark-side (ANSI
+    DIVIDE_BY_ZERO on zero-revenue/zero-variance denominators where
+    DuckDB's 0/0 yields NULL) and one crashed oracle-side (DuckDB ln(0)
+    raises where Spark's ln yields NULL). All now agree via try_divide /
+    explicit positive-input guards on both engines."""
+    _sweep(spark, numeric_extremes_sf_dir, "numeric-extremes")
