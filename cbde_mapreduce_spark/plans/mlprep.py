@@ -28,6 +28,10 @@ from pyspark.sql import functions as F
 from cbde_mapreduce_spark.operators.prefix import exclusive_prefix_sum
 from cbde_mapreduce_spark.plans.registry import query
 from cbde_mapreduce_spark.sources import load_table
+from cbde_mapreduce_spark.plans.similarity_q import (
+    _NONZERO_SQL,
+    _nonzero_embeddings,
+)
 
 _KNN_K = 5
 
@@ -40,6 +44,7 @@ _KNN_K = 5
                    sqrt(list_sum(list_transform(embedding,
                         x -> x::double * x::double))) AS nrm
             FROM embeddings
+            WHERE {_NONZERO_SQL}
         ),
         p AS (
             SELECT a.vec_id AS qid, a.label AS qlabel,
@@ -84,7 +89,7 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharded matmul / IVF / LSH operators, which are accuracy-tested against
     this exact twin.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _nonzero_embeddings(spark, sf_dir)
     n = emb.select(
         "vec_id",
         "label",
@@ -735,7 +740,8 @@ _HNEG_ORACLE = f"""
         SELECT vec_id, label, embedding,
                sqrt(list_sum(list_transform(embedding,
                     x -> x::double * x::double))) AS nrm
-        FROM embeddings),
+        FROM embeddings
+        WHERE {_NONZERO_SQL}),
     p AS (
         SELECT a.vec_id AS anchor, b.vec_id AS negative, b.label AS neg_label,
                round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -770,7 +776,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from cbde_mapreduce_spark.functions.vectors import dot, l2_norm
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _nonzero_embeddings(spark, sf_dir)
     n = emb.select(
         "vec_id",
         "label",
@@ -809,7 +815,8 @@ _CM_ORACLE = f"""
         SELECT vec_id, label, embedding,
                sqrt(list_sum(list_transform(embedding,
                     x -> x::double * x::double))) AS nrm
-        FROM embeddings),
+        FROM embeddings
+        WHERE {_NONZERO_SQL}),
     p AS (
         SELECT a.vec_id AS qid, a.label AS qlabel,
                b.vec_id AS nid, b.label AS nlabel,
@@ -860,7 +867,7 @@ def knn_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from cbde_mapreduce_spark.functions.vectors import dot, l2_norm
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _nonzero_embeddings(spark, sf_dir)
     n = emb.select(
         "vec_id",
         "label",
@@ -1043,5 +1050,7 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pb",
         F.round("d_orig", 6).alias("d_orig"),
         F.round("d_proj", 6).alias("d_proj"),
-        F.round(F.col("d_proj") / F.col("d_orig"), 6).alias("ratio"),
+        # try_divide: a coincident pair (d_orig 0) has undefined distortion —
+        # DuckDB 0/0 yields NULL, ANSI Spark raises (zero-vector sweep).
+        F.round(F.try_divide(F.col("d_proj"), F.col("d_orig")), 6).alias("ratio"),
     )

@@ -28,6 +28,10 @@ from pyspark.sql import functions as F
 from cbde_mapreduce_spark.functions.vectors import dot, l2_norm
 from cbde_mapreduce_spark.plans.registry import query
 from cbde_mapreduce_spark.sources import load_table
+from cbde_mapreduce_spark.plans.similarity_q import (
+    _NONZERO_SQL,
+    _nonzero_embeddings,
+)
 
 RRF_K = 60  # the canonical constant from the RRF paper
 RRF_DEPTH = 50  # per-system list depth L
@@ -92,7 +96,8 @@ _RRF_ORACLE = f"""
     nrm AS (SELECT vec_id, embedding,
                    sqrt(list_sum(list_transform(embedding,
                         x -> x::double * x::double))) AS nrm
-            FROM embeddings),
+            FROM embeddings
+            WHERE {_NONZERO_SQL}),
     qv AS (SELECT embedding AS e, nrm AS qn FROM nrm
            WHERE vec_id = {RRF_QUERY_DOC}),
     ds AS (SELECT n.vec_id AS doc_id,
@@ -144,7 +149,7 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lex_rank")
     )
     # dense list: cosine vs the broadcast query vector -> top-L -> ranks
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _nonzero_embeddings(spark, sf_dir)
     n = emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("e"),

@@ -15,11 +15,32 @@ from cbde_mapreduce_spark.operators.similarity import (
 from cbde_mapreduce_spark.plans.registry import query
 from cbde_mapreduce_spark.sources import load_table
 
-_COSINE_ORACLE = """
+#: Registry-wide similarity policy: ZERO-NORM VECTORS ARE EXCLUDED from
+#: every cosine / norm-ratio computation, identically in plan and oracle.
+#: A zero embedding has no direction — cosine against it is 0/0, which
+#: ANSI Spark raises on and DuckDB NULLs, and NULL scores order
+#: differently across engines; exclusion (the standard normalize-or-drop
+#: practice for vector indexes) keeps both engines exact and is a no-op
+#: on any corpus without degenerate vectors. Found by the zero-vector
+#: robustness sweep (tests/test_skew_input.py).
+_NONZERO_SQL = (
+    "list_sum(list_transform(embedding, x -> x::double * x::double)) > 0"
+)
+
+
+def _nonzero_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the embeddings table with zero-norm vectors excluded (see the
+    policy note above); the Spark twin of ``WHERE {_NONZERO_SQL}``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(l2_norm(F.col("embedding")) > 0)
+
+
+_COSINE_ORACLE = f"""
     WITH n AS (
         SELECT vec_id, embedding,
                sqrt(list_sum(list_transform(embedding, x -> x::double * x::double))) AS nrm
         FROM embeddings
+        WHERE {_NONZERO_SQL}
     ),
     p AS (
         SELECT a.vec_id AS qid, b.vec_id AS nid,
@@ -39,7 +60,7 @@ def cosine_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched numpy kernel with per-block top-k (the MR per-mapper-heap
     pattern); global merge of k·p candidates only.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _nonzero_embeddings(spark, sf_dir)
     return cosine_topk_pairs(emb, k=100, digits=6)
 
 
@@ -50,7 +71,7 @@ def cosine_topk_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     S(S+1)/2 independent applyInPandas blocks, global merge of blocks·k rows.
     Value-checked against the same O(n²) SQL oracle as the broadcast kernel.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _nonzero_embeddings(spark, sf_dir)
     return cosine_topk_pairs_sharded(emb, k=100, digits=6, n_shards=4)
 
 
@@ -61,7 +82,7 @@ def cosine_topk_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     The declarative twin of cosine_topk_similarity: one non-equi self-join,
     all arithmetic JVM-side. Slower than the numpy kernel but zero Python.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _nonzero_embeddings(spark, sf_dir)
     # norms are computed ONCE per vector before the pair join — the join
     # then evaluates a single dot-product fold per pair instead of three
     # (dot + 2 norms), a 3x cut on the O(n²) stage.
@@ -84,11 +105,12 @@ def cosine_topk_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NEARDUP_ORACLE = """
+_NEARDUP_ORACLE = f"""
     WITH n AS (
         SELECT vec_id, embedding,
                sqrt(list_sum(list_transform(embedding, x -> x::double * x::double))) AS nrm
         FROM embeddings
+        WHERE {_NONZERO_SQL}
     )
     SELECT a.vec_id AS qid, b.vec_id AS nid,
            round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -110,7 +132,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join evaluates a single dot-fold per pair. Kept as the value oracle;
     embedding_neardup_lsh is the corpus-scale path.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _nonzero_embeddings(spark, sf_dir)
     n = emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("e"),
@@ -135,7 +157,7 @@ def embedding_neardup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (candidates from shared sign-projection buckets, exact re-rank,
     threshold filter). Rows-only: approximate by construction; recall vs
     the exact twin is asserted in tests/test_similarity.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _nonzero_embeddings(spark, sf_dir)
     return embedding_neardup_lsh(emb, threshold=0.42)
 
 
@@ -146,7 +168,7 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only (approximate by construction); recall vs brute force is
     asserted in tests/test_similarity.py.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _nonzero_embeddings(spark, sf_dir)
     return ann_lsh_topk(emb, k=10)
 
 
@@ -179,7 +201,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_iterative.py."""
     from cbde_mapreduce_spark.operators.iterative import ivf_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _nonzero_embeddings(spark, sf_dir)
     return ivf_topk(emb, k=10, n_clusters=10, n_probe=3)
 
 
@@ -210,12 +232,13 @@ def ivf_rpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_rpq_topk(emb, k=10)
 
 
-_MAXSIM_ORACLE = """
+_MAXSIM_ORACLE = f"""
     WITH n AS (
         SELECT vec_id, label, embedding,
                sqrt(list_sum(list_transform(embedding,
                     x -> x::double * x::double))) AS nrm
-        FROM embeddings),
+        FROM embeddings
+        WHERE {_NONZERO_SQL}),
     sim AS (
         SELECT a.vec_id AS qid, a.label AS ql, b.label AS dl,
                list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -244,7 +267,7 @@ def maxsim_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rounding happens AFTER the avg so cross-engine float noise in individual
     cosines (≈1e-15) stays far below the 1e-6 cutoff.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _nonzero_embeddings(spark, sf_dir)
     n = emb.select(
         "vec_id",
         "label",
@@ -282,7 +305,7 @@ def maxsim_label_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin, so both paths are proven cell-identical."""
     from cbde_mapreduce_spark.operators.similarity import maxsim_label_scores_sharded
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _nonzero_embeddings(spark, sf_dir)
     return maxsim_label_scores_sharded(emb, digits=6, n_shards=4)
 
 
@@ -294,7 +317,8 @@ _MIPS_ORACLE = f"""
         SELECT vec_id, embedding,
                sqrt(list_sum(list_transform(embedding,
                     x -> x::double * x::double))) AS nrm
-        FROM embeddings),
+        FROM embeddings
+        WHERE {_NONZERO_SQL}),
     qv AS (SELECT embedding AS e, nrm AS qn FROM n WHERE vec_id = {_MIPS_Q}),
     mx AS (SELECT max(nrm) AS m FROM n WHERE vec_id <> {_MIPS_Q}),
     s AS (SELECT n.vec_id,
@@ -326,7 +350,7 @@ def mips_topk_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scoring pass is one broadcast join of the query vector — the
     same scale shape as the cosine brute-force baseline.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _nonzero_embeddings(spark, sf_dir)
     n = emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("e"),

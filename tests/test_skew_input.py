@@ -173,3 +173,33 @@ def test_every_query_survives_numeric_extremes(spark, numeric_extremes_sf_dir):
     raises where Spark's ln yields NULL). All now agree via try_divide /
     explicit positive-input guards on both engines."""
     _sweep(spark, numeric_extremes_sf_dir, "numeric-extremes")
+
+
+@pytest.fixture(scope="module")
+def zero_vectors_sf_dir(tmp_path_factory) -> str:
+    """Every embedding replaced by the all-zero vector — cosine (and any
+    norm-ratio score) is 0/0 against it. The registry-wide policy
+    (plans/similarity_q.py::_NONZERO_SQL) EXCLUDES zero-norm vectors from
+    the similarity universe in plan and oracle alike, so this corpus must
+    yield zero crashes and agreeing (mostly empty) results."""
+    d = tmp_path_factory.mktemp("zerovec_sf")
+    for t in TABLES:
+        tbl = pq.read_table(f"{_SRC_SF}/{t}.parquet")
+        if t == "embeddings":
+            emb = tbl.column("embedding").to_pylist()
+            dim = len(emb[0]) if emb and emb[0] is not None else 8
+            i = tbl.schema.get_field_index("embedding")
+            zeros = pa.array(
+                [[0.0] * dim for _ in emb], type=tbl.schema.field(i).type
+            )
+            tbl = tbl.set_column(i, tbl.schema.field(i), zeros)
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def test_every_query_survives_zero_vectors(spark, zero_vectors_sf_dir):
+    """Before this sweep existed, 10 embedding queries crashed (ANSI
+    DIVIDE_BY_ZERO on zero norms / zero pair distances) and 2 more
+    row-diverged from their oracles (NULL-cosine rows ordering
+    differently across engines)."""
+    _sweep(spark, zero_vectors_sf_dir, "zero-vector")
