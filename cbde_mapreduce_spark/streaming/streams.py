@@ -14,6 +14,7 @@ watermark, demonstrated in tests/test_streaming.py).
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -46,16 +47,24 @@ _RAW_EVENTS_SCHEMA = StructType(
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the canonical column set."""
+    """readStream over the events parquet with the canonical column set.
+
+    ``{sf_dir}/events.parquet`` may be a single file OR a directory of part
+    files (the normal shape at scale — every real table is thousands of
+    files). The file-stream source's ``pathGlobFilter`` matches LEAF file
+    names only, so the single-file spelling (glob-scoped listing of
+    ``sf_dir``) would silently list ZERO files for the directory layout;
+    point the stream at the directory itself in that case.
+    """
     apply_runtime_conf(spark)
-    # The file stream source requires a directory; scope the listing to the
-    # events file with a glob filter.
-    raw = (
-        spark.readStream.schema(_RAW_EVENTS_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    events_path = os.path.join(sf_dir, "events.parquet")
+    reader = spark.readStream.schema(_RAW_EVENTS_SCHEMA).format("parquet")
+    if os.path.isdir(events_path):
+        raw = reader.option("pathGlobFilter", "*.parquet").load(events_path)
+    else:
+        # The file stream source requires a directory; scope the listing to
+        # the events file with a glob filter.
+        raw = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
     return _project_events(raw)
 
 

@@ -20,8 +20,11 @@ where every doc collides into one bucket.
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import pytest
 
@@ -75,16 +78,29 @@ def skew_sf_dir(tmp_path_factory) -> str:
     return str(d)
 
 
-def _sweep(spark, sf_dir: str, regime: str) -> None:
+def _sweep(
+    spark,
+    sf_dir: str,
+    regime: str,
+    known_divergence: frozenset[str] = frozenset(),
+) -> None:
     """Run every registered query on ``sf_dir``; oracled queries must also
     row-count-match DuckDB over the identical files. Oracle-side crashes
-    are defects too: the pair must agree on degenerate inputs."""
+    are defects too: the pair must agree on degenerate inputs.
+
+    ``known_divergence`` names queries with a DOCUMENTED engine-level
+    divergence under this regime (the docstring of the calling test must
+    explain each) — they must still run crash-free, and a mismatch is
+    tolerated rather than demanded (so a fix upstream turns green, not
+    red)."""
     crashes: dict[str, str] = {}
     mismatches: dict[str, str] = {}
     con = duckdb.connect()
     try:
         for t in TABLES:
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            path = f"{sf_dir}/{t}.parquet"
+            src = f"{path}/*.parquet" if os.path.isdir(path) else path
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
         for name, spec in sorted(REGISTRY.items()):
             try:
                 n_spark = len(spec.fn(spark, sf_dir).collect())
@@ -103,7 +119,7 @@ def _sweep(spark, sf_dir: str, regime: str) -> None:
                     f"{str(e).splitlines()[0][:120]}"
                 )
                 continue
-            if n_spark != n_oracle:
+            if n_spark != n_oracle and name not in known_divergence:
                 mismatches[name] = f"spark={n_spark} oracle={n_oracle}"
     finally:
         con.close()
@@ -203,3 +219,87 @@ def test_every_query_survives_zero_vectors(spark, zero_vectors_sf_dir):
     row-diverged from their oracles (NULL-cosine rows ordering
     differently across engines)."""
     _sweep(spark, zero_vectors_sf_dir, "zero-vector")
+
+
+@pytest.fixture(scope="module")
+def pre_epoch_sf_dir(tmp_path_factory) -> str:
+    """Every temporal column shifted ~60 years into the past so ALL epoch
+    values are NEGATIVE (orders/lineitem land in 1935-1941, events in 1964).
+
+    Negative epochs are where truncating and flooring integer division
+    disagree (-7 // 2 is -4 floored but -3 truncated), where epoch-bucket
+    arithmetic (`unix_micros(ts) div width`) can round toward zero instead
+    of down, and where any "seconds since epoch are non-negative" assumption
+    breaks. Spark's date_trunc/year/weekday and DuckDB's date_trunc/isodow
+    must keep agreeing on the proleptic calendar either side of 1970."""
+    d = tmp_path_factory.mktemp("preepoch_sf")
+    shift_us = 60 * 365 * 24 * 3600 * 1_000_000
+    for t in TABLES:
+        tbl = pq.read_table(f"{_SRC_SF}/{t}.parquet")
+        for col in ("ts", "o_orderdate", "l_shipdate"):
+            if col in tbl.schema.names:
+                i = tbl.schema.get_field_index(col)
+                typ = tbl.schema.field(i).type
+                us = pc.cast(tbl.column(col), pa.int64())
+                shifted = pc.cast(pc.subtract(us, shift_us), typ)
+                tbl = tbl.set_column(i, tbl.schema.field(i), shifted)
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def test_every_query_survives_pre_epoch_timestamps(spark, pre_epoch_sf_dir):
+    """283/284 agree with DuckDB on fully pre-1970 data; zero crashes.
+
+    The one allowlisted divergence is an ENGINE-DOMAIN limitation, not a
+    plan defect: ``streaming_interval_join`` is a real watermarked
+    stream-stream join, and Structured Streaming's watermark clock is
+    milliseconds-since-epoch initialized to 0 — pre-epoch event times sit
+    BELOW the initial watermark, so the join's state-watermark predicate
+    filters them before they can match (verified: the identical join as a
+    batch query returns the oracle's rows; the streaming run emits none).
+    Aggregation twins survive for the mirror-image reason: the epoch-0
+    watermark is AHEAD of every pre-epoch window end, so append-mode
+    windows all close and emit. Pre-epoch event-time data is simply
+    outside Structured Streaming's watermark domain; batch queries over
+    the same data are unaffected (all oracled batch names agree)."""
+    _sweep(
+        spark,
+        pre_epoch_sf_dir,
+        "pre-epoch",
+        known_divergence=frozenset({"streaming_interval_join"}),
+    )
+
+
+@pytest.fixture(scope="module")
+def multi_file_sf_dir(tmp_path_factory) -> str:
+    """Every ``{t}.parquet`` rewritten as a DIRECTORY of part files — the
+    only shape that exists at 100 TB — with three twists the single-file
+    fixtures never exercise: (a) part-00000 is ALWAYS zero rows
+    (schema-only), so scans hand operators empty input partitions inside a
+    non-empty table; (b) the split is uneven (40/35/25%); (c) row order is
+    REVERSED relative to the shipped file, so file order != generation
+    order and any hidden reliance on input order surfaces.
+
+    Before this sweep existed, all 8 streaming queries returned ZERO rows
+    on this layout: the file-stream source scoped its listing with
+    pathGlobFilter='events.parquet', which matches LEAF file names only —
+    a directory's part-*.parquet children match nothing and the source
+    silently lists zero files (streaming/streams.py::events_stream now
+    branches on the layout). Batch paths were unaffected (spark.read
+    handles both spellings natively)."""
+    d = tmp_path_factory.mktemp("multifile_sf")
+    for t in TABLES:
+        tbl = pq.read_table(f"{_SRC_SF}/{t}.parquet")
+        n = len(tbl)
+        rev = tbl.take(list(range(n - 1, -1, -1))) if n else tbl
+        tdir = d / f"{t}.parquet"
+        tdir.mkdir()
+        cuts = [0, 0, max(1, int(n * 0.4)), max(2, int(n * 0.75)), n]
+        for i in range(4):
+            lo, hi = cuts[i], max(cuts[i], cuts[i + 1])
+            pq.write_table(rev.slice(lo, hi - lo), str(tdir / f"part-{i:05d}.parquet"))
+    return str(d)
+
+
+def test_every_query_survives_multi_file_tables(spark, multi_file_sf_dir):
+    _sweep(spark, multi_file_sf_dir, "multi-file")
