@@ -678,11 +678,17 @@ def conformal_interval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = (
         tst.crossJoin(F.broadcast(fitq.select("m", "c", "qhat")))
         .select(
-            (
+            # when/otherwise, not cast(int): a degenerate fit (constant x
+            # -> NULL slope -> NULL qhat) makes the band test NULL, and the
+            # oracle's CASE ... ELSE 0 counts that as uncovered — cast(int)
+            # would carry the NULL into sum() and emit NaN coverage instead
+            # (uniform-timestamp value-parity probe).
+            F.when(
                 F.abs(F.col("y") - (F.col("m") * F.col("x") + F.col("c")))
-                <= F.col("qhat")
+                <= F.col("qhat"),
+                1,
             )
-            .cast("int")
+            .otherwise(0)
             .alias("in_band"),
         )
         .agg(

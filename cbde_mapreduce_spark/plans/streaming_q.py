@@ -190,8 +190,12 @@ def streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events),
         carry AS (
             SELECT user_id, ts, event_type, value,
+                   -- (cts, ceid, ck): tied-ts clicks resolve by event
+                   -- order, exactly like the stateful kernel's
+                   -- (ts_us, event_id) processing order (and the batch
+                   -- twin attribution_last_touch's carried struct)
                    max(CASE WHEN event_type = 'click'
-                            THEN {'cts': ts, 'ck': ck} END)
+                            THEN {'cts': ts, 'ceid': event_id, 'ck': ck} END)
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      AS lc

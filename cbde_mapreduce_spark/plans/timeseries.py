@@ -609,14 +609,16 @@ def daily_value_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MSI_ORACLE = """
     WITH m AS (SELECT year(o_orderdate) AS y, month(o_orderdate) AS mo,
-                      sum(o_totalprice) AS rev
+                      sum(round(o_totalprice * 100)::bigint) AS rev_c
                FROM orders GROUP BY 1, 2),
-    mm AS (SELECT mo, avg(rev) AS mo_avg, count(*)::bigint AS n_years
+    mm AS (SELECT mo, sum(rev_c) AS sum_c, count(*)::bigint AS n_years
            FROM m GROUP BY mo),
-    g AS (SELECT avg(rev) AS g_avg FROM m)
+    g AS (SELECT sum(rev_c) AS g_sum_c, count(*)::bigint AS g_n FROM m)
     SELECT mm.mo AS month, mm.n_years,
-           round(mm.mo_avg, 2) AS avg_monthly_rev,
-           round(mm.mo_avg / g.g_avg, 6) AS seasonal_index
+           ((2 * mm.sum_c + mm.n_years) // (2 * mm.n_years)) / 100.0
+               AS avg_monthly_rev,
+           round((mm.sum_c * g.g_n)::double
+                 / nullif(mm.n_years * g.g_sum_c, 0), 6) AS seasonal_index
     FROM mm, g
 """
 
@@ -634,21 +636,40 @@ def monthly_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     throughout: after the first groupBy no relation exceeds 12×|years|
     rows.
     """
+    # Exact integer-cents arithmetic end to end: round(avg(double), 2) put
+    # a month average exactly on a .xx5 shortest-repr boundary at one SF,
+    # where Spark (HALF_UP on the shortest decimal repr) and DuckDB (round
+    # of the binary value) disagree by a cent. Money sums in cents are
+    # exact bigints; the average applies explicit half-up integer division
+    # ((2a + n) div (2n), non-negative revenue) on BOTH engines, and the
+    # seasonal ratio is ONE double division of two exact integer products,
+    # so both engines see bit-identical operands.
     orders = load_table(spark, sf_dir, "orders")
     m = orders.groupBy(
         F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("mo")
-    ).agg(F.sum("o_totalprice").alias("rev"))
-    mm = m.groupBy("mo").agg(
-        F.avg("rev").alias("mo_avg"), F.count(F.lit(1)).cast("bigint").alias("n_years")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_c")
     )
-    g = m.agg(F.avg("rev").alias("g_avg"))
+    mm = m.groupBy("mo").agg(
+        F.sum("rev_c").alias("sum_c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_years"),
+    )
+    g = m.agg(
+        F.sum("rev_c").alias("g_sum_c"), F.count(F.lit(1)).cast("bigint").alias("g_n")
+    )
     return mm.crossJoin(F.broadcast(g)).select(
         F.col("mo").alias("month"),
         "n_years",
-        F.round("mo_avg", 2).alias("avg_monthly_rev"),
-        # try_divide: an all-zero-revenue spine makes g_avg 0 — DuckDB
-        # yields NULL, ANSI Spark raises (numeric-extremes sweep).
-        F.round(F.try_divide(F.col("mo_avg"), F.col("g_avg")), 6).alias(
-            "seasonal_index"
-        ),
+        (
+            F.expr("(2 * sum_c + n_years) div (2 * n_years)") / F.lit(100.0)
+        ).alias("avg_monthly_rev"),
+        # try_divide: an all-zero-revenue spine makes the denominator 0 —
+        # DuckDB yields NULL, ANSI Spark raises (numeric-extremes sweep).
+        F.round(
+            F.try_divide(
+                (F.col("sum_c") * F.col("g_n")).cast("double"),
+                F.col("n_years") * F.col("g_sum_c"),
+            ),
+            6,
+        ).alias("seasonal_index"),
     )

@@ -303,3 +303,56 @@ def multi_file_sf_dir(tmp_path_factory) -> str:
 
 def test_every_query_survives_multi_file_tables(spark, multi_file_sf_dir):
     _sweep(spark, multi_file_sf_dir, "multi-file")
+
+
+def _value_sweep(spark, sf_dir: str, regime: str) -> None:
+    """CELL-EXACT twin of ``_sweep`` for single-file degenerate fixtures:
+    every oracled query must value-match DuckDB, not just row-count-match.
+    Row counts cannot see tie-resolution divergence — under a degenerate
+    regime many rows TIE on the quantities queries rank/carry/round by, and
+    a query that orders by a tied value without a full deterministic
+    tiebreak produces equal-cardinality, different-valued results across
+    engines. (This harness found: NULL-band coverage NaN-vs-0 in
+    conformal_interval_orders, channel-key-vs-event-order tie resolution in
+    streaming_attribution's oracle, and a .xx5 shortest-repr rounding
+    boundary in monthly_seasonality_index.)"""
+    from parity import assert_parity
+
+    fails: dict[str, str] = {}
+    for name, spec in sorted(REGISTRY.items()):
+        if not spec.oracle:
+            continue
+        try:
+            assert_parity(spec.fn(spark, sf_dir), spec.oracle, sf_dir, name)
+        except Exception as e:  # noqa: BLE001 — collecting a full report
+            fails[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:120]}"
+    assert not fails, f"{regime} value divergence: {fails}"
+
+
+def test_uniform_timestamp_values_cell_exact(spark, same_ts_sf_dir):
+    _value_sweep(spark, same_ts_sf_dir, "uniform-ts")
+
+
+@pytest.fixture(scope="module")
+def same_embedding_sf_dir(tmp_path_factory) -> str:
+    """Every embedding replaced by ONE identical non-zero vector — cosine,
+    distance, and every similarity score tie across ALL pairs at once, so
+    top-k/banding/assignment logic survives only through deterministic id
+    tiebreaks that both engines share."""
+    d = tmp_path_factory.mktemp("same_emb_sf")
+    for t in TABLES:
+        tbl = pq.read_table(f"{_SRC_SF}/{t}.parquet")
+        if t == "embeddings":
+            emb = tbl.column("embedding").to_pylist()
+            dim = len(emb[0]) if emb and emb[0] is not None else 8
+            vec = [1.0] + [0.5] * (dim - 1)
+            i = tbl.schema.get_field_index("embedding")
+            tbl = tbl.set_column(
+                i, tbl.schema.field(i), pa.array([vec] * len(emb), type=tbl.schema.field(i).type)
+            )
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def test_identical_embedding_values_cell_exact(spark, same_embedding_sf_dir):
+    _value_sweep(spark, same_embedding_sf_dir, "identical-embeddings")
