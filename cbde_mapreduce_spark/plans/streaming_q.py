@@ -47,7 +47,8 @@ def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "streaming_sliding_counts",
     oracle="""
-        SELECT make_timestamp(epoch_us(ts) // 900000000 * 900000000)
+        SELECT make_timestamp(epoch_us(ts)
+                 - ((epoch_us(ts) % 900000000 + 900000000) % 900000000))
                  - INTERVAL 15 MINUTE * k.i AS win_start,
                count(*)             AS n,
                round(sum(value), 2) AS sum_value

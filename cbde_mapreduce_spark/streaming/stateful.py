@@ -175,7 +175,11 @@ def _attribute_purchases(
     the same total order the batch window uses."""
     import json
 
-    click_ts, click_k = state.get if state.exists else (-1, None)
+    # None sentinel, NOT -1: event times are signed microseconds, and a
+    # pre-epoch (negative) click timestamp is a legitimate value — a -1
+    # sentinel with a `>= 0` guard silently un-attributes every purchase
+    # on pre-1970 data (pre-epoch value-parity sweep).
+    click_ts, click_k = state.get if state.exists else (None, None)
     out: dict[str, list] = {"user_id": [], "ts_us": [], "channel": [], "value": []}
     for pdf in pdfs:
         pdf = pdf.sort_values(["ts_us", "event_id"])
@@ -194,7 +198,7 @@ def _attribute_purchases(
                 click_k = int(k) if k is not None else None
             elif row["event_type"] == "purchase":
                 ts = int(row["ts_us"])
-                if click_ts >= 0 and click_ts >= ts - _ATTR_LOOKBACK_US:
+                if click_ts is not None and click_ts >= ts - _ATTR_LOOKBACK_US:
                     # in-lookback click with NULL key -> NULL channel
                     # ('ch' || NULL is NULL in the oracle)
                     channel = (

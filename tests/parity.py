@@ -63,7 +63,18 @@ def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
                 pass
             pdf[c] = s.astype("datetime64[us]")
         elif s.dtype == object:
-            pdf[c] = s.map(_canon_cell)
+            vals = s.map(_canon_cell)
+            # Boolean results arrive as object columns, and the two engines
+            # represent a NULL bool differently in pandas (Spark: None,
+            # DuckDB .df(): float nan). NaN is not a value a boolean can
+            # take, so for columns whose real values are all bools — or
+            # that are entirely missing — fold "<NaN>" into "<NULL>".
+            # Float NaN-vs-NULL stays distinct: real doubles take the
+            # float64 branch above, never this one.
+            real = [v for v in vals if v not in ("<NULL>", "<NaN>")]
+            if all(isinstance(v, (bool, np.bool_)) for v in real):
+                vals = vals.map(lambda v: "<NULL>" if v == "<NaN>" else v)
+            pdf[c] = vals
         elif pd.api.types.is_integer_dtype(s):
             pdf[c] = s.astype("int64")
         elif pd.api.types.is_float_dtype(s):

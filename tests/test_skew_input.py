@@ -305,7 +305,12 @@ def test_every_query_survives_multi_file_tables(spark, multi_file_sf_dir):
     _sweep(spark, multi_file_sf_dir, "multi-file")
 
 
-def _value_sweep(spark, sf_dir: str, regime: str) -> None:
+def _value_sweep(
+    spark,
+    sf_dir: str,
+    regime: str,
+    known_divergence: frozenset[str] = frozenset(),
+) -> None:
     """CELL-EXACT twin of ``_sweep`` for single-file degenerate fixtures:
     every oracled query must value-match DuckDB, not just row-count-match.
     Row counts cannot see tie-resolution divergence — under a degenerate
@@ -320,7 +325,7 @@ def _value_sweep(spark, sf_dir: str, regime: str) -> None:
 
     fails: dict[str, str] = {}
     for name, spec in sorted(REGISTRY.items()):
-        if not spec.oracle:
+        if not spec.oracle or name in known_divergence:
             continue
         try:
             assert_parity(spec.fn(spark, sf_dir), spec.oracle, sf_dir, name)
@@ -356,3 +361,21 @@ def same_embedding_sf_dir(tmp_path_factory) -> str:
 
 def test_identical_embedding_values_cell_exact(spark, same_embedding_sf_dir):
     _value_sweep(spark, same_embedding_sf_dir, "identical-embeddings")
+
+
+def test_pre_epoch_values_cell_exact(spark, pre_epoch_sf_dir):
+    """Cell-exact twin of the pre-epoch row-count sweep. This harness found:
+    the -1 "no click yet" sentinel in the stateful attribution kernel
+    swallowing every legitimately-NEGATIVE click timestamp (streaming/
+    stateful.py now uses a None sentinel), and DuckDB's truncating `//`
+    mis-assigning sliding-window starts below epoch 0 in the
+    sliding_window_events / streaming_sliding_counts oracles (now a
+    branch-free floored multiple via double-%). streaming_interval_join
+    carries the documented watermark-domain allowlist from the row-count
+    sweep (at value level the 0-vs-2-row gap fails the same way)."""
+    _value_sweep(
+        spark,
+        pre_epoch_sf_dir,
+        "pre-epoch",
+        known_divergence=frozenset({"streaming_interval_join"}),
+    )
