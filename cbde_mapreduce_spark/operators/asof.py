@@ -46,7 +46,12 @@ def asof_join(
             "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols) + ">"
         ),
     )
-    tagged_right = right.select(
+    # SQL equality never matches a NULL key (ASOF ... ON l.by = r.by drops
+    # them), but a window partitioned by the key groups all NULL-key rows
+    # TOGETHER — a NULL-key left row would wrongly carry a NULL-key right
+    # row (NULL-FK value-parity sweep). Excluding NULL-key right rows
+    # restores join semantics: NULL-key left rows emit a NULL payload.
+    tagged_right = right.where(F.col(by).isNotNull()).select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c not in (by, ts) else F.col(c) for c in lcols],
         F.lit(0).alias("__tag"),
         F.struct(*[F.col(c) for c in value_cols]).alias(payload),

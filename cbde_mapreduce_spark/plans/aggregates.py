@@ -461,9 +461,11 @@ def hll_rollup_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT count(*)::bigint AS n_rows,
                sum(('0x' || substr(md5(
-                     o_orderkey::varchar || '|' || o_custkey::varchar || '|' ||
-                     o_orderstatus || '|' || o_orderpriority || '|' ||
-                     o_orderdate::date::varchar),
+                     coalesce(o_orderkey::varchar, '') || '|' ||
+                     coalesce(o_custkey::varchar, '') || '|' ||
+                     coalesce(o_orderstatus, '') || '|' ||
+                     coalesce(o_orderpriority, '') || '|' ||
+                     coalesce(o_orderdate::date::varchar, '')),
                    1, 8))::bigint)::bigint AS fingerprint
         FROM orders
     """,
@@ -482,13 +484,18 @@ def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     and dates only.
     """
     o = load_table(spark, sf_dir, "orders")
+    # explicit coalesce-to-'' per field: concat_ws SKIPS a NULL field (and
+    # its separator) while the oracle's '||' nulls the whole string — a
+    # NULL FK made the two engines fingerprint the row differently
+    # (NULL-FK value-parity sweep). Coalescing per field keeps the field
+    # count stable and both engines byte-identical.
     canon = F.concat_ws(
         "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        "o_orderstatus",
-        "o_orderpriority",
-        F.col("o_orderdate").cast("date").cast("string"),
+        F.coalesce(F.col("o_orderkey").cast("string"), F.lit("")),
+        F.coalesce(F.col("o_custkey").cast("string"), F.lit("")),
+        F.coalesce(F.col("o_orderstatus"), F.lit("")),
+        F.coalesce(F.col("o_orderpriority"), F.lit("")),
+        F.coalesce(F.col("o_orderdate").cast("date").cast("string"), F.lit("")),
     )
     h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
     return o.agg(
@@ -536,9 +543,11 @@ def hll_intersect_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT (o_orderkey // 1000)::bigint AS key_range,
                count(*)::bigint AS n_rows,
                sum(('0x' || substr(md5(
-                     o_orderkey::varchar || '|' || o_custkey::varchar || '|' ||
-                     o_orderstatus || '|' || o_orderpriority || '|' ||
-                     o_orderdate::date::varchar),
+                     coalesce(o_orderkey::varchar, '') || '|' ||
+                     coalesce(o_custkey::varchar, '') || '|' ||
+                     coalesce(o_orderstatus, '') || '|' ||
+                     coalesce(o_orderpriority, '') || '|' ||
+                     coalesce(o_orderdate::date::varchar, '')),
                    1, 8))::bigint)::bigint AS fingerprint
         FROM orders
         GROUP BY 1
@@ -555,13 +564,18 @@ def range_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint; one map-side-combinable aggregation on the derived range
     key."""
     o = load_table(spark, sf_dir, "orders")
+    # explicit coalesce-to-'' per field: concat_ws SKIPS a NULL field (and
+    # its separator) while the oracle's '||' nulls the whole string — a
+    # NULL FK made the two engines fingerprint the row differently
+    # (NULL-FK value-parity sweep). Coalescing per field keeps the field
+    # count stable and both engines byte-identical.
     canon = F.concat_ws(
         "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        "o_orderstatus",
-        "o_orderpriority",
-        F.col("o_orderdate").cast("date").cast("string"),
+        F.coalesce(F.col("o_orderkey").cast("string"), F.lit("")),
+        F.coalesce(F.col("o_custkey").cast("string"), F.lit("")),
+        F.coalesce(F.col("o_orderstatus"), F.lit("")),
+        F.coalesce(F.col("o_orderpriority"), F.lit("")),
+        F.coalesce(F.col("o_orderdate").cast("date").cast("string"), F.lit("")),
     )
     h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
     return (

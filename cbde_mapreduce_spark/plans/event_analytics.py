@@ -305,7 +305,11 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     first_seen = (
-        ev.select("user_id", F.col("ts").cast("date").alias("day"))
+        # NULL user_id is not a user: count(DISTINCT user_id) excludes
+        # NULLs per SQL, but groupBy would mint a NULL group and count it
+        # (NULL-FK value-parity sweep)
+        ev.where(F.col("user_id").isNotNull())
+        .select("user_id", F.col("ts").cast("date").alias("day"))
         .groupBy("user_id")
         .agg(F.min("day").alias("first_day"))
     )

@@ -33,7 +33,8 @@ TOP_N = 20
 
 _PR_ORACLE = f"""
     WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
-                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
     e AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
     v AS (SELECT DISTINCT a AS v FROM e),
     nn AS (SELECT count(*)::double AS n FROM v),
@@ -167,7 +168,8 @@ _BFS_SOURCE = 0  # customer 0's vertex id in the 2k/2k+1 encoding
 
 _BFS_ORACLE = f"""
     WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
-                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
     e AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
     s0 AS (SELECT {_BFS_SOURCE}::bigint AS v),
     n1 AS (SELECT DISTINCT e.b AS v FROM e JOIN s0 ON e.a = s0.v),
@@ -213,6 +215,9 @@ def bfs_hops_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") * 2).alias("a"),
             (F.col("l_suppkey") * 2 + 1).alias("b"),
         )
+        # a graph edge needs both endpoints: NULL FKs (dirty data) must not
+        # mint a NULL vertex (NULL-FK value-parity sweep)
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
     e = (
@@ -242,7 +247,8 @@ def bfs_hops_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DEGREE_ORACLE = """
     WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
-                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
     e AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
     d AS (SELECT a AS v, count(*) AS deg FROM e GROUP BY a)
     SELECT deg, count(*) AS n_vertices,
@@ -282,7 +288,8 @@ def degree_histogram_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PPR_SOURCE = 0  # customer 0's vertex
 _PPR_ORACLE = f"""
     WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
-                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
     e AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
     deg AS (SELECT a, count(*)::double AS d FROM e GROUP BY a),
     r0 AS (SELECT {_PPR_SOURCE}::bigint AS v, 1.0 AS r),
@@ -593,7 +600,8 @@ def hits_authority_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ASSORT_ORACLE = """
     WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
-                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
     e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
     deg AS (SELECT a AS v, count(*)::double AS d FROM e GROUP BY a)
     SELECT (SELECT count(*) FROM e)::bigint AS n_directed_edges,
@@ -630,6 +638,9 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") * 2).alias("a"),
             (F.col("l_suppkey") * 2 + 1).alias("b"),
         )
+        # a graph edge needs both endpoints: NULL FKs (dirty data) must not
+        # mint a NULL vertex (NULL-FK value-parity sweep)
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
     e = e0.unionByName(

@@ -241,8 +241,13 @@ def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type", "value"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        # NULL user_id is not a user (same rule as every distinct-user
+        # query); the NULL group would also crash int(NaN) in the kernel
+        # (NULL-FK sweep)
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type", "value")
     )
 
     def run_balance(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -170,7 +170,12 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the lateness horizon (demonstrated in tests/test_streaming.py).
     """
     stream = events_stream(spark, sf_dir)
-    deduped = stream.dropDuplicates(["user_id", "event_type"])
+    # NULL user_id is not a user: the count(DISTINCT user_id) oracle
+    # excludes NULLs per SQL, but dropDuplicates would keep one NULL-user
+    # state row per type and count it (NULL-FK value-parity sweep)
+    deduped = stream.filter(F.col("user_id").isNotNull()).dropDuplicates(
+        ["user_id", "event_type"]
+    )
     agg = deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )

@@ -379,3 +379,46 @@ def test_pre_epoch_values_cell_exact(spark, pre_epoch_sf_dir):
         "pre-epoch",
         known_divergence=frozenset({"streaming_interval_join"}),
     )
+
+
+#: FK / grouping keys nulled on every other row (PKs stay unique) — the
+#: dirty-data regime of real 100 TB corpora, where join/group keys are
+#: routinely missing.
+_NULL_FK_COLS: dict[str, list[str]] = {
+    "events": ["user_id"],
+    "orders": ["o_custkey"],
+    "lineitem": ["l_partkey", "l_suppkey"],
+    "customer": ["c_nationkey"],
+    "supplier": ["s_nationkey"],
+}
+
+
+@pytest.fixture(scope="module")
+def null_fk_sf_dir(tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("nullfk_sf")
+    for t in TABLES:
+        tbl = pq.read_table(f"{_SRC_SF}/{t}.parquet")
+        for col in _NULL_FK_COLS.get(t, []):
+            i = tbl.schema.get_field_index(col)
+            vals = tbl.column(col).to_pylist()
+            vals = [None if j % 2 else v for j, v in enumerate(vals)]
+            tbl = tbl.set_column(
+                i, tbl.schema.field(i), pa.array(vals, type=tbl.schema.field(i).type)
+            )
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def test_null_fk_values_cell_exact(spark, null_fk_sf_dir):
+    """Cell-exact sweep with 50% NULL join/group keys. SQL's NULL-key rules
+    (equality never matches NULL; count(DISTINCT) excludes NULL) differ
+    from the Spark constructs many plans are built on (groupBy mints a
+    NULL group; dropDuplicates keeps a NULL row; a window PARTITIONs all
+    NULL keys together; concat_ws skips a NULL field where '||' nulls the
+    string). This harness found 8 such divergences: NULL-vertex minting in
+    bfs/assortativity, NULL-user counting in cumulative_distinct/
+    streaming_dedup, NULL-key carry in the asof operator, per-field NULL
+    canonicalization in both fingerprints, and an int(NaN) crash in
+    capped_running_balance's kernel — all fixed at the plan/operator layer
+    to match SQL semantics."""
+    _value_sweep(spark, null_fk_sf_dir, "null-fk")
