@@ -29,12 +29,14 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #: query earns a driver-green row across rounds; ROTATION.md records which
 #: names sat in each round's window.
 #:
-#: Round-5 window = the first 50 names of round 4's staleness tail: all are
+#: Round-5/6 window = the first 50 names of round 4's staleness tail: all are
 #: oracled queries that have NEVER had a driver CORRECTNESS row (83 such names
-#: existed after round 4; this window drains 50, round 6 takes the rest).
-#: No implementations changed for these names this round (registry frozen at
-#: 284/263) -- the goal is purely converting local parity-green into
-#: driver-green, per VERDICT r4 ask #1.
+#: existed after round 4). The round-5 verify pass never produced a
+#: CORRECTNESS_r05.json, so the identical window is KEPT for round 6 --
+#: these are still the 50 stalest names without a committed driver row
+#: (ROTATION.md "Round 6" records the reasoning; round 7 takes the rest).
+#: No implementations changed for these names (registry frozen at 284/263) --
+#: the goal is purely converting local parity-green into driver-green.
 _PRIORITY = [
     "streaming_session_counts",
     "kmv_distinct_customers",
@@ -89,7 +91,7 @@ _PRIORITY = [
 ]
 
 #: Everything outside the window, ordered by staleness: the 33 never-checked
-#: oracled names first (round-6 window candidates), then the 6 never-checked
+#: oracled names first (round-7 window candidates), then the 6 never-checked
 #: rows-only names, then names by the round they last earned a driver row
 #: (oldest first; the displaced round-4 window sits at the very end) -- so if
 #: the driver ever checks more than 50 entries, the extra slots drain the
