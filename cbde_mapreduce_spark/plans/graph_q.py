@@ -78,6 +78,9 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") * 2).alias("a"),
             (F.col("l_suppkey") * 2 + 1).alias("b"),
         )
+        # a graph edge needs both endpoints: NULL FKs (dirty data) must not
+        # mint a NULL vertex (NULL-FK value-parity sweep)
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
     e = e0.unionByName(
@@ -272,6 +275,9 @@ def degree_histogram_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") * 2).alias("a"),
             (F.col("l_suppkey") * 2 + 1).alias("b"),
         )
+        # a graph edge needs both endpoints: NULL FKs (dirty data) must not
+        # mint a NULL vertex (NULL-FK value-parity sweep)
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
     e = e0.unionByName(
@@ -333,6 +339,9 @@ def ppr_trade_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") * 2).alias("a"),
             (F.col("l_suppkey") * 2 + 1).alias("b"),
         )
+        # a graph edge needs both endpoints: NULL FKs (dirty data) must not
+        # mint a NULL vertex (NULL-FK value-parity sweep)
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
     e = (
