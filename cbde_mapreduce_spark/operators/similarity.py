@@ -37,6 +37,12 @@ from pyspark.sql import functions as F
 
 PAIR_SCHEMA = "qid bigint, nid bigint, sim double"
 
+#: Peak cells (float64) of one sims block: 16M cells = 128 MB per worker.
+#: Without this bound a worker's block is batch_rows x n_targets — at 200k
+#: targets a 10k-row Arrow batch is a 16 GB allocation, which killed the
+#: Python worker in the 100x replicated-scale study (SCALING.md round 6).
+_MAX_BLOCK_CELLS = 16_000_000
+
 
 def _normalized_matrix(emb: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     """Collect (ids, row-normalized float64 matrix) for the broadcast side."""
@@ -66,7 +72,26 @@ def _block_pairs_topk(
     normalizes each emitted pair to (min, max). Masked -inf cells are
     dropped explicitly so a block with fewer than k valid pairs never
     leaks sentinel rows (round-1 advice fix).
+
+    Peak memory is bounded: the query side is sliced so one sims block
+    never exceeds ``_MAX_BLOCK_CELLS`` cells; each slice's exact local
+    top-k is merged and re-cut under the same total order, which is
+    lossless (any globally qualifying pair is in its slice's top-k, and
+    the (sim, qid, nid) order is total since (qid, nid) is unique).
     """
+    step = max(1, _MAX_BLOCK_CELLS // max(1, t_ids.size))
+    if q_ids.size > step:
+        parts = [
+            _block_pairs_topk(
+                q_ids[i : i + step], qm[i : i + step], t_ids, tm, k, digits, mask_ordered
+            )
+            for i in range(0, q_ids.size, step)
+        ]
+        cat = pd.concat(parts, ignore_index=True)
+        order = np.lexsort(
+            (cat["nid"].to_numpy(), cat["qid"].to_numpy(), -cat["sim"].to_numpy())
+        )[:k]
+        return cat.iloc[order].reset_index(drop=True)
     sims = np.round(qm @ tm.T, digits)
     if mask_ordered:
         sims[q_ids[:, None] >= t_ids[None, :]] = -np.inf

@@ -106,6 +106,40 @@ def test_embedding_neardup_lsh_recall_vs_exact(spark, sf_oracle):
         assert p in lsh_pairs, f"highest-sim pair {p} missed by LSH"
 
 
+def test_block_kernel_memory_slicing_lossless(monkeypatch):
+    """The query-side slicing that bounds one sims block to _MAX_BLOCK_CELLS
+    must be lossless: forcing many tiny slices yields cell-identical top-k
+    to the single-block evaluation AND to a brute-force reference (the
+    100x-scale worker-OOM fix, SCALING.md round 6)."""
+    from cbde_mapreduce_spark.operators import similarity as S
+
+    rng = np.random.RandomState(7)
+    n, d, k = 300, 16, 40
+    ids = np.arange(n, dtype=np.int64)
+    m = rng.randn(n, d)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    for mask_ordered in (True, False):
+        t_ids = ids if mask_ordered else ids + 10_000
+        one = S._block_pairs_topk(ids, m, t_ids, m, k, 6, mask_ordered)
+        # force a slice width of ceil(37/n_targets)=1 query row per block
+        monkeypatch.setattr(S, "_MAX_BLOCK_CELLS", 37)
+        sliced = S._block_pairs_topk(ids, m, t_ids, m, k, 6, mask_ordered)
+        monkeypatch.setattr(S, "_MAX_BLOCK_CELLS", 16_000_000)
+        assert one[["qid", "nid"]].equals(sliced[["qid", "nid"]])
+        assert np.array_equal(one.sim.to_numpy(), sliced.sim.to_numpy())
+    # brute-force reference for the mask_ordered=True case
+    sims = np.round(m @ m.T, 6)
+    iu = np.triu_indices(n, 1)
+    flat = sorted(
+        zip(-sims[iu], iu[0], iu[1]),
+    )[:k]
+    ref_q = np.array([q for _, q, _ in flat])
+    ref_n = np.array([t for _, _, t in flat])
+    top = S._block_pairs_topk(ids, m, ids, m, k, 6, True)
+    assert np.array_equal(top.qid.to_numpy(), ref_q)
+    assert np.array_equal(top.nid.to_numpy(), ref_n)
+
+
 def test_fewer_than_k_valid_pairs_no_sentinel_rows(spark):
     """A corpus with fewer than k valid (qid<nid) pairs must emit only the
     genuine pairs — no -inf sentinels (round-2 advice fix)."""
