@@ -969,51 +969,143 @@ def sparse_cosine_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition, not an approximation of an unguarded query. idf uses
     ln(N/df + 1) so surviving terms keep a positive finite weight. Scores
     round to 6 dp before the (cosine, d1, d2) TakeOrdered.
+
+    Duplicate-collapse (round-6 scale fix): dup-heavy corpora break the
+    df² bound a different way — k identical copies of one text form a
+    k-clique of cosine-1.0 pairs, so the pair join is Ω(k²) per duplicate
+    group no matter how the postings are guarded (the 100× replicated
+    study timed the old plan out at 500k docs / 4992 distinct texts,
+    SCALING.md round 6). Identical text implies an identical truncated
+    vector (tf is per-doc, df/nd are corpus-level, the top-m tiebreak is
+    deterministic), so the plan collapses the corpus to one REPRESENTATIVE
+    per distinct text first, runs tf-idf and the postings join over
+    representatives only (df still counts every copy via the group size),
+    and expands the top rep-level pairs back to doc pairs at the end.
+    The expansion is exact for a global top-k: a doc pair using any id
+    outside its group's k+1 smallest is dominated by k+1 smaller same-
+    cosine pairs, and a rep pair outside the top-k by
+    (cosine, best-expanded-pair) is dominated by k rep pairs each already
+    contributing a better doc pair. Pair-join work now scales with
+    DISTINCT-text volume; the dup mass costs one text-keyed shuffle.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    k = _SPARSE_TOP
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wg = Window.partitionBy("text").orderBy("doc_id")
+    wga = Window.partitionBy("text")
+    mem = docs.select(
+        "doc_id",
+        "text",
+        F.row_number().over(wg).alias("rn"),
+        F.min("doc_id").over(wga).alias("gid"),
+    )
+    reps = mem.filter(F.col("rn") == 1).select("gid", "text")
+    gsz = mem.groupBy("gid").agg(F.count(F.lit(1)).alias("gsz"))
+    # the k+1 smallest doc_ids per group cover every expandable top-k pair
+    small = mem.filter(F.col("rn") <= k + 1).select("gid", "doc_id", "rn")
+
+    tok = reps.select(
+        "gid", F.explode(F.split(F.lower("text"), " ")).alias("term")
     ).filter(F.col("term") != "")
-    tf = tok.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
+    tf = tok.groupBy("gid", "term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    tfg = tf.join(gsz, "gid")
+    # df counts DOCS (all copies), not distinct texts: sum the group sizes
+    df = tfg.groupBy("term").agg(F.sum("gsz").cast("double").alias("df"))
+    nd = float(
+        tfg.select("gid", "gsz").distinct().agg(F.sum("gsz")).collect()[0][0] or 0
     )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    nd = float(tf.select("doc_id").distinct().count())
-    wall = (
-        tf.join(df.filter(F.col("df") <= _SPARSE_DF_FRAC * nd), "term")
-        .select(
-            "doc_id",
-            "term",
-            F.round(F.col("tf") * F.log(F.lit(nd) / F.col("df") + 1), 9).alias("w"),
-        )
+    wall = tf.join(df.filter(F.col("df") <= _SPARSE_DF_FRAC * nd), "term").select(
+        "gid",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(nd) / F.col("df") + 1), 9).alias("w"),
     )
-    wtop = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("term"))
+    wtop = Window.partitionBy("gid").orderBy(F.desc("w"), F.asc("term"))
     w = (
         wall.withColumn("rn", F.row_number().over(wtop))
         .filter(F.col("rn") <= _SPARSE_TERMS_PER_DOC)
         .drop("rn")
     )
-    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-    a = w.select(F.col("doc_id").alias("d1"), "term", F.col("w").alias("w1"))
-    b = w.select(F.col("doc_id").alias("d2"), "term", F.col("w").alias("w2"))
+    nrm = w.groupBy("gid").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+
+    a = w.select(F.col("gid").alias("g1"), "term", F.col("w").alias("w1"))
+    b = w.select(F.col("gid").alias("g2"), "term", F.col("w").alias("w2"))
     dots = (
         a.join(b, "term")
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
+        .filter(F.col("g1") < F.col("g2"))
+        .groupBy("g1", "g2")
         .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot"))
     )
-    n1 = nrm.select(F.col("doc_id").alias("d1"), F.col("nrm").alias("nrm1"))
-    n2 = nrm.select(F.col("doc_id").alias("d2"), F.col("nrm").alias("nrm2"))
-    sim = (
-        dots.join(F.broadcast(n1), "d1")
-        .join(F.broadcast(n2), "d2")
+    n1 = nrm.select(F.col("gid").alias("g1"), F.col("nrm").alias("nrm1"))
+    n2 = nrm.select(F.col("gid").alias("g2"), F.col("nrm").alias("nrm2"))
+    # best expanded pair of a cross rep-pair is (g1, g2) itself: gids are
+    # group minima and g1 < g2, so every member of g2 exceeds g1
+    cross = (
+        dots.join(F.broadcast(n1), "g1")
+        .join(F.broadcast(n2), "g2")
         .select(
-            "d1",
-            "d2",
+            "g1",
+            "g2",
             F.round(F.col("dot") / (F.col("nrm1") * F.col("nrm2")), 6).alias("cosine"),
+            F.col("g1").alias("bd1"),
+            F.col("g2").alias("bd2"),
         )
     )
-    return sim.orderBy(F.desc("cosine"), F.asc("d1"), F.asc("d2")).limit(_SPARSE_TOP)
+    # within-group pairs (copies of one text): the vector's dot with
+    # itself; only groups with >= 2 members qualify, and their best
+    # expanded pair is the group's two smallest doc_ids
+    pair2 = (
+        small.filter(F.col("rn") <= 2)
+        .groupBy("gid")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("bd1"),
+            F.min(F.when(F.col("rn") == 2, F.col("doc_id"))).alias("bd2"),
+        )
+        .filter(F.col("bd2").isNotNull())
+    )
+    selfdot = w.groupBy("gid").agg(F.sum(F.col("w") * F.col("w")).alias("dot"))
+    selfp = (
+        selfdot.join(nrm, "gid")
+        .join(pair2, "gid")
+        .select(
+            F.col("gid").alias("g1"),
+            F.col("gid").alias("g2"),
+            F.round(F.col("dot") / (F.col("nrm") * F.col("nrm")), 6).alias("cosine"),
+            "bd1",
+            "bd2",
+        )
+    )
+    # top-k rep pairs under (cosine DESC, best pair): a rep pair beyond
+    # position k is dominated by k rep pairs each contributing a strictly
+    # better doc pair, so it cannot reach the doc-level top-k
+    top = (
+        cross.unionByName(selfp)
+        .orderBy(F.desc("cosine"), F.asc("bd1"), F.asc("bd2"))
+        .limit(k)
+    )
+    m1 = small.select(
+        F.col("gid").alias("g1"), F.col("doc_id").alias("i1"), F.col("rn").alias("r1")
+    )
+    m2 = small.select(
+        F.col("gid").alias("g2"), F.col("doc_id").alias("i2"), F.col("rn").alias("r2")
+    )
+    ex_cross = (
+        F.broadcast(top.filter(F.col("g1") != F.col("g2")).drop("bd1", "bd2"))
+        .join(m1, "g1")
+        .join(m2, "g2")
+        .select(
+            F.least("i1", "i2").alias("d1"),
+            F.greatest("i1", "i2").alias("d2"),
+            "cosine",
+        )
+    )
+    ex_self = (
+        F.broadcast(top.filter(F.col("g1") == F.col("g2")).drop("g2", "bd1", "bd2"))
+        .join(m1, "g1")
+        .join(m2.withColumnRenamed("g2", "g1"), "g1")
+        .filter(F.col("r1") < F.col("r2"))
+        .select(F.col("i1").alias("d1"), F.col("i2").alias("d2"), "cosine")
+    )
+    sim = ex_cross.unionByName(ex_self)
+    return sim.orderBy(F.desc("cosine"), F.asc("d1"), F.asc("d2")).limit(k)
 
 
 _KL_ORACLE = """

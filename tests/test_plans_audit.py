@@ -497,7 +497,7 @@ def test_sparse_cosine_no_cartesian(spark, sf_oracle):
     # postings (head terms never reach the pair join), and the per-doc
     # top-m prefix filter — which Spark executes as a partial
     # WindowGroupLimit pushed below the doc_id exchange.
-    assert re.search(r"Filter \(df#\d+ <= \d", plan), "df-cap filter missing"
+    assert re.search(r"\(df#\d+ <= \d", plan), "df-cap filter missing"
     assert "WindowGroupLimit" in plan and "row_number(), 50" in plan
 
 
