@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cbde_mapreduce_spark.functions.texttools import shingles, tokens
@@ -61,35 +61,121 @@ def hashed_shingle_sets(docs: DataFrame, k: int = 3) -> DataFrame:
     return shingle_sets(docs, k).select("doc_id", F.xxhash64("s").alias("h"))
 
 
-def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.1) -> DataFrame:
-    """Exact k-gram Jaccard over all pairs sharing ≥1 shingle.
+def text_dup_groups(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, gid, gsz): identical-text duplicate groups.
 
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard ≥ threshold.
-    The self-join runs on 8-byte hashed shingle keys (see hashed_shingle_sets).
+    gid = the group's min doc_id (its representative), gsz = group size.
+    One text-keyed shuffle; the cornerstone of the duplicate-collapse
+    rewrites (round 6): every downstream pair computation runs once per
+    DISTINCT text instead of once per copy pair, which is the difference
+    between O(distinct²) and O((dup·distinct)²) on a dup-heavy corpus.
     """
-    sh = hashed_shingle_sets(docs, k)
+    wga = Window.partitionBy("text")
+    return docs.select(
+        "doc_id",
+        "text",
+        F.min("doc_id").over(wga).alias("gid"),
+        F.count(F.lit(1)).over(wga).alias("gsz"),
+    )
+
+
+def jaccard_rep_graph(
+    docs: DataFrame, k: int = 3, threshold: float = 0.1
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The exact Jaccard near-dup graph, collapsed to identical-text
+    representatives. Returns ``(mem, rep_edges, clique_gids)``:
+
+    - mem: (doc_id, gid) — every doc's duplicate-group representative;
+    - rep_edges: (ga, gb, jaccard) — qualifying pairs BETWEEN distinct
+      texts (ga < gb, both gids), computed once per rep pair;
+    - clique_gids: (gid,) — groups of ≥2 identical copies with ≥1 shingle:
+      their members are pairwise jaccard-1.0 near-dups (identical shingle
+      sets), WITHOUT materializing the Ω(gsz²) clique edges.
+
+    Exact by construction: identical text ⇒ identical shingle set, so
+    jaccard(a, b) = jaccard(rep(a), rep(b)) for every doc pair, and copies
+    pair with each other iff their shingle set is nonempty. Groups whose
+    text yields no shingles (under k tokens, empty, NULL) never self-pair,
+    matching the shingle-join semantics.
+    """
+    m = text_dup_groups(docs)
+    mem = m.select("doc_id", "gid")
+    reps = m.filter(F.col("doc_id") == F.col("gid")).select(
+        "doc_id", "text", "gsz"
+    )
+    sh = hashed_shingle_sets(reps, k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .groupBy(F.col("a.doc_id").alias("ga"), F.col("b.doc_id").alias("gb"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     x, y = sizes.alias("x"), sizes.alias("y")
-    return (
-        inter.join(x, F.col("doc_a") == F.col("x.doc_id"))
-        .join(y, F.col("doc_b") == F.col("y.doc_id"))
+    rep_edges = (
+        inter.join(x, F.col("ga") == F.col("x.doc_id"))
+        .join(y, F.col("gb") == F.col("y.doc_id"))
         .select(
-            "doc_a",
-            "doc_b",
+            "ga",
+            "gb",
             F.round(
                 F.col("inter") / (F.col("x.n") + F.col("y.n") - F.col("inter")), 6
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    clique_gids = (
+        reps.filter(F.col("gsz") >= 2)
+        .join(sizes, "doc_id")  # >=1 shingle
+        .select(F.col("doc_id").alias("gid"))
+        .filter(F.lit(threshold <= 1.0))
+    )
+    return mem, rep_edges, clique_gids
+
+
+def _expand_rep_pairs(
+    mem: DataFrame, rep_pairs: DataFrame, clique_gids: DataFrame
+) -> DataFrame:
+    """Expand rep-level (ga, gb, jaccard) pairs + identical-copy cliques
+    back to (doc_a, doc_b, jaccard) doc pairs via the membership map.
+
+    Cross pairs fan out to every member combination (orientation is free:
+    jaccard is symmetric, groups are disjoint); clique groups expand to all
+    within-group pairs at jaccard 1.0. Output-proportional — the only
+    quadratic term is the duplication-clique output itself.
+    """
+    ia = mem.select(F.col("gid").alias("ga"), F.col("doc_id").alias("ia"))
+    ib = mem.select(F.col("gid").alias("gb"), F.col("doc_id").alias("ib"))
+    ex_cross = (
+        rep_pairs.join(ia, "ga")
+        .join(ib, "gb")
+        .select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    cm = mem.join(clique_gids, "gid")
+    ex_self = (
+        cm.select("gid", F.col("doc_id").alias("doc_a"))
+        .join(cm.select("gid", F.col("doc_id").alias("doc_b")), "gid")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
+    )
+    return ex_cross.unionByName(ex_self)
+
+
+def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.1) -> DataFrame:
+    """Exact k-gram Jaccard over all pairs sharing ≥1 shingle.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard ≥ threshold.
+    The self-join runs on 8-byte hashed shingle keys (see hashed_shingle_sets)
+    over identical-text REPRESENTATIVES (jaccard_rep_graph), then expands
+    rep pairs back to doc pairs — the pair output on a dup-heavy corpus is
+    inherently quadratic in duplication, but the shingle-join work is not.
+    """
+    mem, rep_edges, clique_gids = jaccard_rep_graph(docs, k, threshold)
+    return _expand_rep_pairs(mem, rep_edges, clique_gids)
 
 
 #: Per-'permutation' xor salts (splitmix64 golden-ratio multiples, masked
@@ -142,9 +228,24 @@ def minhash_lsh_neardup(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> 
 
     Output: (doc_a, doc_b, jaccard). Verification joins shingle sets for
     candidate pairs only (the LSH point: |candidates| ≪ |all pairs|).
+
+    Duplicate-collapse (round-6 scale fix): identical text ⇒ identical
+    signature ⇒ collision in EVERY band, so a k-copy group floods every
+    one of its buckets with k copies — candidate generation and the
+    verify join were Ω(dup²) before any LSH pruning could help. Banding
+    and verification now run over identical-text representatives;
+    rep pairs expand back to doc pairs, and duplicate groups (≥2 copies,
+    ≥1 shingle) expand to their jaccard-1.0 cliques directly — exactly
+    the pairs the row-level algorithm emitted (identical signatures
+    collide with certainty; jaccard 1 passes any threshold ≤ 1).
     """
-    cand = lsh_candidate_pairs(minhash_signatures(docs, k))
-    sh = hashed_shingle_sets(docs, k)
+    m = text_dup_groups(docs)
+    mem = m.select("doc_id", "gid")
+    reps = m.filter(F.col("doc_id") == F.col("gid")).select(
+        "doc_id", "text", "gsz"
+    )
+    cand = lsh_candidate_pairs(minhash_signatures(reps, k))
+    sh = hashed_shingle_sets(reps, k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -154,18 +255,25 @@ def minhash_lsh_neardup(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> 
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     x, y = sizes.alias("x"), sizes.alias("y")
-    return (
+    rep_pairs = (
         inter.join(x, F.col("doc_a") == F.col("x.doc_id"))
         .join(y, F.col("doc_b") == F.col("y.doc_id"))
         .select(
-            "doc_a",
-            "doc_b",
+            F.col("doc_a").alias("ga"),
+            F.col("doc_b").alias("gb"),
             F.round(
                 F.col("inter") / (F.col("x.n") + F.col("y.n") - F.col("inter")), 6
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    clique_gids = (
+        reps.filter(F.col("gsz") >= 2)
+        .join(sizes, "doc_id")  # >=1 shingle
+        .select(F.col("doc_id").alias("gid"))
+        .filter(F.lit(threshold <= 1.0))
+    )
+    return _expand_rep_pairs(mem, rep_pairs, clique_gids)
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:

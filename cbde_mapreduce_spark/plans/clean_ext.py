@@ -107,6 +107,19 @@ def edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound. At corpus scale the block key would be an LSH bucket
     (operators/dedup.py) instead of a length bucket; the join shape is
     identical. levenshtein() is a JVM built-in on both engines.
+
+    Duplicate-collapse (round-6 scale fix): blocking bounds CANDIDATES but
+    not duplication — k docs sharing one (lang, bucket, prefix) key are a
+    k-clique, so the in-block join is Ω(dup²) levenshtein calls (the 100×
+    replicated study timed the row-level join out; SCALING.md round 6).
+    The compared field IS the group key, so the plan computes levenshtein
+    once per DISTINCT-prefix pair within a block and expands: cross-group
+    rep pairs that pass the cutoff fan out to member id pairs (symmetric
+    metric, so orientation is free), and same-prefix groups expand to
+    dist-0 cliques directly — that part of the output is inherently
+    quadratic, but the remaining work is output-proportional, never
+    levenshtein-quadratic. NULL lang/bucket/prefix groups never self-pair
+    (the oracle's equi-join and levenshtein both reject NULLs).
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -114,23 +127,50 @@ def edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("n_chars") / 50).cast("long").alias("len_bucket"),
         F.substring("text", 1, 40).alias("prefix"),
     )
-    a = d.alias("a")
-    b = d.alias("b")
-    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
-    return (
+    wga = Window.partitionBy("lang", "len_bucket", "prefix")
+    mem = d.withColumn("gid", F.min("doc_id").over(wga))
+    reps = mem.filter(F.col("doc_id") == F.col("gid")).select(
+        "gid", "lang", "len_bucket", "prefix"
+    )
+    a = reps.alias("a")
+    b = reps.alias("b")
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.gid") < F.col("b.gid")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            dist.alias("dist"),
+            F.col("a.gid").alias("ga"),
+            F.col("b.gid").alias("gb"),
+            F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).alias("dist"),
         )
         .filter(F.col("dist") <= 18)
     )
+    ids = mem.select("gid", "doc_id")
+    ex_cross = (
+        rep_pairs.join(ids.select(F.col("gid").alias("ga"), F.col("doc_id").alias("ia")), "ga")
+        .join(ids.select(F.col("gid").alias("gb"), F.col("doc_id").alias("ib")), "gb")
+        .select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+            "dist",
+        )
+    )
+    nn = mem.filter(
+        F.col("lang").isNotNull()
+        & F.col("len_bucket").isNotNull()
+        & F.col("prefix").isNotNull()
+    ).select("gid", "doc_id")
+    m1 = nn.select("gid", F.col("doc_id").alias("doc_a"))
+    m2 = nn.select("gid", F.col("doc_id").alias("doc_b"))
+    ex_self = (
+        m1.join(m2, "gid")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(0).cast("int").alias("dist"))
+    )
+    return ex_cross.unionByName(ex_self)
 
 
 _STOPWORDS = ["a", "the", "value", "table"]

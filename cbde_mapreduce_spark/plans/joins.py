@@ -265,51 +265,66 @@ def binned_range_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     on bin + residual predicate. Each qualifying pair joins exactly once
     (the point's bin is unique), so no post-join dedup. This is the
     binned-range-join rewrite (DuckDB/Databricks range-join optimization)
-    expressed in plain DataFrame ops: shuffle is hash(bin), work per bin is
-    |a∩bin|·|b∩bin| — local, bounded by bin width, never n·m. At 100 TB the
-    bin width is the tuning knob (≈ interval length keeps the fan-out ≤ 2).
+    expressed in plain DataFrame ops. At 100 TB the bin width is the
+    tuning knob (≈ interval length keeps the fan-out ≤ 2).
 
-    Physical shape is pinned explicitly, because the optimizer mis-sizes
-    this join BOTH ways: the pre-join shuffles are tiny (n rows) so AQE
-    coalesces them toward one partition, but the probe EXPLODES to ~n·w·
-    density pairs after the join — an explicit fixed-count repartition on
-    bin keeps the probe P-way parallel (3.3× at sf0.1), and shuffle_hash on
-    the point side builds the per-bin hash map from the smaller input
-    instead of broadcasting the exploded interval side.
+    Density-collapse (round-6 scale fix): the output is an AGGREGATE over
+    pairs, so the pairs themselves never need to materialize — c orders on
+    one day contribute weight c_a·c_b to a day pair (minus the c same-key
+    pairs when the days coincide). The binned range join therefore runs on
+    the DISTINCT-DATE spine weighted by multiplicity: n rows collapse to
+    ~|dates| rows before the join, pair counts are exact integer sums, and
+    the per-bin work is width·|dates-in-bin| regardless of row density.
+    The old row-level join enumerated ~Σ_day c²·w pairs — quadratic in
+    per-day density, which timed out at 100× replication (15M orders,
+    ~6.2k/day → ~2.8·10¹¹ pairs; SCALING.md round 6). Day-level sums of
+    gap·weight stay exact in int64 and bit-identical to DuckDB's IEJoin
+    row-level avg (integer sums < 2⁵³ are exact in its double
+    accumulator; one final division on each side).
 
     DuckDB's oracle runs its native IEJoin over the same predicate — a
     genuinely different physical algorithm checking the same semantics.
     """
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    c = o.groupBy("o_orderdate").agg(F.count(F.lit(1)).alias("cnt"))
     jd = F.datediff("o_orderdate", F.lit("1990-01-01").cast("date"))
     w = 3  # bin width (days) == interval length -> each interval spans <= 2 bins
-    n_part = 2 * int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    a = o.select(
-        F.col("o_orderkey").alias("a_key"),
+    a = c.select(
         F.col("o_orderdate").alias("a_date"),
+        F.col("cnt").alias("a_cnt"),
         jd.alias("a_jd"),
         F.explode(
             F.sequence(F.floor(jd / w), F.floor((jd + (w - 1)) / w))
         ).alias("bin"),
-    ).repartition(n_part, "bin")
-    b = o.select(
-        F.col("o_orderkey").alias("b_key"),
-        F.col("o_orderdate").alias("b_date"),
+    )
+    b = c.select(
+        F.col("cnt").alias("b_cnt"),
         jd.alias("b_jd"),
         F.floor(jd / w).alias("bin"),
-    ).repartition(n_part, "bin")
-    return (
+    )
+    pairs = (
         a.join(b.hint("shuffle_hash"), "bin")
         .filter(
-            (F.col("b_jd") >= F.col("a_jd"))
-            & (F.col("b_jd") < F.col("a_jd") + w)
-            & (F.col("a_key") != F.col("b_key"))
+            (F.col("b_jd") >= F.col("a_jd")) & (F.col("b_jd") < F.col("a_jd") + w)
         )
-        .groupBy(F.year("a_date").cast("int").alias("o_year"))
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.avg(F.col("b_jd") - F.col("a_jd")), 6).alias("avg_gap_days"),
+        .select(
+            "a_date",
+            (F.col("b_jd") - F.col("a_jd")).alias("gap"),
+            (
+                F.col("a_cnt") * F.col("b_cnt")
+                - F.when(F.col("b_jd") == F.col("a_jd"), F.col("a_cnt")).otherwise(0)
+            ).alias("weight"),
         )
+    )
+    # weight-0 rows (a lone order pairing with its own day) carry no pairs
+    # and would otherwise mint spurious 0/0 years absent from the oracle
+    pairs = pairs.filter(F.col("weight") > 0)
+    return pairs.groupBy(F.year("a_date").cast("int").alias("o_year")).agg(
+        F.sum("weight").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("gap") * F.col("weight")).cast("double") / F.sum("weight"),
+            6,
+        ).alias("avg_gap_days"),
     )
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from cbde_mapreduce_spark.operators.dedup import (
     jaccard_pairs,
+    jaccard_rep_graph,
     minhash_lsh_neardup,
     simhash_fingerprints,
 )
@@ -68,6 +69,31 @@ def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(docs)
 
 
+def _doc_components(docs: DataFrame, cc_fn) -> DataFrame:
+    """(v, component) over the exact Jaccard ≥ 0.1 doc graph, computed at
+    the identical-text representative level (round-6 duplicate collapse).
+
+    The iterative CC algorithm runs on the REP graph only: dup groups are
+    internal cliques whose connectivity is implied by sharing a gid, so
+    their Ω(gsz²) edges never materialize and never shuffle through the CC
+    rounds. Labels expand back through the membership map; component id
+    stays the min doc_id (gids are group minima, so min-over-gids =
+    min-over-docs). Groups with ≥2 shingled copies but no cross edges are
+    their own components; shingle-less groups have no edges at all and are
+    excluded, exactly like the row-level graph.
+    """
+    mem, rep_edges, clique_gids = jaccard_rep_graph(docs, k=3, threshold=0.1)
+    rep_cc = cc_fn(rep_edges.select("ga", "gb"), "ga", "gb")
+    edge_labels = rep_cc.select(F.col("v").alias("gid"), "component")
+    clique_only = clique_gids.join(
+        edge_labels.select("gid"), "gid", "left_anti"
+    ).select("gid", F.col("gid").alias("component"))
+    labels = edge_labels.unionByName(clique_only)
+    return mem.join(labels, "gid").select(
+        F.col("doc_id").alias("v"), "component"
+    )
+
+
 @query(
     "neardup_components",
     oracle="""
@@ -99,14 +125,15 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the exact near-dup graph (Jaccard ≥ 0.1).
 
     A genuinely iterative operator with an oracle: Spark runs min-label
-    propagation to fixpoint (operators/iterative.py); DuckDB computes the
-    same components with a recursive CTE. Component id = min doc_id.
+    propagation to fixpoint (operators/iterative.py) over the duplicate-
+    collapsed rep graph (_doc_components); DuckDB computes the same
+    components with a recursive CTE over the row-level graph. Component
+    id = min doc_id.
     """
     from cbde_mapreduce_spark.operators.iterative import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    edges = jaccard_pairs(docs, k=3, threshold=0.1).select("doc_a", "doc_b")
-    return connected_components(edges, "doc_a", "doc_b")
+    return _doc_components(docs, connected_components)
 
 
 @query(
@@ -145,13 +172,18 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The keep-policy the cleaning pipeline (operators/pipeline.py) applies,
     here over the exact Jaccard graph so DuckDB's recursive CTE is a true
-    value oracle for the kept-set.
+    value oracle for the kept-set. Components come from the duplicate-
+    collapsed rep graph (_doc_components): a doc drops iff it is in the
+    graph and is not its component's min id.
     """
-    from cbde_mapreduce_spark.operators.pipeline import canonical_drop_ids
+    from cbde_mapreduce_spark.operators.iterative import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    edges = jaccard_pairs(docs, k=3, threshold=0.1).select("doc_a", "doc_b")
-    drops = canonical_drop_ids(edges)
+    drops = (
+        _doc_components(docs, connected_components)
+        .filter(F.col("v") != F.col("component"))
+        .select(F.col("v").alias("__drop_id"))
+    )
     return docs.join(
         drops, docs.doc_id == F.col("__drop_id"), "left_anti"
     ).select("doc_id", "lang")
@@ -172,13 +204,13 @@ def neardup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     Identical contract (component id = min doc_id) and the SAME recursive-
     CTE oracle as neardup_components, so the 100 TB-shape algorithm gets
     its own driver-checkable value-hash row rather than riding on the
-    pytest equality assertion alone.
+    pytest equality assertion alone. Runs over the duplicate-collapsed rep
+    graph (_doc_components), like its min-label sibling.
     """
     from cbde_mapreduce_spark.operators.iterative import connected_components_star
 
     docs = load_table(spark, sf_dir, "documents")
-    edges = jaccard_pairs(docs, k=3, threshold=0.1).select("doc_a", "doc_b")
-    return connected_components_star(edges, "doc_a", "doc_b")
+    return _doc_components(docs, connected_components_star)
 
 
 _SUBDUP_K = 50  # span length in characters
