@@ -109,7 +109,27 @@ def ivf_topk(
     ``n_clusters=None`` auto-sizes to ≈√n (the standard IVF balance point:
     per-probe candidate-list length and centroid-table size are then both
     O(√n)).
+
+    Duplicate-collapse (round-6 scale fix): identical vectors quantize and
+    probe identically, so a g-copy group multiplies both the query count
+    and every touched inverted list by g — the candidate join grew Ω(dup²)
+    at 100× replication (SCALING.md r6). The quantizer, inverted file, and
+    exact re-rank now run over identical-vector representatives
+    (embedding_dup_groups) and the per-qid top-k expands through the
+    membership map (expand_rep_qtopk): twins are sim-1.0 candidates (same
+    cluster with certainty), rep candidates fan out at the rep sim. On
+    all-distinct data the collapse is the identity, so eval-scale results
+    are unchanged; on dup-heavy data the quantizer sees distinct vectors
+    once (frequency-deduped k-means — the standard codebook practice).
     """
+    from cbde_mapreduce_spark.operators.similarity import (
+        embedding_dup_groups,
+        expand_rep_qtopk,
+    )
+
+    m = embedding_dup_groups(emb)
+    mem = m.select("vec_id", "gid")
+    emb = m.filter(F.col("vec_id") == F.col("gid")).select("vec_id", "embedding")
     if n_clusters is None:
         n = emb.select("vec_id").count()
         n_clusters = max(2, int(n**0.5))
@@ -170,10 +190,7 @@ def ivf_topk(
             F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), digits).alias("sim"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
-    return scored.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(
-        F.col("rn") <= k
-    )
+    return expand_rep_qtopk(mem, scored, k)
 
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

@@ -117,6 +117,92 @@ def _norm_rows(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return ids, m
 
 
+def embedding_dup_groups(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, gid, gsz): identical-embedding duplicate groups.
+
+    gid = group min vec_id (the representative). One shuffle keyed on the
+    embedding value itself. Identical vectors have identical cosine to
+    everything, so every pairwise kernel can run over representatives and
+    expand — O(distinct²) instead of O((dup·distinct)²) matmul work on a
+    dup-heavy corpus (the 100× replicated study: 200k vectors, 2000
+    distinct, brute force 160 s → sub-second collapsed; SCALING.md r6).
+    """
+    wga = Window.partitionBy("embedding")
+    return emb.select(
+        "vec_id",
+        "embedding",
+        F.min("vec_id").over(wga).alias("gid"),
+        F.count(F.lit(1)).over(wga).alias("gsz"),
+    )
+
+
+def _expand_rep_topk(
+    m: DataFrame, rep_top: DataFrame, k: int
+) -> DataFrame:
+    """Expand gid-level top-k pairs (qid, nid, sim) back to vec-level pairs.
+
+    Exact for a global top-k under (sim DESC, qid, nid) — the sparse-cosine
+    expansion argument (plans/text.py): a vec pair using an id outside its
+    group's k+1 smallest is dominated by k+1 smaller same-sim pairs; a rep
+    pair outside the top-k by (sim, best-expanded-pair) is dominated by k
+    rep pairs each contributing a better vec pair. Cross rep pair (g1 < g2)
+    best expansion is (g1, g2) itself (gids are group minima); a duplicate
+    group's best internal pair is its two smallest ids at sim 1.0.
+    """
+    wg = Window.partitionBy("gid").orderBy("vec_id")
+    small = (
+        m.select("gid", "vec_id", F.row_number().over(wg).alias("rn"))
+        .filter(F.col("rn") <= k + 1)
+    )
+    selfp = (
+        small.filter(F.col("rn") <= 2)
+        .groupBy("gid")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("vec_id"))).alias("bd1"),
+            F.min(F.when(F.col("rn") == 2, F.col("vec_id"))).alias("bd2"),
+        )
+        .filter(F.col("bd2").isNotNull())
+        .select(
+            F.col("gid").alias("qid"),
+            F.col("gid").alias("nid"),
+            F.lit(1.0).alias("sim"),
+            "bd1",
+            "bd2",
+        )
+    )
+    cand = rep_top.select(
+        "qid", "nid", "sim", F.col("qid").alias("bd1"), F.col("nid").alias("bd2")
+    ).unionByName(selfp)
+    top = cand.orderBy(F.desc("sim"), F.asc("bd1"), F.asc("bd2")).limit(k)
+    m1 = small.select(
+        F.col("gid").alias("qid"), F.col("vec_id").alias("i1"), F.col("rn").alias("r1")
+    )
+    m2 = small.select(
+        F.col("gid").alias("nid"), F.col("vec_id").alias("i2"), F.col("rn").alias("r2")
+    )
+    ex_cross = (
+        F.broadcast(top.filter(F.col("qid") != F.col("nid")).drop("bd1", "bd2"))
+        .join(m1, "qid")
+        .join(m2, "nid")
+        .select(
+            F.least("i1", "i2").alias("qid"),
+            F.greatest("i1", "i2").alias("nid"),
+            "sim",
+        )
+    )
+    ex_self = (
+        F.broadcast(
+            top.filter(F.col("qid") == F.col("nid")).drop("nid", "bd1", "bd2")
+        )
+        .join(m1, "qid")
+        .join(m2.withColumnRenamed("nid", "qid"), "qid")
+        .filter(F.col("r1") < F.col("r2"))
+        .select(F.col("i1").alias("qid"), F.col("i2").alias("nid"), "sim")
+    )
+    out = ex_cross.unionByName(ex_self)
+    return out.orderBy(F.desc("sim"), F.asc("qid"), F.asc("nid")).limit(k)
+
+
 def cosine_topk_pairs(
     emb: DataFrame,
     k: int = 100,
@@ -129,18 +215,30 @@ def cosine_topk_pairs(
     Output (qid, nid, sim) ordered by (round(sim, digits) DESC, qid, nid) —
     the rounding + unique tiebreak makes the cutoff engine-stable.
 
-    Dispatch: targets up to ``broadcast_threshold_rows`` use the broadcast
-    kernel (one pass over the query side, target matrix shipped once per
-    executor — a broadcast-hash-join build side); above it, the sharded
-    block-matmul path (`cosine_topk_pairs_sharded`), which never collects
-    the target to the driver. Both produce identical output.
+    Identical vectors are collapsed first (embedding_dup_groups) and the
+    matmul kernel runs over representatives; rep pairs expand exactly back
+    to vec pairs (_expand_rep_topk). Dispatch: rep counts up to
+    ``broadcast_threshold_rows`` use the broadcast kernel (one pass over
+    the query side, target matrix shipped once per executor); above it,
+    the sharded block-matmul path, which never collects the target to the
+    driver. All paths produce identical output.
     """
-    if emb.select("vec_id").count() > broadcast_threshold_rows:
-        return cosine_topk_pairs_sharded(emb, k=k, digits=digits)
-    spark = emb.sparkSession
-    ids, m = _normalized_matrix(emb)
-    bc = spark.sparkContext.broadcast((ids, m))
-    src = emb.select("vec_id", "embedding")
+    m = embedding_dup_groups(emb)
+    reps = m.filter(F.col("vec_id") == F.col("gid")).select("vec_id", "embedding")
+    if reps.count() > broadcast_threshold_rows:
+        rep_top = _sharded_rep_topk(reps, k=k, digits=digits)
+    else:
+        rep_top = _broadcast_rep_topk(reps, k, digits, parallelism)
+    return _expand_rep_topk(m, rep_top, k)
+
+
+def _broadcast_rep_topk(
+    src: DataFrame, k: int, digits: int, parallelism: int
+) -> DataFrame:
+    """Global top-k pairs over ``src`` via the broadcast matmul kernel."""
+    spark = src.sparkSession
+    ids, mm = _normalized_matrix(src)
+    bc = spark.sparkContext.broadcast((ids, mm))
     if src.rdd.getNumPartitions() < parallelism:
         src = src.repartition(parallelism)
 
@@ -162,6 +260,9 @@ def cosine_topk_pairs_sharded(
     """Exact global top-k pairs with NO driver-side collect and NO broadcast
     of the embedding matrix — the scale path past broadcast-sized targets.
 
+    Identical vectors collapse to representatives first (see
+    cosine_topk_pairs); the sharded kernel below runs on representatives.
+
     Algorithm (block all-pairs): hash every vector into one of ``n_shards``
     shards; enumerate the S(S+1)/2 unordered shard pairs as blocks; ship each
     shard to its blocks via a broadcast join on a tiny (block, shard, role)
@@ -179,8 +280,18 @@ def cosine_topk_pairs_sharded(
     exact all-pairs communication trade. Choose S so TWO shards fit in one
     executor's memory; at n rows × d dims × 8 bytes, S ≈ 2·n·d·8 / mem.
     """
-    spark = emb.sparkSession
-    src = emb.select(
+    m = embedding_dup_groups(emb)
+    reps = m.filter(F.col("vec_id") == F.col("gid")).select("vec_id", "embedding")
+    rep_top = _sharded_rep_topk(reps, k=k, digits=digits, n_shards=n_shards)
+    return _expand_rep_topk(m, rep_top, k)
+
+
+def _sharded_rep_topk(
+    src: DataFrame, k: int = 100, digits: int = 6, n_shards: int = 8
+) -> DataFrame:
+    """Global top-k pairs over ``src`` via the sharded block-matmul kernel."""
+    spark = src.sparkSession
+    src = src.select(
         "vec_id",
         "embedding",
         F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_shards)).cast("int").alias("__shard"),
@@ -260,17 +371,78 @@ def ann_lsh_topk(
 
     Output (qid, nid, sim, rn): for each qid, its top-k candidates by exact
     cosine among LSH-colliding vectors. Deterministic given the seed.
+
+    Duplicate-collapse (round-6 scale fix): identical vectors have
+    identical signatures, so a g-copy group floods every bucket it touches
+    with g members — the in-bucket matmul payload grew Ω(dup²) and OOMed
+    the Arrow transfer at 100× replication (SCALING.md r6). Bucketing and
+    scoring now run over identical-vector representatives; per-qid top-k
+    candidates expand exactly: every copy collides with its g-1 twins at
+    sim 1.0 (identical signatures collide in every band) and with the
+    members of its rep's colliding groups at the rep-pair sim. Coverage of
+    the expansion is the usual argument — per group only the k+1 smallest
+    ids can appear in anyone's top-k at a tied sim, and a rep neighbor
+    outside a group's top-k by (sim, neighbor-gid) is dominated by k
+    better candidates (gids are group minima).
     """
-    pairs = _lsh_pair_scores(emb, n_tables, n_bits, seed, digits)
-    # undirected scored pairs -> both query directions for per-qid top-k
+    m = embedding_dup_groups(emb)
+    mem = m.select("vec_id", "gid")
+    reps = m.filter(F.col("vec_id") == F.col("gid")).select("vec_id", "embedding")
+    pairs = _lsh_pair_scores(reps, n_tables, n_bits, seed, digits)
+    # undirected scored rep pairs -> both query directions
     both = pairs.unionAll(
-        pairs.select(
-            F.col("nid").alias("qid"), F.col("qid").alias("nid"), "sim"
+        pairs.select(F.col("nid").alias("qid"), F.col("qid").alias("nid"), "sim")
+    )
+    return expand_rep_qtopk(mem, both, k)
+
+
+def expand_rep_qtopk(mem: DataFrame, rep_scores: DataFrame, k: int) -> DataFrame:
+    """Expand DIRECTED gid-level candidate scores (qid, nid, sim) to
+    vec-level per-qid top-k (qid, nid, sim, rn) under (sim DESC, nid ASC).
+
+    Used by every per-query ANN operator after identical-vector collapse:
+    each copy's candidates are its group's twins at sim 1.0 plus the
+    members of its rep's candidate groups at the rep sim. Coverage: only a
+    group's k+1 smallest ids can appear in any top-k at a tied sim, and a
+    rep candidate outside a group's top-k by (sim, gid) is dominated by k
+    candidates each contributing a better (sim, nid) row (gids are group
+    minima, so the candidate group's best nid IS its gid).
+
+    Precondition: zero-norm vectors are excluded upstream (the registry-
+    wide similarity policy, plans/similarity_q.py) — twins of a zero
+    vector do NOT have cosine 1.0."""
+    wrep = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    rep_top = (
+        rep_scores.withColumn("rr", F.row_number().over(wrep))
+        .filter(F.col("rr") <= k)
+        .select(F.col("qid").alias("gq"), F.col("nid").alias("gn"), "sim")
+    )
+    wg = Window.partitionBy("gid").orderBy("vec_id")
+    small = (
+        mem.select("gid", "vec_id", F.row_number().over(wg).alias("srn"))
+        .filter(F.col("srn") <= k + 1)
+    )
+    internal = (
+        mem.select(F.col("vec_id").alias("qid"), "gid")
+        .join(small.select("gid", F.col("vec_id").alias("nid")), "gid")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.lit(1.0).alias("sim"))
+    )
+    cross = (
+        mem.select(F.col("vec_id").alias("qid"), F.col("gid").alias("gq"))
+        .join(rep_top, "gq")
+        .join(
+            small.filter(F.col("srn") <= k).select(
+                F.col("gid").alias("gn"), F.col("vec_id").alias("nid")
+            ),
+            "gn",
         )
+        .select("qid", "nid", "sim")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (
-        both.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        internal.unionByName(cross)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= k)
     )
 
@@ -344,10 +516,47 @@ def embedding_neardup_lsh(
     (sign-LSH collision probability rises with cosine, so high-sim pairs are
     the least likely to be missed).
     """
-    # same bucket-local matmul kernel as ann_lsh_topk (see _lsh_pair_scores)
-    return _lsh_pair_scores(emb, n_tables, n_bits, seed, digits).filter(
+    # same bucket-local matmul kernel as ann_lsh_topk (see _lsh_pair_scores),
+    # with the same identical-vector collapse (round-6): twins share every
+    # bucket, so without it the in-bucket matmul is Ω(dup²). Copies of one
+    # vector collide with certainty and re-rank to sim 1.0, so duplicate
+    # groups expand to threshold-passing cliques directly; rep pairs expand
+    # through the membership map — exactly the row-level output.
+    m = embedding_dup_groups(emb)
+    mem = m.select("vec_id", "gid")
+    reps = m.filter(F.col("vec_id") == F.col("gid")).select("vec_id", "embedding")
+    rep_pairs = _lsh_pair_scores(reps, n_tables, n_bits, seed, digits).filter(
         F.col("sim") >= threshold
     )
+    ia = mem.select(F.col("gid").alias("qid"), F.col("vec_id").alias("ia"))
+    ib = mem.select(F.col("gid").alias("nid"), F.col("vec_id").alias("ib"))
+    ex_cross = (
+        rep_pairs.join(ia, "qid")
+        .join(ib, "nid")
+        .select(
+            F.least("ia", "ib").alias("qid"),
+            F.greatest("ia", "ib").alias("nid"),
+            "sim",
+        )
+    )
+    # zero-norm twins score 0 in the kernel (nrm==0 -> 1 guard), never 1.0:
+    # keep them out of the clique expansion like the row-level path did
+    nonzero = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) > 0
+    dup = (
+        m.filter((F.col("gsz") >= 2) & nonzero & F.lit(threshold <= 1.0))
+        .select("gid", "vec_id")
+    )
+    ex_self = (
+        dup.select("gid", F.col("vec_id").alias("qid"))
+        .join(dup.select("gid", F.col("vec_id").alias("nid")), "gid")
+        .filter(F.col("qid") < F.col("nid"))
+        .select("qid", "nid", F.lit(1.0).alias("sim"))
+    )
+    return ex_cross.unionByName(ex_self)
 
 
 MAXSIM_PARTIAL_SCHEMA = "qid bigint, ql int, dl int, m double"

@@ -153,3 +153,96 @@ def test_fewer_than_k_valid_pairs_no_sentinel_rows(spark):
         assert len(top) == 3  # C(3,2) valid pairs only
         assert (top.qid < top.nid).all()
         assert np.isfinite(top.sim).all()
+
+
+def test_dup_collapse_matches_bruteforce(spark):
+    """Round-6 duplicate collapse: identical vectors are grouped before the
+    matmul kernel and rep pairs expand exactly back to vec pairs. On a
+    dup-heavy set (groups of 1/2/7/30 copies — one group > k+1 so the
+    expansion truncation bites at k=25) both kernels must equal the
+    brute-force top-k under (sim DESC, qid, nid)."""
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(12, 16)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    copies = [30, 7, 2, 1, 2, 1, 1, 2, 7, 1, 2, 1]
+    vecs, ids = [], []
+    nxt = 0
+    for i, c in enumerate(copies):
+        for j in range(c):
+            vecs.append(base[i])
+            ids.append(nxt + j * 5)  # interleave ids across groups
+        nxt += 1
+    seen = set()
+    uniq = []
+    for i in ids:
+        while i in seen:
+            i += 1
+        seen.add(i)
+        uniq.append(i)
+    pdf = pd.DataFrame(
+        {"vec_id": uniq, "embedding": [v.astype(np.float32).tolist() for v in vecs]}
+    )
+    emb = spark.createDataFrame(pdf, "vec_id bigint, embedding array<float>")
+    k = 25
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.round(m @ m.T, 6)
+    n = len(uniq)
+    ref = sorted(
+        (-sims[i, j], min(uniq[i], uniq[j]), max(uniq[i], uniq[j]))
+        for i in range(n)
+        for j in range(i + 1, n)
+    )[:k]
+    want = [(q, t, -s) for s, q, t in ref]
+    for fn, kw in (
+        (cosine_topk_pairs, {}),
+        (cosine_topk_pairs_sharded, {"n_shards": 3}),
+    ):
+        got = [tuple(r) for r in fn(emb, k=k, **kw).collect()]
+        assert got == want, f"{fn.__name__}: {got[:5]} vs {want[:5]}"
+
+
+def test_ann_lsh_dup_collapse_matches_row_level(spark):
+    """The rep-level LSH + expansion must emit EXACTLY the rows the
+    row-level algorithm produced: copies collide with their twins in every
+    band (sim 1.0) and with their rep's colliding groups at the rep sim."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    import pandas as pd
+    from cbde_mapreduce_spark.operators import similarity as S
+
+    rng = np.random.RandomState(23)
+    base = rng.randn(10, 64)  # lsh_buckets hyperplanes are 64-dim
+    copies = [9, 4, 1, 2, 1, 3, 1, 1, 2, 1]
+    vecs, ids, nxt = [], [], 0
+    for i, c in enumerate(copies):
+        for j in range(c):
+            vecs.append(base[i]), ids.append(nxt + j * 3)
+        nxt += 1
+    seen, uniq = set(), []
+    for i in ids:
+        while i in seen:
+            i += 1
+        seen.add(i), uniq.append(i)
+    pdf = pd.DataFrame(
+        {"vec_id": uniq, "embedding": [v.astype(np.float32).tolist() for v in vecs]}
+    )
+    emb = spark.createDataFrame(pdf, "vec_id bigint, embedding array<float>")
+    k = 5
+    got = sorted(tuple(r) for r in ann_lsh_topk(emb, k=k).collect())
+    # row-level reference: score ALL colliding pairs, then per-qid top-k
+    pairs = S._lsh_pair_scores(emb, 8, 5, 42, 6)
+    both = pairs.unionAll(
+        pairs.select(F.col("nid").alias("qid"), F.col("qid").alias("nid"), "sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    want = sorted(
+        tuple(r)
+        for r in both.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .collect()
+    )
+    assert got == want
