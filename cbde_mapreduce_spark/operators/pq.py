@@ -67,6 +67,11 @@ def pq_train_codebooks(
     for j in range(m):
         xs = x[:, j * sub : (j + 1) * sub]
         cent = xs[:k].copy()
+        if cent.shape[0] < k:
+            # fewer sample rows than centroids (tiny/collapsed corpora):
+            # cycle the sample deterministically; duplicate centroids just
+            # leave their clusters empty
+            cent = np.tile(cent, (-(-k // cent.shape[0]), 1))[:k]
         for _ in range(iters):
             d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
@@ -135,10 +140,28 @@ def ivf_pq_topk(
     Output (qid, nid, adc_dist, rn): top-k per query by ADC distance over
     probed clusters. Approximate ⇒ rows-only in the driver; recall vs the
     exact L2 neighbors is asserted in tests/test_pq.py.
+
+    Duplicate-collapse (round-6 scale fix): identical vectors share the
+    cluster assignment, the code, AND the probe list, so a g-copy group
+    multiplies every probed inverted list and the routed-query side by g —
+    the per-cluster ADC scan grew Ω(dup²) at 100× replication (SCALING.md
+    r6). Quantizer, codes, and the cogrouped scan now run over
+    identical-vector representatives; the scan additionally emits each
+    query's SELF row (its ADC distance to its own code — exactly what a
+    row-level scan computes for a twin, codes being shared), and the
+    per-qid top-k expands through the membership map
+    (expand_rep_qtopk_by_dist). Identity on all-distinct data.
     """
     from cbde_mapreduce_spark.operators.iterative import kmeans_fit
+    from cbde_mapreduce_spark.operators.similarity import (
+        embedding_dup_groups,
+        expand_rep_qtopk_by_dist,
+    )
 
     spark = emb.sparkSession
+    grp = embedding_dup_groups(emb)
+    mem = grp.select("vec_id", "gid")
+    emb = grp.filter(F.col("vec_id") == F.col("gid")).select("vec_id", "embedding")
     src = emb.select("vec_id", "embedding")
 
     centroids, assigned = kmeans_fit(emb, k=n_clusters, iters=kmeans_iters)
@@ -209,7 +232,7 @@ def ivf_pq_topk(
                 ]
             )
             dists = tables[np.arange(mm)[None, :], t_codes].sum(axis=1)
-            mask = t_ids != q_ids[qi]  # exclude self
+            mask = t_ids != q_ids[qi]  # cross candidates
             order = np.lexsort((t_ids[mask], dists[mask]))[:k]
             keep_ids, keep_d = t_ids[mask][order], dists[mask][order]
             out.append(
@@ -218,17 +241,28 @@ def ivf_pq_topk(
                      "adc_dist": np.round(keep_d, 6)}
                 )
             )
+            # the query's own code lives in exactly one (assigned, always-
+            # probed) cluster: emit the self row for twin expansion
+            self_ix = np.nonzero(~mask)[0]
+            if self_ix.size:
+                out.append(
+                    pd.DataFrame(
+                        {"qid": q_ids[qi], "nid": q_ids[qi],
+                         "adc_dist": np.round(dists[self_ix[:1]], 6)}
+                    )
+                )
         return pd.concat(out, ignore_index=True)
 
-    local_topk = (
+    scanned = (
         routed.groupBy("cluster")
         .cogroup(codes.groupBy("cluster"))
         .applyInPandas(adc_cluster, "qid bigint, nid bigint, adc_dist double")
     )
-    w = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("nid"))
-    return local_topk.withColumn(
-        "rn", F.row_number().over(w).cast("bigint")
-    ).filter(F.col("rn") <= k)
+    rep_cross = scanned.filter(F.col("qid") != F.col("nid"))
+    rep_self = scanned.filter(F.col("qid") == F.col("nid")).select(
+        F.col("qid").alias("gid"), "adc_dist"
+    )
+    return expand_rep_qtopk_by_dist(mem, rep_cross, rep_self, k)
 
 
 def pq_adc_topk(
@@ -245,8 +279,22 @@ def pq_adc_topk(
     codes by ADC (query stays full-precision; neighbors are 8-byte codes).
     Deterministic given the seed. Approximate ⇒ rows-only in the driver;
     recall vs exact neighbors is asserted in tests/test_pq.py.
+
+    Identical-vector collapse (round-6): codes, the broadcast code table,
+    and the query scan all run over representatives; each query emits its
+    self-code ADC row and the per-qid top-k expands to twins through the
+    membership map (expand_rep_qtopk_by_dist). Also shrinks the documented
+    driver-side code materialization to the DISTINCT-vector count.
     """
+    from cbde_mapreduce_spark.operators.similarity import (
+        embedding_dup_groups,
+        expand_rep_qtopk_by_dist,
+    )
+
     spark = emb.sparkSession
+    grp = embedding_dup_groups(emb)
+    mem = grp.select("vec_id", "gid")
+    emb = grp.filter(F.col("vec_id") == F.col("gid")).select("vec_id", "embedding")
     books = pq_train_codebooks(emb, m=m, k=n_centroids, n_sample=n_sample, seed=seed)
     if books is None:  # empty corpus
         return spark.createDataFrame(
@@ -274,23 +322,28 @@ def pq_adc_topk(
                     ]
                 )  # (m, k)
                 dists = tables[np.arange(bks.shape[0])[None, :], t_codes].sum(axis=1)
-                dists[t_ids == q_ids[qi]] = np.inf  # exclude self
-                order = np.lexsort((t_ids, dists))[:k]
+                self_mask = t_ids == q_ids[qi]
+                self_d = dists[self_mask][:1]  # own code: twin-expansion row
+                nz_ids, nz_d = t_ids[~self_mask], dists[~self_mask]
+                order = np.lexsort((nz_ids, nz_d))[:k]
                 yield pd.DataFrame(
                     {
                         "qid": q_ids[qi],
-                        "nid": t_ids[order],
-                        "adc_dist": np.round(dists[order], 6),
+                        "nid": np.concatenate([nz_ids[order], [q_ids[qi]] * len(self_d)]),
+                        "adc_dist": np.round(
+                            np.concatenate([nz_d[order], self_d]), 6
+                        ),
                     }
                 )
 
-    pairs = emb.select("vec_id", "embedding").mapInPandas(
+    scanned = emb.select("vec_id", "embedding").mapInPandas(
         adc, "qid bigint, nid bigint, adc_dist double"
     )
-    w = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("nid"))
-    return pairs.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(
-        F.col("rn") <= k
+    rep_cross = scanned.filter(F.col("qid") != F.col("nid"))
+    rep_self = scanned.filter(F.col("qid") == F.col("nid")).select(
+        F.col("qid").alias("gid"), "adc_dist"
     )
+    return expand_rep_qtopk_by_dist(mem, rep_cross, rep_self, k)
 
 
 def ivf_pq_rerank_topk(
@@ -349,11 +402,19 @@ def ivf_rpq_topk(
     Same distribution contract as ivf_pq_topk: codes partitioned by
     cluster, queries routed to n_probe clusters, cogrouped per-cluster ADC,
     no driver collect, no code broadcast — only the k×d centroid matrix and
-    the m×k×(d/m) codebooks ride broadcasts.
+    the m×k×(d/m) codebooks ride broadcasts. Identical-vector collapse +
+    self-row twin expansion as in ivf_pq_topk (round-6 scale fix).
     """
     from cbde_mapreduce_spark.operators.iterative import kmeans_fit
+    from cbde_mapreduce_spark.operators.similarity import (
+        embedding_dup_groups,
+        expand_rep_qtopk_by_dist,
+    )
 
     spark = emb.sparkSession
+    grp = embedding_dup_groups(emb)
+    mem = grp.select("vec_id", "gid")
+    emb = grp.filter(F.col("vec_id") == F.col("gid")).select("vec_id", "embedding")
     src = emb.select("vec_id", "embedding")
 
     centroids, assigned = kmeans_fit(emb, k=n_clusters, iters=kmeans_iters)
@@ -452,14 +513,23 @@ def ivf_rpq_topk(
                      "adc_dist": np.round(dists[mask][order], 6)}
                 )
             )
+            self_ix = np.nonzero(~mask)[0]  # own code: twin-expansion row
+            if self_ix.size:
+                out.append(
+                    pd.DataFrame(
+                        {"qid": q_ids[qi], "nid": q_ids[qi],
+                         "adc_dist": np.round(dists[self_ix[:1]], 6)}
+                    )
+                )
         return pd.concat(out, ignore_index=True)
 
-    local_topk = (
+    scanned = (
         routed.groupBy("cluster")
         .cogroup(codes.groupBy("cluster"))
         .applyInPandas(adc_cluster, "qid bigint, nid bigint, adc_dist double")
     )
-    w = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("nid"))
-    return local_topk.withColumn(
-        "rn", F.row_number().over(w).cast("bigint")
-    ).filter(F.col("rn") <= k)
+    rep_cross = scanned.filter(F.col("qid") != F.col("nid"))
+    rep_self = scanned.filter(F.col("qid") == F.col("nid")).select(
+        F.col("qid").alias("gid"), "adc_dist"
+    )
+    return expand_rep_qtopk_by_dist(mem, rep_cross, rep_self, k)

@@ -447,6 +447,59 @@ def expand_rep_qtopk(mem: DataFrame, rep_scores: DataFrame, k: int) -> DataFrame
     )
 
 
+def expand_rep_qtopk_by_dist(
+    mem: DataFrame,
+    rep_cross: DataFrame,
+    rep_self: DataFrame,
+    k: int,
+    dist_col: str = "adc_dist",
+) -> DataFrame:
+    """Distance-ordered twin of ``expand_rep_qtopk`` for the PQ family.
+
+    ``rep_cross``: directed gid-level candidates (qid, nid, dist), qid≠nid.
+    ``rep_self``: (gid, dist) — each representative's distance to its OWN
+    code (what a row-level scan computes for a duplicate twin, since twins
+    share the code). Expansion is per-qid top-k under (dist ASC, nid ASC):
+    internal candidates score the group's self-distance, cross candidates
+    the rep distance; the k+1-smallest-ids / rep-domination coverage
+    argument is the ascending mirror of expand_rep_qtopk's."""
+    wrep = Window.partitionBy("qid").orderBy(F.asc(dist_col), F.asc("nid"))
+    rep_top = (
+        rep_cross.withColumn("rr", F.row_number().over(wrep))
+        .filter(F.col("rr") <= k)
+        .select(F.col("qid").alias("gq"), F.col("nid").alias("gn"), dist_col)
+    )
+    wg = Window.partitionBy("gid").orderBy("vec_id")
+    small = (
+        mem.select("gid", "vec_id", F.row_number().over(wg).alias("srn"))
+        .filter(F.col("srn") <= k + 1)
+    )
+    internal = (
+        mem.select(F.col("vec_id").alias("qid"), "gid")
+        .join(small.select("gid", F.col("vec_id").alias("nid")), "gid")
+        .filter(F.col("qid") != F.col("nid"))
+        .join(rep_self.select("gid", dist_col), "gid")
+        .select("qid", "nid", dist_col)
+    )
+    cross = (
+        mem.select(F.col("vec_id").alias("qid"), F.col("gid").alias("gq"))
+        .join(rep_top, "gq")
+        .join(
+            small.filter(F.col("srn") <= k).select(
+                F.col("gid").alias("gn"), F.col("vec_id").alias("nid")
+            ),
+            "gn",
+        )
+        .select("qid", "nid", dist_col)
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc(dist_col), F.asc("nid"))
+    return (
+        internal.unionByName(cross)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+    )
+
+
 def _lsh_pair_scores(
     emb: DataFrame, n_tables: int, n_bits: int, seed: int, digits: int
 ) -> DataFrame:
@@ -581,8 +634,28 @@ def maxsim_label_scores_sharded(
     the standard exact all-pairs communication trade; pick S so two shards
     fit one executor. The declarative twin (plans/similarity_q.py::
     maxsim_label_topk) is the value oracle.
+
+    Duplicate-collapse (round-6): identical (vector, label) rows collapse
+    to a representative before sharding — the per-(qid, dlabel) max is
+    duplication-invariant and the final avg weights each representative by
+    its group size (Σ m·gsz / Σ gsz ≡ the row-level avg). Identity on
+    all-distinct data.
     """
     spark = emb.sparkSession
+    wga = Window.partitionBy("embedding", "label")
+    grp = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.min("vec_id").over(wga).alias("gid"),
+        F.count(F.lit(1)).over(wga).alias("gsz"),
+    )
+    gsz_df = grp.filter(F.col("vec_id") == F.col("gid")).select(
+        F.col("vec_id").alias("qid"), "gsz"
+    )
+    emb = grp.filter(F.col("vec_id") == F.col("gid")).select(
+        "vec_id", "label", "embedding"
+    )
     src = emb.select(
         "vec_id",
         "label",
@@ -632,6 +705,10 @@ def maxsim_label_scores_sharded(
 
     partial = tagged.groupBy("block_id").applyInPandas(block_max, MAXSIM_PARTIAL_SCHEMA)
     mx = partial.groupBy("qid", "ql", "dl").agg(F.max("m").alias("m"))
-    return mx.groupBy(
+    return mx.join(gsz_df, "qid").groupBy(
         F.col("ql").alias("qlabel"), F.col("dl").alias("dlabel")
-    ).agg(F.round(F.avg("m"), digits).alias("maxsim"))
+    ).agg(
+        F.round(F.sum(F.col("m") * F.col("gsz")) / F.sum("gsz"), digits).alias(
+            "maxsim"
+        )
+    )

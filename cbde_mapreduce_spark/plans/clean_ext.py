@@ -279,15 +279,26 @@ def sorted_neighborhood_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("doc_id", 2).over(w).alias("nd2"),
         F.lead("text", 2).over(w).alias("nt2"),
     )
+    # equal-text shortcut (round-6): on a dup-heavy corpus nearly every
+    # sorted neighbor is an identical twin — levenshtein(x, x) is 0 by
+    # definition but the JVM still runs the O(L²) DP; the equality guard
+    # makes the dominant case O(L) and is value-identical
+    def _dist(t: str, nt: str):
+        return (
+            F.when(F.col(t) == F.col(nt), F.lit(0))
+            .otherwise(F.levenshtein(t, nt))
+            .cast("bigint")
+        )
+
     p1 = s.filter(F.col("nd1").isNotNull()).select(
         F.col("doc_id").alias("doc_a"),
         F.col("nd1").alias("doc_b"),
-        F.levenshtein("text", "nt1").cast("bigint").alias("dist"),
+        _dist("text", "nt1").alias("dist"),
     )
     p2 = s.filter(F.col("nd2").isNotNull()).select(
         F.col("doc_id").alias("doc_a"),
         F.col("nd2").alias("doc_b"),
-        F.levenshtein("text", "nt2").cast("bigint").alias("dist"),
+        _dist("text", "nt2").alias("dist"),
     )
     return p1.unionByName(p2).filter(F.col("dist") <= SNM_MAX_DIST)
 

@@ -357,10 +357,19 @@ def ppr_trade_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0)
     )
     for _ in range(N_ITERS):
-        contrib = (
-            e.join(ranks.withColumnRenamed("v", "a"), "a")
+        # the reached rank table is bounded by the SOURCE's neighborhood
+        # (tiny), so it BROADCASTS into both the degree lookup and the edge
+        # scan — one pass over deg + one over e per round, no re-shuffle of
+        # the (data-sized, checkpointed) edge set; without the hint the
+        # optimizer shuffled all |E| edges every iteration, which at 100×
+        # replication was ~2.4B edge rows per measurement (SCALING.md r6)
+        rd = (
+            F.broadcast(ranks.withColumnRenamed("v", "a"))
             .join(deg, "a")
-            .select(F.col("b").alias("v"), (F.col("r") / F.col("d")).alias("c"))
+            .select("a", (F.col("r") / F.col("d")).alias("c0"))
+        )
+        contrib = e.join(F.broadcast(rd), "a").select(
+            F.col("b").alias("v"), F.col("c0").alias("c")
         )
         ranks = contrib.groupBy("v").agg(
             (teleport + F.lit(DAMPING) * F.sum("c")).alias("r")

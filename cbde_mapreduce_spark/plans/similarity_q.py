@@ -266,17 +266,37 @@ def maxsim_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rounding happens AFTER the avg so cross-engine float noise in individual
     cosines (≈1e-15) stays far below the 1e-6 cutoff.
+
+    Duplicate-collapse (round-6 scale fix): identical (vector, label) rows
+    collapse to one representative before the pair stage — the doc-side
+    max is duplication-invariant and the query-side avg becomes the
+    group-size-weighted mean (Σ m·gsz / Σ gsz = the row-level avg by
+    definition). Identity on all-distinct data; the Ω(dup²) pair join at
+    100× replication collapses to the distinct-vector cross (SCALING.md
+    round 6).
     """
+    from pyspark.sql import Window
+
     emb = _nonzero_embeddings(spark, sf_dir)
-    n = emb.select(
+    wga = Window.partitionBy("embedding", "label")
+    grp = emb.select(
         "vec_id",
         "label",
+        "embedding",
+        F.min("vec_id").over(wga).alias("gid"),
+        F.count(F.lit(1)).over(wga).alias("gsz"),
+    )
+    n = grp.filter(F.col("vec_id") == F.col("gid")).select(
+        "vec_id",
+        "label",
+        "gsz",
         F.col("embedding").cast("array<double>").alias("e"),
         l2_norm(F.col("embedding")).alias("nrm"),
     )
     a = n.select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("ql"),
+        "gsz",
         F.col("e").alias("ea"),
         F.col("nrm").alias("na"),
     )
@@ -287,12 +307,17 @@ def maxsim_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid",
         "ql",
         "dl",
+        "gsz",
         (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("s"),
     )
-    mx = sim.groupBy("qid", "ql", "dl").agg(F.max("s").alias("m"))
+    mx = sim.groupBy("qid", "ql", "dl", "gsz").agg(F.max("s").alias("m"))
     return mx.groupBy(
         F.col("ql").alias("qlabel"), F.col("dl").alias("dlabel")
-    ).agg(F.round(F.avg("m"), 6).alias("maxsim"))
+    ).agg(
+        F.round(
+            F.sum(F.col("m") * F.col("gsz")) / F.sum("gsz"), 6
+        ).alias("maxsim")
+    )
 
 
 @query("maxsim_label_sharded", oracle=_MAXSIM_ORACLE, category="similarity")

@@ -129,3 +129,56 @@ def test_residual_ivf_pq_noninferior_recall(spark, sf_oracle):
     r_resid = recall(ivf_rpq_topk(emb, k=10, n_clusters=8, n_probe=3))
     assert r_resid >= r_plain - 0.02, f"residual {r_resid:.3f} << plain {r_plain:.3f}"
     assert r_resid >= 0.25
+
+
+def test_pq_dup_collapse_twins_rank_first(spark):
+    """Round-6 identical-vector collapse in the PQ family: on a dup-heavy
+    set every query's nearest candidates are its twins at the self-code
+    ADC distance (codes are shared), expanded from the rep-level scan."""
+    import numpy as np
+    import pandas as pd
+
+    from cbde_mapreduce_spark.operators.pq import ivf_pq_topk, pq_adc_topk
+
+    rng = np.random.RandomState(31)
+    base = rng.randn(12, 64).astype(np.float32)
+    copies = [6, 3, 1, 2, 1, 4, 1, 1, 2, 1, 3, 1]
+    vecs, ids, nxt = [], [], 0
+    for i, c in enumerate(copies):
+        for j in range(c):
+            vecs.append(base[i]), ids.append(nxt + j * 7)
+        nxt += 1
+    seen, uniq = set(), []
+    for i in ids:
+        while i in seen:
+            i += 1
+        seen.add(i), uniq.append(i)
+    pdf = pd.DataFrame({"vec_id": uniq, "embedding": [v.tolist() for v in vecs]})
+    emb = spark.createDataFrame(pdf, "vec_id bigint, embedding array<float>")
+    k = 4
+    gid_of = {}
+    nxt = 0
+    pos = 0
+    groups = {}
+    for i, c in enumerate(copies):
+        members = uniq[pos : pos + c]
+        for v in members:
+            gid_of[v] = i
+        groups[i] = sorted(members)
+        pos += c
+    for fn in (ivf_pq_topk, pq_adc_topk):
+        out = fn(emb, k=k).toPandas()
+        per = out.groupby("qid")
+        for qid, rows in per:
+            rows = rows.sort_values("rn")
+            g = gid_of[qid]
+            twins = [v for v in groups[g] if v != qid]
+            n_twins = min(len(twins), k)
+            # twins share the query's code -> self-code distance, which is
+            # <= any cross-code distance ties included; they must lead the
+            # list in nid order
+            lead = list(rows["nid"].head(n_twins))
+            assert lead == sorted(twins)[:n_twins], (
+                f"{fn.__name__} qid={qid}: {lead} vs {sorted(twins)[:n_twins]}"
+            )
+            assert (rows["rn"].to_numpy() == np.arange(1, len(rows) + 1)).all()

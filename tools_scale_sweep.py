@@ -40,12 +40,21 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 #: documented deliberately-quadratic exact twins / per-row-Python demos —
-#: their cost at 100× is measured and called out in VERDICT r4; skipping
-#: them keeps the sweep's signal to UNDOCUMENTED blowups.
+#: their cost at 100× is measured and called out in VERDICT r4 and
+#: SCALING.md round 6; skipping them keeps the sweep's signal to
+#: UNDOCUMENTED blowups.
 KNOWN_SLOW = {
+    # exact O(n²) oracle twins of the sharded/LSH scale paths
     "cosine_topk_hof",
     "embedding_neardup_pairs",
+    # per-row Python cogroup API surface demo (measured ~44 µs/row)
     "cogroup_order_reconciliation",
+    # exact leave-one-out eval passes: the docstrings scope them to frozen
+    # bounded eval sets; their corpus-scale candidate generation is the ANN
+    # family, which IS duplicate-collapsed (SCALING.md round 6)
+    "knn_label_accuracy",
+    "knn_confusion_matrix",
+    "hard_negative_mining",
 }
 
 
