@@ -705,7 +705,9 @@ def maxsim_label_scores_sharded(
 
     partial = tagged.groupBy("block_id").applyInPandas(block_max, MAXSIM_PARTIAL_SCHEMA)
     mx = partial.groupBy("qid", "ql", "dl").agg(F.max("m").alias("m"))
-    return mx.join(gsz_df, "qid").groupBy(
+    # gsz has one row per DISTINCT vector — data-sized, so it must join
+    # shuffled, never broadcast (the no-vector-broadcast plan gate)
+    return mx.join(gsz_df.hint("shuffle_hash"), "qid").groupBy(
         F.col("ql").alias("qlabel"), F.col("dl").alias("dlabel")
     ).agg(
         F.round(F.sum(F.col("m") * F.col("gsz")) / F.sum("gsz"), digits).alias(
