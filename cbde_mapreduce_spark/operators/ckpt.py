@@ -1,0 +1,58 @@
+"""Local-checkpoint lifecycle hygiene for iterative operators (SURVEY.md §2
+iterative family: connected components, BFS/PPR/SSSP, incremental BPE).
+
+``DataFrame.localCheckpoint()`` truncates lineage by pinning the round's
+state as storage blocks, but Spark never reclaims those blocks until the
+JVM-side Dataset is garbage collected — in a long session running many
+iterative queries the SUPERSEDED per-round checkpoints accumulate and can
+exhaust the shared heap (observed: a 25-heavy-query single session OOMing
+at position ~22 while every query passes in isolation). The fix is to
+release each round's checkpoint as soon as the next round's checkpoint has
+materialized and nothing lazy references the old one.
+
+``release_local_checkpoint`` drops the blocks behind a checkpointed
+DataFrame explicitly. Two safety rules, enforced by the CALLER (the loop
+author, who knows the dependency structure):
+
+* only release a checkpoint whose every downstream consumer has already
+  materialized — a local checkpoint is unrecoverable by design, so a later
+  read of a released one fails hard (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
+  rather than silently recomputing;
+* never release the checkpoint backing the operator's RETURNED plan — the
+  caller evaluates it after the function exits. One live round of state per
+  query is the intended steady-state footprint.
+
+Mechanism: a locally-checkpointed DataFrame's analyzed plan is a
+``LogicalRDD`` over the persisted RDD, so the RDD id is read off the plan
+and unpersisted through the SparkContext's persistent-RDD registry (both
+stable public-ish surfaces; verified on Spark 4.1). Release is advisory —
+any failure to resolve the id is swallowed, because cleanup must never
+fail a correct query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def release_local_checkpoint(df: DataFrame | None) -> None:
+    """Free the storage blocks behind a superseded ``localCheckpoint`` df.
+
+    No-op on ``None`` and on DataFrames that are not checkpoint-backed
+    (callers can pass the loop-carried variable unconditionally; the first
+    iteration's seed is usually a plain plan).
+    """
+    if df is None:
+        return
+    try:
+        analyzed = df._jdf.queryExecution().analyzed()
+        rdd_id = analyzed.rdd().id()  # LogicalRDD only; raises otherwise
+    except Exception:
+        return  # not checkpoint-backed (or reflection surface moved)
+    try:
+        jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+        jrdd = jmap.get(rdd_id)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+    except Exception:
+        pass  # cleanup is best-effort; never fail the query over it

@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cbde_mapreduce_spark.operators.ckpt import release_local_checkpoint
+
 ASSIGN_SCHEMA = "vec_id bigint, cluster int, dist double"
 
 
@@ -210,6 +212,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
     labels = sym.select(F.col("a").alias("v")).distinct().withColumn(
         "label", F.col("v")
     )
+    prev_ckpt = None
     while True:
         # label(v) <- min(label(v), min over neighbors u of label(u))
         neighbor_min = (
@@ -228,9 +231,15 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
             )
         )
         updated = updated.localCheckpoint()  # truncate the growing lineage
+        # the previous round's checkpoint has no live reader once this
+        # round's has materialized (eager) — release its blocks so a long
+        # session holds one round of state, not every round's
+        release_local_checkpoint(prev_ckpt)
+        prev_ckpt = updated
         n_changed = updated.filter(F.col("changed")).count()
         labels = updated.select("v", "label")
         if n_changed == 0:
+            # the FINAL checkpoint backs the returned plan: keep it live
             return labels.select("v", F.col("label").alias("component"))
 
 
@@ -292,8 +301,13 @@ def connected_components_star(
         .distinct()
     )
     prev_fp = None
+    prev_ckpt = None
     for _ in range(max_rounds):
         e = small_star(large_star(e)).localCheckpoint()
+        # round k-1's checkpoint is unreferenced once round k materializes
+        # (the final round's backs the returned star forest: kept live)
+        release_local_checkpoint(prev_ckpt)
+        prev_ckpt = e
         fp = e.agg(
             F.count(F.lit(1)).alias("n"),
             # decimal(38,0) sum: exact, no ANSI long-overflow on hash sums

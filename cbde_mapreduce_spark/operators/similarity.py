@@ -44,6 +44,36 @@ PAIR_SCHEMA = "qid bigint, nid bigint, sim double"
 _MAX_BLOCK_CELLS = 16_000_000
 
 
+def nonzero_embedding(col: str = "embedding"):
+    """Predicate: the array has a nonzero element (i.e. a defined cosine).
+
+    Zero-norm vectors have NO cosine to anything — the matmul kernels drop
+    their NaN rows — so the duplicate-group expansion paths must not
+    synthesize sim-1.0 twin pairs for them either. Shared by the operator
+    entry points so callers that bypass the registry's upstream
+    ``_nonzero_embeddings`` policy (plans/similarity_q.py) get the same
+    semantics."""
+    return (
+        F.aggregate(
+            F.transform(F.col(col), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        > 0
+    )
+
+
+def _merge_local_topk(parts: list[pd.DataFrame], k: int) -> pd.DataFrame:
+    """Re-cut per-slice exact top-k frames to one exact top-k under the
+    global total order (sim DESC, qid, nid) — lossless because any globally
+    qualifying pair is in its slice's top-k and the order is total."""
+    cat = pd.concat(parts, ignore_index=True)
+    order = np.lexsort(
+        (cat["nid"].to_numpy(), cat["qid"].to_numpy(), -cat["sim"].to_numpy())
+    )[:k]
+    return cat.iloc[order].reset_index(drop=True)
+
+
 def _normalized_matrix(emb: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     """Collect (ids, row-normalized float64 matrix) for the broadcast side."""
     pdf = emb.select("vec_id", "embedding").toPandas()
@@ -73,12 +103,24 @@ def _block_pairs_topk(
     dropped explicitly so a block with fewer than k valid pairs never
     leaks sentinel rows (round-1 advice fix).
 
-    Peak memory is bounded: the query side is sliced so one sims block
-    never exceeds ``_MAX_BLOCK_CELLS`` cells; each slice's exact local
-    top-k is merged and re-cut under the same total order, which is
+    Peak memory is bounded on BOTH axes: a target side wider than the cell
+    budget is tiled first (so the invariant holds even when one query row
+    times n_targets would exceed it), then the query side is sliced so one
+    sims block never exceeds ``_MAX_BLOCK_CELLS`` cells. Each slice's exact
+    local top-k is merged and re-cut under the same total order, which is
     lossless (any globally qualifying pair is in its slice's top-k, and
-    the (sim, qid, nid) order is total since (qid, nid) is unique).
+    the (sim, qid, nid) order is total since (qid, nid) is unique; the
+    ordered mask applies per CELL by ids, so it is tiling-invariant).
     """
+    if t_ids.size > _MAX_BLOCK_CELLS:
+        parts = [
+            _block_pairs_topk(
+                q_ids, qm, t_ids[j : j + _MAX_BLOCK_CELLS],
+                tm[j : j + _MAX_BLOCK_CELLS], k, digits, mask_ordered,
+            )
+            for j in range(0, t_ids.size, _MAX_BLOCK_CELLS)
+        ]
+        return _merge_local_topk(parts, k)
     step = max(1, _MAX_BLOCK_CELLS // max(1, t_ids.size))
     if q_ids.size > step:
         parts = [
@@ -87,11 +129,7 @@ def _block_pairs_topk(
             )
             for i in range(0, q_ids.size, step)
         ]
-        cat = pd.concat(parts, ignore_index=True)
-        order = np.lexsort(
-            (cat["nid"].to_numpy(), cat["qid"].to_numpy(), -cat["sim"].to_numpy())
-        )[:k]
-        return cat.iloc[order].reset_index(drop=True)
+        return _merge_local_topk(parts, k)
     sims = np.round(qm @ tm.T, digits)
     if mask_ordered:
         sims[q_ids[:, None] >= t_ids[None, :]] = -np.inf
@@ -120,20 +158,27 @@ def _norm_rows(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
 def embedding_dup_groups(emb: DataFrame) -> DataFrame:
     """(vec_id, embedding, gid, gsz): identical-embedding duplicate groups.
 
-    gid = group min vec_id (the representative). One shuffle keyed on the
-    embedding value itself. Identical vectors have identical cosine to
-    everything, so every pairwise kernel can run over representatives and
-    expand — O(distinct²) instead of O((dup·distinct)²) matmul work on a
-    dup-heavy corpus (the 100× replicated study: 200k vectors, 2000
-    distinct, brute force 160 s → sub-second collapsed; SCALING.md r6).
+    gid = group min vec_id (the representative). Identical vectors have
+    identical cosine to everything, so every pairwise kernel can run over
+    representatives and expand — O(distinct²) instead of
+    O((dup·distinct)²) matmul work on a dup-heavy corpus (the 100×
+    replicated study: 200k vectors, 2000 distinct, brute force 160 s →
+    sub-second collapsed; SCALING.md r6).
+
+    Shape (round-7 fix): a map-side-combinable groupBy on the embedding
+    value joined back by the same key — NOT a window partitioned by
+    embedding, which lands an extreme duplicate group's every copy PLUS
+    full vector payloads in one window task. The group table carries one
+    row per distinct vector; the sort-merge join streams the member side,
+    so the largest group is never materialized in a single task's memory.
+    Grouping compares the float arrays bitwise-after-normalization (Spark
+    canonicalizes -0.0 and NaN identically in groupBy and join keys), the
+    same equality the window version used.
     """
-    wga = Window.partitionBy("embedding")
-    return emb.select(
-        "vec_id",
-        "embedding",
-        F.min("vec_id").over(wga).alias("gid"),
-        F.count(F.lit(1)).over(wga).alias("gsz"),
+    g = emb.groupBy("embedding").agg(
+        F.min("vec_id").alias("gid"), F.count(F.lit(1)).alias("gsz")
     )
+    return emb.join(g, "embedding").select("vec_id", "embedding", "gid", "gsz")
 
 
 def _expand_rep_topk(
@@ -147,15 +192,24 @@ def _expand_rep_topk(
     pair outside the top-k by (sim, best-expanded-pair) is dominated by k
     rep pairs each contributing a better vec pair. Cross rep pair (g1 < g2)
     best expansion is (g1, g2) itself (gids are group minima); a duplicate
-    group's best internal pair is its two smallest ids at sim 1.0.
+    group's best internal pair is its two smallest ids at sim 1.0 —
+    EXCEPT zero-norm groups, whose cosine is undefined: the matmul kernels
+    drop their NaN rows, so the self-pair branch drops them too (round-7
+    advice fix; previously duplicated zero vectors synthesized spurious
+    top-ranked sim-1.0 pairs when the operator was called directly, i.e.
+    without the registry's upstream ``_nonzero_embeddings`` policy).
     """
     wg = Window.partitionBy("gid").orderBy("vec_id")
     small = (
-        m.select("gid", "vec_id", F.row_number().over(wg).alias("rn"))
+        m.select(
+            "gid", "vec_id",
+            F.row_number().over(wg).alias("rn"),
+            nonzero_embedding().alias("nz"),
+        )
         .filter(F.col("rn") <= k + 1)
     )
     selfp = (
-        small.filter(F.col("rn") <= 2)
+        small.filter((F.col("rn") <= 2) & F.col("nz"))
         .groupBy("gid")
         .agg(
             F.min(F.when(F.col("rn") == 1, F.col("vec_id"))).alias("bd1"),
@@ -568,6 +622,14 @@ def embedding_neardup_lsh(
     missed — recall vs the exact twin is asserted in tests/test_similarity.py
     (sign-LSH collision probability rises with cosine, so high-sim pairs are
     the least likely to be missed).
+
+    Precondition: ``threshold`` ∈ (0, 1]. A near-dup threshold at or below
+    zero is meaningless (every colliding pair "passes"), and on such inputs
+    this path intentionally diverges from the row-level twin on one corner:
+    duplicated ZERO-NORM vectors are never emitted (their cosine is
+    undefined; the row-level kernel scored them 0.0 under its norm guard,
+    which only a threshold <= 0 could admit). Values above 1.0 are honored
+    literally: no pair passes, including exact twins.
     """
     # same bucket-local matmul kernel as ann_lsh_topk (see _lsh_pair_scores),
     # with the same identical-vector collapse (round-6): twins share every
@@ -594,13 +656,10 @@ def embedding_neardup_lsh(
     )
     # zero-norm twins score 0 in the kernel (nrm==0 -> 1 guard), never 1.0:
     # keep them out of the clique expansion like the row-level path did
-    nonzero = F.aggregate(
-        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    ) > 0
     dup = (
-        m.filter((F.col("gsz") >= 2) & nonzero & F.lit(threshold <= 1.0))
+        m.filter(
+            (F.col("gsz") >= 2) & nonzero_embedding() & F.lit(threshold <= 1.0)
+        )
         .select("gid", "vec_id")
     )
     ex_self = (
@@ -642,13 +701,14 @@ def maxsim_label_scores_sharded(
     all-distinct data.
     """
     spark = emb.sparkSession
-    wga = Window.partitionBy("embedding", "label")
-    grp = emb.select(
-        "vec_id",
-        "label",
-        "embedding",
-        F.min("vec_id").over(wga).alias("gid"),
-        F.count(F.lit(1)).over(wga).alias("gsz"),
+    # groupBy + join-back, not a window partitioned by (embedding, label):
+    # same rationale as embedding_dup_groups — an extreme duplicate group
+    # must stream through the join, never materialize in one window task
+    gtab = emb.groupBy("embedding", "label").agg(
+        F.min("vec_id").alias("gid"), F.count(F.lit(1)).alias("gsz")
+    )
+    grp = emb.join(gtab, ["embedding", "label"]).select(
+        "vec_id", "label", "embedding", "gid", "gsz"
     )
     gsz_df = grp.filter(F.col("vec_id") == F.col("gid")).select(
         F.col("vec_id").alias("qid"), "gsz"

@@ -24,12 +24,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cbde_mapreduce_spark.operators.ckpt import release_local_checkpoint
 from cbde_mapreduce_spark.plans.registry import query
 from cbde_mapreduce_spark.sources import load_table
 
 DAMPING = 0.85
 N_ITERS = 3
 TOP_N = 20
+
+#: Broadcast gate for ITERATIVE loops whose working set (frontier / reached
+#: rank table) is data-sized in the worst case: broadcast only while the
+#: measured row count stays under this bound (~16 MB of (long, double) rows,
+#: the same order as Spark's default autoBroadcastJoinThreshold), else fall
+#: back to a shuffle join. The count is read off the round's checkpoint
+#: blocks, so the gate costs one trivial job per round.
+_BCAST_MAX_ROWS = 1_000_000
 
 _PR_ORACLE = f"""
     WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
@@ -204,11 +213,16 @@ def bfs_hops_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs, so the iteration gets a full value-hash check.
 
     100 TB shape: frontier and visited are vertex-sized. The frontier is
-    broadcast while it stays dimension-sized (early hops); a frontier that
-    outgrows the broadcast threshold falls back to a shuffle join on the
-    edge's source endpoint — drop the explicit hint and AQE picks per round.
-    Unbounded-diameter variants swap the fixed rounds for an empty-frontier
-    convergence check (one cheap count per round).
+    broadcast only while it is MEASURED small (<= _BCAST_MAX_ROWS, checked
+    per round from the checkpointed visited set — the count reads storage
+    blocks, not lineage); past the gate it falls back to a shuffle join on
+    the edge's source endpoint, because on a power-law graph the hop-2/3
+    frontier can approach O(V), which must never be broadcast. Each round's
+    frontier is READ OFF the round's visited checkpoint (hop == k), so its
+    lineage is one block scan — not a recursive chain of every prior
+    round's join — and the superseded visited checkpoint is released as
+    soon as the next one materializes (operators/ckpt.py), bounding a long
+    session to one round of state per query.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -232,15 +246,24 @@ def bfs_hops_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_BFS_SOURCE).cast("long").alias("v"), F.lit(0).alias("hop")
     )
     frontier = visited.select("v")
+    n_frontier = 1
+    prev_ckpt = None
     for k in range(1, _BFS_ROUNDS + 1):
+        fr = F.broadcast(frontier) if n_frontier <= _BCAST_MAX_ROWS else frontier
         nxt = (
-            e.join(F.broadcast(frontier), e.a == frontier.v)
+            e.join(fr, e.a == fr.v)
             .select(F.col("b").alias("v"))
             .distinct()
         )
         new = nxt.join(visited, "v", "left_anti").withColumn("hop", F.lit(k))
         visited = visited.unionByName(new).localCheckpoint()
-        frontier = new.select("v")
+        release_local_checkpoint(prev_ckpt)  # round k-1's state: unreferenced
+        prev_ckpt = visited
+        # frontier re-read from THIS round's checkpoint: one block scan, no
+        # recursive per-round join chain; its count (cheap) drives the gate
+        frontier = visited.filter(F.col("hop") == k).select("v")
+        n_frontier = frontier.count()
+    release_local_checkpoint(e)  # the returned plan reads only the final visited
     return visited.groupBy("hop").agg(
         F.count(F.lit(1)).alias("n_vertices"),
         F.min("v").alias("min_v"),
@@ -356,24 +379,41 @@ def ppr_trade_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     teleport = F.when(F.col("v") == _PPR_SOURCE, F.lit(1.0 - DAMPING)).otherwise(
         F.lit(0.0)
     )
+    n_ranks = 1
+    prev_ckpt = None
     for _ in range(N_ITERS):
-        # the reached rank table is bounded by the SOURCE's neighborhood
-        # (tiny), so it BROADCASTS into both the degree lookup and the edge
-        # scan — one pass over deg + one over e per round, no re-shuffle of
-        # the (data-sized, checkpointed) edge set; without the hint the
-        # optimizer shuffled all |E| edges every iteration, which at 100×
-        # replication was ~2.4B edge rows per measurement (SCALING.md r6)
+        # the reached rank table starts neighborhood-sized, so while it is
+        # MEASURED small (<= _BCAST_MAX_ROWS, counted off the previous
+        # round's checkpoint blocks) it BROADCASTS into both the degree
+        # lookup and the edge scan — one pass over deg + one over e per
+        # round, no re-shuffle of the (data-sized, checkpointed) edge set;
+        # without the hint the optimizer shuffled all |E| edges every
+        # iteration (~2.4B edge rows per measurement at 100× replication,
+        # SCALING.md r6). But after N hops of a dense power-law graph the
+        # reached set can approach O(V), which must never be broadcast:
+        # past the gate both joins fall back to shuffle-hash on the vertex
+        # key (the same per-round cost global PageRank pays).
+        small = n_ranks <= _BCAST_MAX_ROWS
+        ra = ranks.withColumnRenamed("v", "a")
         rd = (
-            F.broadcast(ranks.withColumnRenamed("v", "a"))
+            (F.broadcast(ra) if small else ra)
             .join(deg, "a")
             .select("a", (F.col("r") / F.col("d")).alias("c0"))
         )
-        contrib = e.join(F.broadcast(rd), "a").select(
+        contrib = e.join(F.broadcast(rd) if small else rd, "a").select(
             F.col("b").alias("v"), F.col("c0").alias("c")
         )
-        ranks = contrib.groupBy("v").agg(
-            (teleport + F.lit(DAMPING) * F.sum("c")).alias("r")
+        ranks = (
+            contrib.groupBy("v")
+            .agg((teleport + F.lit(DAMPING) * F.sum("c")).alias("r"))
+            # one materialized round of state; also what makes the per-round
+            # size measurement a block read instead of a recompute
+            .localCheckpoint()
         )
+        release_local_checkpoint(prev_ckpt)  # superseded round: unreferenced
+        prev_ckpt = ranks
+        n_ranks = ranks.count()
+    release_local_checkpoint(e)  # the returned plan reads only the final ranks
     return (
         ranks.select("v", F.round("r", 6).alias("ppr"))
         .filter(F.col("ppr") > 0)
@@ -455,6 +495,7 @@ def sssp_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(SSSP_SOURCE).cast("bigint").alias("v"),
         F.lit(0).cast("bigint").alias("dist"),
     )
+    prev_ckpt = None
     for _ in range(SSSP_ROUNDS):
         relaxed = e.join(dist.withColumnRenamed("v", "a"), "a").select(
             F.col("b").alias("v"), (F.col("dist") + F.col("w")).alias("dist")
@@ -463,7 +504,13 @@ def sssp_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(relaxed)
             .groupBy("v")
             .agg(F.min("dist").cast("bigint").alias("dist"))
+            # one round of materialized state per query (operators/ckpt.py
+            # hygiene, same as BFS/PPR/CC); also truncates the union chain
+            .localCheckpoint()
         )
+        release_local_checkpoint(prev_ckpt)
+        prev_ckpt = dist
+    release_local_checkpoint(e)  # the returned plan reads only the final dist
     return dist.orderBy(F.asc("dist"), F.asc("v")).limit(SSSP_TOP)
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cbde_mapreduce_spark.functions.texttools import shingles, tokens
+from cbde_mapreduce_spark.operators.ckpt import release_local_checkpoint
 from cbde_mapreduce_spark.plans.registry import query
 from cbde_mapreduce_spark.sources import load_table
 
@@ -466,6 +467,7 @@ def bpe_merges_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"), "n"
     )
     merges = None
+    prev_words = None
     for r in range(1, _BPE_ROUNDS + 1):
         toks = F.split("seq", " ")
         pairs = (
@@ -494,6 +496,12 @@ def bpe_merges_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pair",
                 F.col("c").alias("pair_count"),
             )
+            # pin the 1-row winner: computed once (not re-derived by both
+            # its consumers), and the returned merges union then reads ONLY
+            # these tiny checkpoints — which is what lets the vocabulary-
+            # sized per-round word tables below be released as they are
+            # superseded instead of accumulating for the session
+            .localCheckpoint()
         )
         merges = best if merges is None else merges.unionByName(best)
         words = (
@@ -510,6 +518,9 @@ def bpe_merges_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("seq", "n")
             .localCheckpoint()  # truncate per-round lineage, same as CC/BFS
         )
+        release_local_checkpoint(prev_words)  # superseded round: unreferenced
+        prev_words = words
+    release_local_checkpoint(prev_words)  # merges reads only the best ckpts
     return merges
 
 

@@ -54,8 +54,11 @@ def item_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     size (a user with B items emits B² pairs — truncate or sample whale
     baskets, exactly the triangle-count orientation concern), and prune
     items below minimum support BEFORE pairing (an item appearing once
-    cannot reach any co-occurrence floor). Item popularity is a broadcast
-    dimension joined after the reduce.
+    cannot reach any co-occurrence floor). Item popularity has one row per
+    DISTINCT ITEM — catalog-sized, not bounded — so it is joined after the
+    reduce WITHOUT a broadcast hint (round-7 audit, same class as the
+    sparse-cosine norm table): the join shuffles on the p1/p2 keys the
+    co-occurrence reduce already produced.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -77,8 +80,8 @@ def item_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = pop.select(F.col("p").alias("p1"), F.col("n").alias("n1"))
     n2 = pop.select(F.col("p").alias("p2"), F.col("n").alias("n2"))
     sc = (
-        co.join(F.broadcast(n1), "p1")
-        .join(F.broadcast(n2), "p2")
+        co.join(n1, "p1")
+        .join(n2, "p2")
         .select(
             "p1",
             "p2",

@@ -1037,10 +1037,13 @@ def sparse_cosine_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = nrm.select(F.col("gid").alias("g1"), F.col("nrm").alias("nrm1"))
     n2 = nrm.select(F.col("gid").alias("g2"), F.col("nrm").alias("nrm2"))
     # best expanded pair of a cross rep-pair is (g1, g2) itself: gids are
-    # group minima and g1 < g2, so every member of g2 exceeds g1
+    # group minima and g1 < g2, so every member of g2 exceeds g1.
+    # nrm has one row per DISTINCT TEXT — unbounded at corpus scale, so it
+    # is NOT broadcast (round-7 fix, same class as the MaxSim gsz change):
+    # the join shuffles on g1/g2, keys the dots join already produced.
     cross = (
-        dots.join(F.broadcast(n1), "g1")
-        .join(F.broadcast(n2), "g2")
+        dots.join(n1, "g1")
+        .join(n2, "g2")
         .select(
             "g1",
             "g2",
