@@ -32,7 +32,23 @@ fail a correct query.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
+
+
+def local_checkpoint_disk(df: DataFrame) -> DataFrame:
+    """Eager local checkpoint at ``DISK_ONLY`` — for DATA-SIZED state (edge
+    sets, not per-round vertex tables).
+
+    The default ``MEMORY_AND_DISK`` level pins the checkpoint in the unified
+    memory pool's storage half; a ~100M-row edge set (a few GB deserialized)
+    then starves execution memory for every later stage that scans it while
+    aggregating — measured as hard AGGREGATE_OUT_OF_MEMORY at the 100×
+    replicated scale even in a fresh session, while the identical plan over
+    a DISK_ONLY checkpoint runs in seconds (SCALING.md round 7). Per-round
+    vertex-sized state keeps the default level: it is small, read exactly
+    once, and released as soon as it is superseded."""
+    return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
 
 
 def release_local_checkpoint(df: DataFrame | None) -> None:

@@ -24,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cbde_mapreduce_spark.operators.ckpt import release_local_checkpoint
+from cbde_mapreduce_spark.operators.ckpt import (
+    local_checkpoint_disk,
+    release_local_checkpoint,
+)
+from cbde_mapreduce_spark.operators.gates import BCAST_MAX_ROWS as _BCAST_MAX_ROWS
 from cbde_mapreduce_spark.plans.registry import query
 from cbde_mapreduce_spark.sources import load_table
 
@@ -32,13 +36,11 @@ DAMPING = 0.85
 N_ITERS = 3
 TOP_N = 20
 
-#: Broadcast gate for ITERATIVE loops whose working set (frontier / reached
-#: rank table) is data-sized in the worst case: broadcast only while the
-#: measured row count stays under this bound (~16 MB of (long, double) rows,
-#: the same order as Spark's default autoBroadcastJoinThreshold), else fall
-#: back to a shuffle join. The count is read off the round's checkpoint
-#: blocks, so the gate costs one trivial job per round.
-_BCAST_MAX_ROWS = 1_000_000
+# Broadcast gate for ITERATIVE loops whose working set (frontier / reached
+# rank table) is data-sized in the worst case: broadcast only while the
+# measured per-round row count stays under operators/gates.py::
+# BCAST_MAX_ROWS, else fall back to a shuffle join. The count is read off
+# the round's checkpoint blocks, so the gate costs one trivial job per round.
 
 _PR_ORACLE = f"""
     WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
@@ -240,7 +242,10 @@ def bfs_hops_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint()  # materialize once; every round re-reads, never re-derives
+        # materialize once (DISK_ONLY: an edge set is data-sized and must
+        # not pin the unified memory pool); every round re-reads, never
+        # re-derives
+        .transform(local_checkpoint_disk)
     )
     visited = spark.range(1).select(
         F.lit(_BFS_SOURCE).cast("long").alias("v"), F.lit(0).alias("hop")
@@ -370,9 +375,19 @@ def ppr_trade_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
+        # DISK_ONLY: the edge set is data-sized; at the default storage
+        # level its blocks pin the memory pool and starve every later
+        # aggregation that scans it (measured at 100×, SCALING.md r7)
+        .transform(local_checkpoint_disk)
+    )
+    deg = (
+        e.groupBy("a")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+        # vertex-sized; checkpointed so the |E|-row aggregation runs ONCE,
+        # not inside every round's broadcast build (the single-evaluation
+        # plan got this for free from exchange reuse)
         .localCheckpoint()
     )
-    deg = e.groupBy("a").agg(F.count(F.lit(1)).cast("double").alias("d"))
     ranks = spark.range(1).select(
         F.lit(_PPR_SOURCE).cast("long").alias("v"), F.lit(1.0).alias("r")
     )
@@ -413,7 +428,9 @@ def ppr_trade_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         release_local_checkpoint(prev_ckpt)  # superseded round: unreferenced
         prev_ckpt = ranks
         n_ranks = ranks.count()
-    release_local_checkpoint(e)  # the returned plan reads only the final ranks
+    # the returned plan reads only the final ranks checkpoint
+    release_local_checkpoint(e)
+    release_local_checkpoint(deg)
     return (
         ranks.select("v", F.round("r", 6).alias("ppr"))
         .filter(F.col("ppr") > 0)
@@ -490,7 +507,7 @@ def sssp_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     w0 = l.select("a", "b", F.expr("(100 + cnt - 1) div cnt").alias("w"))
     e = w0.unionByName(
         w0.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
-    ).localCheckpoint()
+    ).transform(local_checkpoint_disk)  # data-sized: keep off the memory pool
     dist = spark.range(1).select(
         F.lit(SSSP_SOURCE).cast("bigint").alias("v"),
         F.lit(0).cast("bigint").alias("dist"),

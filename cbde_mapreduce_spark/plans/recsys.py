@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cbde_mapreduce_spark.operators.gates import maybe_broadcast
 from cbde_mapreduce_spark.plans.registry import query
 from cbde_mapreduce_spark.sources import load_table
 
@@ -55,10 +56,12 @@ def item_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets, exactly the triangle-count orientation concern), and prune
     items below minimum support BEFORE pairing (an item appearing once
     cannot reach any co-occurrence floor). Item popularity has one row per
-    DISTINCT ITEM — catalog-sized, not bounded — so it is joined after the
-    reduce WITHOUT a broadcast hint (round-7 audit, same class as the
-    sparse-cosine norm table): the join shuffles on the p1/p2 keys the
-    co-occurrence reduce already produced.
+    DISTINCT ITEM — catalog-sized, not bounded — so its join is SIZE-GATED
+    (round-7 audit, same class as the sparse-cosine norm table): it
+    broadcasts only while the part dimension's measured count (a provable
+    upper bound on |pop|) stays under operators/gates.py::BCAST_MAX_ROWS;
+    past the gate the join shuffles on the p1/p2 keys the co-occurrence
+    reduce already produced.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -77,8 +80,13 @@ def item_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("co"))
         .filter(F.col("co") >= _CF_MIN_CO)
     )
-    n1 = pop.select(F.col("p").alias("p1"), F.col("n").alias("n1"))
-    n2 = pop.select(F.col("p").alias("p2"), F.col("n").alias("n2"))
+    n_parts = load_table(spark, sf_dir, "part").count()  # >= |pop|: p is a FK
+    n1 = maybe_broadcast(
+        pop.select(F.col("p").alias("p1"), F.col("n").alias("n1")), n_parts
+    )
+    n2 = maybe_broadcast(
+        pop.select(F.col("p").alias("p2"), F.col("n").alias("n2")), n_parts
+    )
     sc = (
         co.join(n1, "p1")
         .join(n2, "p2")

@@ -76,6 +76,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # ContextCleaner only reclaims broadcast variables / shuffle files /
+        # RDD blocks after a DRIVER GC proves them unreachable; the default
+        # 30min periodic GC is longer than most local sessions live, so a
+        # many-heavy-query session ages into heap thrash (GCLocker retries)
+        # before any cleanup fires. 2min keeps the shared local JVM drained;
+        # on a real cluster it is a no-op cost (one driver System.gc()).
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     for key, value in RUNTIME_CONF.items():
         builder = builder.config(key, value)

@@ -125,6 +125,16 @@ def worker(sf_dir: str, tmo: float, names: list[str]) -> None:
                 spark.range(1).count()
             except Exception:  # noqa: BLE001
                 os._exit(4)
+        # drain the aged session between queries: ContextCleaner frees
+        # broadcasts / shuffle files / checkpoint blocks only after a driver
+        # GC proves them unreachable, and allocation-pressure GCs under
+        # GCLocker contention do NOT run reference processing reliably —
+        # an explicit System.gc() is what lets query N+1 start from a clean
+        # heap instead of inheriting query N's garbage (SCALING.md round 7)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
 
 
 def orchestrate(sf_dir: str, tmo: float) -> None:
