@@ -707,7 +707,11 @@ def maxsim_label_scores_sharded(
     gtab = emb.groupBy("embedding", "label").agg(
         F.min("vec_id").alias("gid"), F.count(F.lit(1)).alias("gsz")
     )
-    grp = emb.join(gtab, ["embedding", "label"]).select(
+    # merge hint: gtab is DISTINCT-VECTOR-sized, so the no-vector-broadcast
+    # contract of this operator (plan-asserted) must hold by construction,
+    # not by AQE's fixture-scale size estimate; SMJ also streams both sides
+    # through whale duplicate groups
+    grp = emb.join(gtab.hint("merge"), ["embedding", "label"]).select(
         "vec_id", "label", "embedding", "gid", "gsz"
     )
     gsz_df = grp.filter(F.col("vec_id") == F.col("gid")).select(

@@ -36,23 +36,23 @@ def test_oracles_reference_only_fixture_tables():
 
 def test_driver_window_is_valid():
     """__spark_entry__._PRIORITY must hold exactly 50 existing names — a
-    typo would silently shrink the driver's correctness window. Round 4
-    deliberately stages the 7 twice-rolled no-oracle names (their rows-only
-    driver row beats a third round of nothing — judge ask #5); every other
-    window slot must be an oracled query."""
+    typo would silently shrink the driver's correctness window. A window
+    may deliberately stage rows-only names (their no_oracle driver row
+    beats another round of nothing — ROTATION.md records each round's
+    staging); every other window slot must be an oracled query. Round 7
+    stages the 6 never-checked rows-only names."""
     import __spark_entry__ as E
 
     P = E._PRIORITY
     assert len(P) == 50
     assert len(set(P)) == 50, "duplicate names in the window"
     staged_rows_only = {
-        "cm_sketch_heavy_hitters",
-        "embedding_neardup_lsh",
-        "hll_rollup_daily_users",
-        "ivf_pq_rerank_topk",
-        "ivf_pq_topk",
-        "ivf_rpq_topk",
-        "pq_adc_topk",
+        "capped_running_balance",
+        "embedding_isotropy",
+        "hll_intersect_estimate",
+        "mg_heavy_hitter_words",
+        "pca_top_component",
+        "phash_neardup_media",
     }
     for n in P:
         assert n in REGISTRY, f"window name {n} not in registry"
