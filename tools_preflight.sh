@@ -1,0 +1,54 @@
+#!/bin/sh
+# Round pre-flight (run before staging a driver window; records to .scratch):
+#   1. bare-session driver-sim: all 284 queries() vs oracle_sql() row counts
+#      at sf0.01 (the driver's own check, minus the value hash -- pytest
+#      tests/test_parity.py is the stricter cell-exact layer);
+#   2. standing dup-heavy gate: the 25 flagged heavy names in ONE worker
+#      JVM at sf10 (SCALING.md);
+#   3. full-registry sweep at sf1 (10x) under the orchestrator.
+# Takes ~45 min total; each step prints PASS/FAIL at the end.
+set -eu
+cd "$(dirname "$0")"
+OUT=.scratch/preflight_$(date +%Y%m%d_%H%M)
+mkdir -p .scratch
+
+python - <<'PY' > "$OUT.driver_sim.txt" 2>&1
+import sys, os
+sys.path.insert(0, os.getcwd())
+from pyspark.sql import SparkSession
+spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as E
+assert E.entry(spark).collect(), "entry() empty"
+qs, osql = E.queries(), E.oracle_sql()
+import duckdb
+con = duckdb.connect(); sf = "/root/testdata/sf0.01"
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.sql(f"create view {t} as select * from '{sf}/{t}.parquet'")
+bad = 0
+for name in qs:
+    try:
+        n_s = qs[name](spark, sf).count()
+        n_o = len(con.sql(osql[name]).fetchall()) if name in osql else None
+        ok = n_o is None or n_s == n_o
+    except Exception as ex:
+        ok, n_s, n_o = False, type(ex).__name__, None
+    if not ok: bad += 1
+    print(("OK" if ok else "BAD"), name, n_s, n_o, flush=True)
+print("DONE bad=%d" % bad)
+PY
+tail -1 "$OUT.driver_sim.txt"
+
+HEAVY25="sparse_cosine_topk_docs binned_range_join_orders dedup_canonical_docs \
+neardup_components neardup_components_star ngram_jaccard_pairs minhash_lsh_neardup \
+edit_distance_neardup cosine_topk_similarity cosine_topk_sharded ann_lsh_topk \
+embedding_neardup_lsh ivf_ann_topk ivf_pq_topk ivf_rpq_topk ivf_pq_rerank_topk \
+pq_adc_topk maxsim_label_topk maxsim_label_sharded ppr_trade_recommendations \
+sorted_neighborhood_neardup item_item_cf_topk bfs_hops_trade_graph \
+streaming_session_counts substring_dup_spans"
+# shellcheck disable=SC2086
+python tools_scale_sweep.py .scratch/sf10 420 $HEAVY25 > "$OUT.sf10_heavy25.txt" 2>/dev/null
+grep -c "" "$OUT.sf10_heavy25.txt"; grep "TIMEOUT\|ERROR\|KILLED" "$OUT.sf10_heavy25.txt" || echo "sf10 heavy-25: clean"
+
+python tools_scale_sweep.py .scratch/sf1 180 > "$OUT.sf1_all.txt" 2>/dev/null
+grep -c "" "$OUT.sf1_all.txt"; grep "TIMEOUT\|ERROR\|KILLED" "$OUT.sf1_all.txt" || echo "sf1 full sweep: clean"
