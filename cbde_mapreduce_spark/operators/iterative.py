@@ -127,10 +127,11 @@ def ivf_topk(
     from cbde_mapreduce_spark.operators.similarity import (
         embedding_dup_groups,
         expand_rep_qtopk,
+        nonzero_embedding,
     )
 
     m = embedding_dup_groups(emb)
-    mem = m.select("vec_id", "gid")
+    mem = m.select("vec_id", "gid", nonzero_embedding().alias("nz"))
     emb = m.filter(F.col("vec_id") == F.col("gid")).select("vec_id", "embedding")
     if n_clusters is None:
         n = emb.select("vec_id").count()
@@ -189,8 +190,17 @@ def ivf_topk(
         .select(
             "qid",
             "nid",
-            F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), digits).alias("sim"),
+            # try_divide: a zero-norm vector has no cosine — NULL, then
+            # dropped, mirroring the matmul kernels' NaN-row drop (ANSI
+            # mode raises on the plain division)
+            F.round(
+                F.try_divide(
+                    dot(F.col("ea"), F.col("eb")), F.col("na") * F.col("nb")
+                ),
+                digits,
+            ).alias("sim"),
         )
+        .filter(F.col("sim").isNotNull())
     )
     return expand_rep_qtopk(mem, scored, k)
 

@@ -440,7 +440,7 @@ def ann_lsh_topk(
     better candidates (gids are group minima).
     """
     m = embedding_dup_groups(emb)
-    mem = m.select("vec_id", "gid")
+    mem = m.select("vec_id", "gid", nonzero_embedding().alias("nz"))
     reps = m.filter(F.col("vec_id") == F.col("gid")).select("vec_id", "embedding")
     pairs = _lsh_pair_scores(reps, n_tables, n_bits, seed, digits)
     # undirected scored rep pairs -> both query directions
@@ -462,9 +462,12 @@ def expand_rep_qtopk(mem: DataFrame, rep_scores: DataFrame, k: int) -> DataFrame
     candidates each contributing a better (sim, nid) row (gids are group
     minima, so the candidate group's best nid IS its gid).
 
-    Precondition: zero-norm vectors are excluded upstream (the registry-
-    wide similarity policy, plans/similarity_q.py) — twins of a zero
-    vector do NOT have cosine 1.0."""
+    ``mem`` must carry (vec_id, gid, nz) where ``nz`` marks a nonzero
+    embedding (nonzero_embedding()): a zero vector's cosine is undefined,
+    so its duplicate group gets NO synthesized sim-1.0 twin candidates
+    (round-7 advice fix — mirrors _expand_rep_topk; previously zero-norm
+    twins surfaced as spurious top candidates when the operator was called
+    outside the registry's ``_nonzero_embeddings`` policy)."""
     wrep = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     rep_top = (
         rep_scores.withColumn("rr", F.row_number().over(wrep))
@@ -477,7 +480,8 @@ def expand_rep_qtopk(mem: DataFrame, rep_scores: DataFrame, k: int) -> DataFrame
         .filter(F.col("srn") <= k + 1)
     )
     internal = (
-        mem.select(F.col("vec_id").alias("qid"), "gid")
+        mem.filter(F.col("nz"))
+        .select(F.col("vec_id").alias("qid"), "gid")
         .join(small.select("gid", F.col("vec_id").alias("nid")), "gid")
         .filter(F.col("qid") != F.col("nid"))
         .select("qid", "nid", F.lit(1.0).alias("sim"))

@@ -52,6 +52,16 @@ def test_duplicated_zero_vectors_emit_no_pairs(spark):
     lsh = embedding_neardup_lsh(emb, threshold=0.9).toPandas()
     lsh_ids = set(zip(lsh.qid, lsh.nid))
     assert (1, 2) not in lsh_ids and (3, 4) in lsh_ids
+    # per-query ANN expansion (expand_rep_qtopk): no synthesized sim-1.0
+    # twin candidates for the zero-norm group either
+    from cbde_mapreduce_spark.operators.iterative import ivf_topk
+    from cbde_mapreduce_spark.operators.similarity import ann_lsh_topk
+
+    for qdf in (ann_lsh_topk(emb, k=5), ivf_topk(emb, k=5, n_clusters=2)):
+        q = qdf.toPandas()
+        twins = q[(q.sim == 1.0) & (q.qid.isin([1, 2]) | q.nid.isin([1, 2]))]
+        assert twins.empty, "zero-norm twin surfaced as a sim-1.0 candidate"
+        assert ((q.qid == 3) & (q.nid == 4) & (q.sim == 1.0)).any()
 
 
 def test_dup_groups_exact_without_payload_window(spark):
