@@ -125,14 +125,14 @@ def ivf_topk(
     once (frequency-deduped k-means — the standard codebook practice).
     """
     from cbde_mapreduce_spark.operators.similarity import (
-        embedding_dup_groups,
+        embedding_dup_tables,
         expand_rep_qtopk,
         nonzero_embedding,
     )
 
-    m = embedding_dup_groups(emb)
+    m, reps = embedding_dup_tables(emb)
     mem = m.select("vec_id", "gid", nonzero_embedding().alias("nz"))
-    emb = m.filter(F.col("vec_id") == F.col("gid")).select("vec_id", "embedding")
+    emb = reps
     if n_clusters is None:
         n = emb.select("vec_id").count()
         n_clusters = max(2, int(n**0.5))

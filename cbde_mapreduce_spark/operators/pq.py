@@ -154,14 +154,14 @@ def ivf_pq_topk(
     """
     from cbde_mapreduce_spark.operators.iterative import kmeans_fit
     from cbde_mapreduce_spark.operators.similarity import (
-        embedding_dup_groups,
+        embedding_dup_tables,
         expand_rep_qtopk_by_dist,
     )
 
     spark = emb.sparkSession
-    grp = embedding_dup_groups(emb)
+    grp, reps = embedding_dup_tables(emb)
     mem = grp.select("vec_id", "gid")
-    emb = grp.filter(F.col("vec_id") == F.col("gid")).select("vec_id", "embedding")
+    emb = reps  # one row per distinct vector, no join in its lineage
     src = emb.select("vec_id", "embedding")
 
     centroids, assigned = kmeans_fit(emb, k=n_clusters, iters=kmeans_iters)
@@ -287,14 +287,14 @@ def pq_adc_topk(
     driver-side code materialization to the DISTINCT-vector count.
     """
     from cbde_mapreduce_spark.operators.similarity import (
-        embedding_dup_groups,
+        embedding_dup_tables,
         expand_rep_qtopk_by_dist,
     )
 
     spark = emb.sparkSession
-    grp = embedding_dup_groups(emb)
+    grp, reps = embedding_dup_tables(emb)
     mem = grp.select("vec_id", "gid")
-    emb = grp.filter(F.col("vec_id") == F.col("gid")).select("vec_id", "embedding")
+    emb = reps  # one row per distinct vector, no join in its lineage
     books = pq_train_codebooks(emb, m=m, k=n_centroids, n_sample=n_sample, seed=seed)
     if books is None:  # empty corpus
         return spark.createDataFrame(
@@ -407,14 +407,14 @@ def ivf_rpq_topk(
     """
     from cbde_mapreduce_spark.operators.iterative import kmeans_fit
     from cbde_mapreduce_spark.operators.similarity import (
-        embedding_dup_groups,
+        embedding_dup_tables,
         expand_rep_qtopk_by_dist,
     )
 
     spark = emb.sparkSession
-    grp = embedding_dup_groups(emb)
+    grp, reps = embedding_dup_tables(emb)
     mem = grp.select("vec_id", "gid")
-    emb = grp.filter(F.col("vec_id") == F.col("gid")).select("vec_id", "embedding")
+    emb = reps  # one row per distinct vector, no join in its lineage
     src = emb.select("vec_id", "embedding")
 
     centroids, assigned = kmeans_fit(emb, k=n_clusters, iters=kmeans_iters)

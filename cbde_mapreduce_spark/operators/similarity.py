@@ -175,10 +175,26 @@ def embedding_dup_groups(emb: DataFrame) -> DataFrame:
     canonicalizes -0.0 and NaN identically in groupBy and join keys), the
     same equality the window version used.
     """
+    return embedding_dup_tables(emb)[0]
+
+
+def embedding_dup_tables(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(membership, reps) of identical-embedding duplicate groups.
+
+    ``membership`` is embedding_dup_groups' (vec_id, embedding, gid, gsz);
+    ``reps`` is the representative table (vec_id=gid, embedding) read
+    DIRECTLY off the group aggregate — one row per distinct vector with no
+    join in its lineage, so kernels that evaluate the rep set repeatedly
+    (a dispatch count, a driver collect, a shard scan) never re-run the
+    membership join (round-7: shaved the collapse overhead the join-back
+    added to the brute-force cosine path). ``membership`` is needed only
+    by the expansion step."""
     g = emb.groupBy("embedding").agg(
         F.min("vec_id").alias("gid"), F.count(F.lit(1)).alias("gsz")
     )
-    return emb.join(g, "embedding").select("vec_id", "embedding", "gid", "gsz")
+    m = emb.join(g, "embedding").select("vec_id", "embedding", "gid", "gsz")
+    reps = g.select(F.col("gid").alias("vec_id"), "embedding")
+    return m, reps
 
 
 def _expand_rep_topk(
@@ -277,8 +293,7 @@ def cosine_topk_pairs(
     the sharded block-matmul path, which never collects the target to the
     driver. All paths produce identical output.
     """
-    m = embedding_dup_groups(emb)
-    reps = m.filter(F.col("vec_id") == F.col("gid")).select("vec_id", "embedding")
+    m, reps = embedding_dup_tables(emb)
     if reps.count() > broadcast_threshold_rows:
         rep_top = _sharded_rep_topk(reps, k=k, digits=digits)
     else:
@@ -334,8 +349,7 @@ def cosine_topk_pairs_sharded(
     exact all-pairs communication trade. Choose S so TWO shards fit in one
     executor's memory; at n rows × d dims × 8 bytes, S ≈ 2·n·d·8 / mem.
     """
-    m = embedding_dup_groups(emb)
-    reps = m.filter(F.col("vec_id") == F.col("gid")).select("vec_id", "embedding")
+    m, reps = embedding_dup_tables(emb)
     rep_top = _sharded_rep_topk(reps, k=k, digits=digits, n_shards=n_shards)
     return _expand_rep_topk(m, rep_top, k)
 
@@ -439,9 +453,8 @@ def ann_lsh_topk(
     outside a group's top-k by (sim, neighbor-gid) is dominated by k
     better candidates (gids are group minima).
     """
-    m = embedding_dup_groups(emb)
+    m, reps = embedding_dup_tables(emb)
     mem = m.select("vec_id", "gid", nonzero_embedding().alias("nz"))
-    reps = m.filter(F.col("vec_id") == F.col("gid")).select("vec_id", "embedding")
     pairs = _lsh_pair_scores(reps, n_tables, n_bits, seed, digits)
     # undirected scored rep pairs -> both query directions
     both = pairs.unionAll(
@@ -641,9 +654,8 @@ def embedding_neardup_lsh(
     # vector collide with certainty and re-rank to sim 1.0, so duplicate
     # groups expand to threshold-passing cliques directly; rep pairs expand
     # through the membership map — exactly the row-level output.
-    m = embedding_dup_groups(emb)
+    m, reps = embedding_dup_tables(emb)
     mem = m.select("vec_id", "gid")
-    reps = m.filter(F.col("vec_id") == F.col("gid")).select("vec_id", "embedding")
     rep_pairs = _lsh_pair_scores(reps, n_tables, n_bits, seed, digits).filter(
         F.col("sim") >= threshold
     )
@@ -705,25 +717,16 @@ def maxsim_label_scores_sharded(
     all-distinct data.
     """
     spark = emb.sparkSession
-    # groupBy + join-back, not a window partitioned by (embedding, label):
-    # same rationale as embedding_dup_groups — an extreme duplicate group
-    # must stream through the join, never materialize in one window task
+    # one groupBy on the (embedding, label) value — NOT a window partitioned
+    # by the vector payload (whale-group hazard), and NOT a join-back either:
+    # the output is label-level, so the representative table and the group
+    # sizes are both read DIRECTLY off the aggregate; no per-member
+    # membership map exists in this operator at all (round-7 simplification)
     gtab = emb.groupBy("embedding", "label").agg(
         F.min("vec_id").alias("gid"), F.count(F.lit(1)).alias("gsz")
     )
-    # merge hint: gtab is DISTINCT-VECTOR-sized, so the no-vector-broadcast
-    # contract of this operator (plan-asserted) must hold by construction,
-    # not by AQE's fixture-scale size estimate; SMJ also streams both sides
-    # through whale duplicate groups
-    grp = emb.join(gtab.hint("merge"), ["embedding", "label"]).select(
-        "vec_id", "label", "embedding", "gid", "gsz"
-    )
-    gsz_df = grp.filter(F.col("vec_id") == F.col("gid")).select(
-        F.col("vec_id").alias("qid"), "gsz"
-    )
-    emb = grp.filter(F.col("vec_id") == F.col("gid")).select(
-        "vec_id", "label", "embedding"
-    )
+    gsz_df = gtab.select(F.col("gid").alias("qid"), "gsz")
+    emb = gtab.select(F.col("gid").alias("vec_id"), "label", "embedding")
     src = emb.select(
         "vec_id",
         "label",
