@@ -29,78 +29,38 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #: query earns a driver-green row across rounds; ROTATION.md records which
 #: names sat in each round's window.
 #:
-#: Round-7 window = the LAST 39 names without any driver row (33 oracled +
-#: 6 rows-only-by-design) plus 11 refresh slots for names whose round-6
-#: duplicate-collapse rewrite postdates their last driver row (VERDICT r6
-#: ask #1; ROTATION.md "Round 7"). After this window lands, every one of the
-#: 284 registered names has a driver CORRECTNESS row and every rewritten
-#: implementation has a post-rewrite row. Registry stays frozen at 284/263.
+#: Round-8 window = FRESHNESS (the registry stays FROZEN at 284/263 — the
+#: never-checked backlog is zero after round 7): first the names whose
+#: implementation changed after their last driver row — the round-8 fixes
+#: (item_item_cf pair-reduce reshape, sorted_neighborhood verify collapse,
+#: similarity zero-norm/NULL-safe advice fixes), the round-7 out-of-window
+#: hygiene changes (sssp, bpe_merges), and the f69cdd0/ffab311 similarity +
+#: ANN/PQ family — then the stalest r1-checked names in _STALENESS_TAIL
+#: order (VERDICT r7 ask #1; ROTATION.md "Round 8").
 _PRIORITY = [
-    "maxsim_label_sharded",
-    "maxsim_label_topk",
-    "mips_topk_augmented",
-    "mode_event_type_per_user",
-    "monthly_seasonality_index",
-    "new_vs_returning_revenue",
-    "ols_normal_equations",
-    "pack_sequences_split",
-    "pipe_syntax_revenue",
-    "point_in_time_status_join",
-    "postings_delta_stats",
-    "ppr_trade_recommendations",
-    "range_fingerprint_orders",
-    "rank_movers_parts",
-    "ratio_to_report_nation_revenue",
-    "referential_integrity_audit",
-    "revenue_bridge_decomposition",
-    "rfm_segmentation",
-    "rle_event_runs",
-    "seasonal_decompose_daily",
-    "segment_ttests_bonferroni",
-    "source_divergence_matrix",
-    "streaming_attribution",
-    "streaming_interval_join",
-    "streaming_stateful_profiles",
-    "table_diff_cdc",
-    "temperature_mix_sample",
-    "theil_sen_trend_daily",
-    "udtf_table_arg_lang_stats",
-    "variant_props_extract",
-    "window_count_distinct_rewrite",
-    "window_dedup_events",
-    "woe_iv_binning_orders",
-    "capped_running_balance",
-    "embedding_isotropy",
-    "hll_intersect_estimate",
-    "mg_heavy_hitter_words",
-    "pca_top_component",
-    "phash_neardup_media",
-    "sparse_cosine_topk_docs",
-    "binned_range_join_orders",
-    "edit_distance_neardup",
-    "ngram_jaccard_pairs",
-    "neardup_components",
-    "neardup_components_star",
-    "dedup_canonical_docs",
+    "item_item_cf_topk",
+    "sorted_neighborhood_neardup",
+    "sssp_trade_graph",
+    "bpe_merges_vocab",
     "cosine_topk_similarity",
     "cosine_topk_sharded",
-    "sorted_neighborhood_neardup",
-    "pagerank_trade_graph",
-]
-
-#: Everything outside the window, ordered by staleness (round of last driver
-#: row, oldest first: r1 names, then r2/r3, the round-4 window, the round-4
-#: rows-only batch, and finally the round-6 window -- the newest evidence).
-#: After round 7 no never-checked names remain; future rotation is purely
-#: freshness-driven.
-_STALENESS_TAIL = [
+    "cosine_topk_hof",
+    "maxsim_label_topk",
+    "maxsim_label_sharded",
+    "mips_topk_augmented",
+    "embedding_neardup_pairs",
     "ann_lsh_topk",
+    "embedding_neardup_lsh",
+    "ivf_ann_topk",
+    "ivf_pq_topk",
+    "ivf_pq_rerank_topk",
+    "ivf_rpq_topk",
+    "pq_adc_topk",
     "approx_distinct_users",
     "approx_percentile_values",
     "argmax_order_per_customer",
     "array_funcs_embeddings",
     "conditional_case_orders",
-    "cosine_topk_hof",
     "count_distinct_by_status",
     "cross_join_region_segments",
     "cube_orders_status_priority",
@@ -124,11 +84,18 @@ _STALENESS_TAIL = [
     "having_busy_suppliers",
     "histogram_event_types",
     "intersect_nation_keys",
-    "ivf_ann_topk",
     "json_props_extract",
     "kmeans_clusters",
     "lag_lead_event_values",
     "lang_id_lexicon",
+]
+
+#: Everything outside the window, ordered by evidence staleness (round of
+#: last driver row, oldest first): the remaining r1-checked names, then
+#: r2/r3, the round-4 window, the round-4 rows-only batch, the round-6
+#: window, and finally the round-7 window (the freshest evidence, moved to
+#: the back after its 50/50-green CORRECTNESS_r07 rows).
+_STALENESS_TAIL = [
     "left_outer_order_counts",
     "like_rlike_filter",
     "map_literal_region_lookup",
@@ -191,7 +158,6 @@ _STALENESS_TAIL = [
     "data_quality_checks",
     "decontaminate_docs",
     "domain_mix_sample",
-    "embedding_neardup_pairs",
     "event_transition_matrix",
     "frame_sample_stats",
     "funnel_user_day",
@@ -247,7 +213,6 @@ _STALENESS_TAIL = [
     "winsorize_order_value",
     "mutual_information_events",
     "zipf_tail_index",
-    "sssp_trade_graph",
     "chunk_overlap_docs",
     "streaming_ohlc_bars",
     "event_trigram_paths",
@@ -272,12 +237,7 @@ _STALENESS_TAIL = [
     "contrastive_negatives_ring",
     "ntile_percentile_orders",
     "cm_sketch_heavy_hitters",
-    "embedding_neardup_lsh",
     "hll_rollup_daily_users",
-    "ivf_pq_rerank_topk",
-    "ivf_pq_topk",
-    "ivf_rpq_topk",
-    "pq_adc_topk",
     "streaming_session_counts",
     "kmv_distinct_customers",
     "monthly_revenue_growth",
@@ -290,7 +250,6 @@ _STALENESS_TAIL = [
     "bfs_hops_trade_graph",
     "bigram_lm_score_docs",
     "bootstrap_ci_order_value",
-    "bpe_merges_vocab",
     "business_days_to_ship",
     "chunk_size_study",
     "cogroup_order_reconciliation",
@@ -319,7 +278,6 @@ _STALENESS_TAIL = [
     "incremental_agg_merge",
     "int8_quantization_stats",
     "interevent_burstiness",
-    "item_item_cf_topk",
     "jl_projection_distortion",
     "k_anonymity_audit",
     "kaplan_meier_customers",
@@ -328,6 +286,50 @@ _STALENESS_TAIL = [
     "lateral_top_customers_per_nation",
     "listagg_priority_profile",
     "markov_perplexity_users",
+    "mode_event_type_per_user",
+    "monthly_seasonality_index",
+    "new_vs_returning_revenue",
+    "ols_normal_equations",
+    "pack_sequences_split",
+    "pipe_syntax_revenue",
+    "point_in_time_status_join",
+    "postings_delta_stats",
+    "ppr_trade_recommendations",
+    "range_fingerprint_orders",
+    "rank_movers_parts",
+    "ratio_to_report_nation_revenue",
+    "referential_integrity_audit",
+    "revenue_bridge_decomposition",
+    "rfm_segmentation",
+    "rle_event_runs",
+    "seasonal_decompose_daily",
+    "segment_ttests_bonferroni",
+    "source_divergence_matrix",
+    "streaming_attribution",
+    "streaming_interval_join",
+    "streaming_stateful_profiles",
+    "table_diff_cdc",
+    "temperature_mix_sample",
+    "theil_sen_trend_daily",
+    "udtf_table_arg_lang_stats",
+    "variant_props_extract",
+    "window_count_distinct_rewrite",
+    "window_dedup_events",
+    "woe_iv_binning_orders",
+    "capped_running_balance",
+    "embedding_isotropy",
+    "hll_intersect_estimate",
+    "mg_heavy_hitter_words",
+    "pca_top_component",
+    "phash_neardup_media",
+    "sparse_cosine_topk_docs",
+    "binned_range_join_orders",
+    "edit_distance_neardup",
+    "ngram_jaccard_pairs",
+    "neardup_components",
+    "neardup_components_star",
+    "dedup_canonical_docs",
+    "pagerank_trade_graph",
 ]
 
 def _ordered_names() -> list[str]:

@@ -5,10 +5,13 @@ Prints ONE JSON line:
     {"metric": "...", "value": <total_sec>, "unit": "sec",
      "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1, ...}
 
-Methodology (mirrors BASELINE.md's DuckDB warm median-of-3):
+Methodology (mirrors BASELINE.md's DuckDB warm median-of-3, hardened
+against ambient load in round 8):
 - one shared SparkSession; per query the DataFrame is built once, then
-  executed 5 times; per-query time = median execution wall-clock, with
-  results materialized via the Arrow path (toPandas).
+  executed RUNS times per round for ROUNDS interleaved rounds; per-query
+  time = MIN over rounds of the per-round median wall-clock, with results
+  materialized via the Arrow path (toPandas). Load averages before/after
+  are recorded alongside so a hot machine is visible in the artifact.
 - driver-side plan construction (py4j + Catalyst analysis, ~0.3-0.8 s per
   query) is reported separately as ``planning_sec``: it is a fixed,
   data-size-independent driver cost — at the 100 TB design point it is
@@ -56,6 +59,16 @@ HEADLINE = [
 #: samples tighten the median for ~3 s of extra wall-clock.
 RUNS = 9
 
+#: Round-8 (VERDICT r7 ask #3): a single median-of-9 is still hostage to
+#: ambient machine load over its ~10 s window — BENCH_r07 recorded
+#: sessionize_events at 1.60x its r6 reading from load alone, breaching the
+#: repo's own <=1.5x guard in the artifact of record. The recorded value is
+#: now the MIN of ROUNDS interleaved median-of-9 passes: the full headline
+#: list is timed, then timed again, so each query gets medians from
+#: time-separated windows and the min picks its quietest one. A load spike
+#: would have to span all passes of a query to survive into the record.
+ROUNDS = 3
+
 
 def _shuffle_partitions_for(sf: float, cpus: int) -> int:
     """Size shuffle partitions to the benchmark's data volume: the largest
@@ -96,19 +109,26 @@ def main() -> None:
     REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).collect()
     REGISTRY["cosine_topk_similarity"].fn(spark, sf_dir).toPandas()
 
-    timings: dict[str, float] = {}
+    load_before = os.getloadavg()
+    dfs: dict[str, object] = {}
     planning: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         df = REGISTRY[name].fn(spark, sf_dir)
         df.schema  # force analysis
         planning[name] = round(time.perf_counter() - t0, 4)
-        samples = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            df.toPandas()
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 4)
+        dfs[name] = df
+
+    medians: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(ROUNDS):
+        for name in HEADLINE:
+            samples = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                dfs[name].toPandas()
+                samples.append(time.perf_counter() - t0)
+            medians[name].append(statistics.median(samples))
+    timings = {name: round(min(medians[name]), 4) for name in HEADLINE}
 
     total = round(sum(timings.values()), 4)
     print(
@@ -121,8 +141,15 @@ def main() -> None:
                 "sf": sf,
                 "planning_sec": round(sum(planning.values()), 4),
                 "runs_per_query": RUNS,
-                "note": "median warm execution (Arrow materialization); "
-                "driver-side plan build reported separately in planning_sec",
+                "rounds": ROUNDS,
+                "round_medians": {
+                    n: [round(v, 4) for v in medians[n]] for n in HEADLINE
+                },
+                "loadavg_before": [round(v, 2) for v in load_before],
+                "loadavg_after": [round(v, 2) for v in os.getloadavg()],
+                "note": "min over interleaved rounds of median-of-RUNS warm "
+                "executions (Arrow materialization); driver-side plan build "
+                "reported separately in planning_sec",
             }
         )
     )

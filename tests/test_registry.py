@@ -39,20 +39,28 @@ def test_driver_window_is_valid():
     typo would silently shrink the driver's correctness window. A window
     may deliberately stage rows-only names (their no_oracle driver row
     beats another round of nothing — ROTATION.md records each round's
-    staging); every other window slot must be an oracled query. Round 7
-    stages the 6 never-checked rows-only names."""
+    staging); every other window slot must be an oracled query. Round 8
+    stages the rows-only ANN/PQ family (all read embedding dup groups,
+    whose join-back changed in the round-8 advice fix)."""
     import __spark_entry__ as E
 
     P = E._PRIORITY
     assert len(P) == 50
     assert len(set(P)) == 50, "duplicate names in the window"
     staged_rows_only = {
-        "capped_running_balance",
-        "embedding_isotropy",
-        "hll_intersect_estimate",
-        "mg_heavy_hitter_words",
-        "pca_top_component",
-        "phash_neardup_media",
+        "ann_lsh_topk",
+        "embedding_neardup_lsh",
+        "ivf_ann_topk",
+        "ivf_pq_topk",
+        "ivf_pq_rerank_topk",
+        "ivf_rpq_topk",
+        "pq_adc_topk",
+        # rows-only-by-design names the stalest-r1 freshness fill reaches
+        # (approx sketches / kmeans, SURVEY §2's "Oracle?" column)
+        "approx_distinct_users",
+        "approx_percentile_values",
+        "freq_items_words",
+        "kmeans_clusters",
     }
     for n in P:
         assert n in REGISTRY, f"window name {n} not in registry"

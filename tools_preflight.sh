@@ -38,6 +38,8 @@ for name in qs:
 print("DONE bad=%d" % bad)
 PY
 tail -1 "$OUT.driver_sim.txt"
+FAIL=0
+grep -q "^DONE bad=0$" "$OUT.driver_sim.txt" || { echo "driver-sim: FAIL"; FAIL=1; }
 
 HEAVY25="sparse_cosine_topk_docs binned_range_join_orders dedup_canonical_docs \
 neardup_components neardup_components_star ngram_jaccard_pairs minhash_lsh_neardup \
@@ -46,9 +48,29 @@ embedding_neardup_lsh ivf_ann_topk ivf_pq_topk ivf_rpq_topk ivf_pq_rerank_topk \
 pq_adc_topk maxsim_label_topk maxsim_label_sharded ppr_trade_recommendations \
 sorted_neighborhood_neardup item_item_cf_topk bfs_hops_trade_graph \
 streaming_session_counts substring_dup_spans"
-# shellcheck disable=SC2086
-python tools_scale_sweep.py .scratch/sf10 420 $HEAVY25 > "$OUT.sf10_heavy25.txt" 2>/dev/null
-grep -c "" "$OUT.sf10_heavy25.txt"; grep "TIMEOUT\|ERROR\|KILLED" "$OUT.sf10_heavy25.txt" || echo "sf10 heavy-25: clean"
+# check_sweep <file> <label>: FAIL on an empty/missing output (the sweep
+# itself crashed — previously `grep -c ""` exited 1 here under set -eu and
+# aborted the script) and FAIL when failure markers are present (previously
+# that grep's success let the script exit 0 — a failing preflight reported
+# success; round-8 advice fix).
+check_sweep() {
+    if ! [ -s "$1" ]; then
+        echo "$2: FAIL (empty sweep output — orchestrator crashed?)"; FAIL=1; return
+    fi
+    echo "$2 lines: $(wc -l < "$1")"
+    if grep "TIMEOUT\|ERROR\|KILLED" "$1"; then
+        echo "$2: FAIL"; FAIL=1
+    else
+        echo "$2: clean"
+    fi
+}
 
-python tools_scale_sweep.py .scratch/sf1 180 > "$OUT.sf1_all.txt" 2>/dev/null
-grep -c "" "$OUT.sf1_all.txt"; grep "TIMEOUT\|ERROR\|KILLED" "$OUT.sf1_all.txt" || echo "sf1 full sweep: clean"
+# shellcheck disable=SC2086
+python tools_scale_sweep.py .scratch/sf10 420 $HEAVY25 > "$OUT.sf10_heavy25.txt" 2>/dev/null || true
+check_sweep "$OUT.sf10_heavy25.txt" "sf10 heavy-25"
+
+python tools_scale_sweep.py .scratch/sf1 180 > "$OUT.sf1_all.txt" 2>/dev/null || true
+check_sweep "$OUT.sf1_all.txt" "sf1 full sweep"
+
+[ "$FAIL" -eq 0 ] && echo "PREFLIGHT: PASS" || echo "PREFLIGHT: FAIL"
+exit "$FAIL"
