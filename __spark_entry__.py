@@ -87,7 +87,7 @@ _PRIORITY = [
     "json_props_extract",
     "kmeans_clusters",
     "lag_lead_event_values",
-    "lang_id_lexicon",
+    "substring_dup_spans",
 ]
 
 #: Everything outside the window, ordered by evidence staleness (round of
@@ -198,7 +198,7 @@ _STALENESS_TAIL = [
     "token_entropy_docs",
     "triangle_count_cosupplier",
     "heaps_law_fit",
-    "substring_dup_spans",
+    "lang_id_lexicon",
     "attribution_last_touch",
     "expected_clv_curve",
     "bool_bit_aggs_lineitem",

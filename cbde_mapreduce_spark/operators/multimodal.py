@@ -256,6 +256,19 @@ def phash_neardup_pairs(
     buckets); loose thresholds need narrow bands, whose coarser buckets
     admit more candidates — pick band_bits per threshold, the plan shape
     does not change.
+
+    Duplicate-collapse (round-8 — this operator predated the r6 campaign):
+    identical payloads hash identically and share every band, so a g-copy
+    hash group multiplied every (band, val) bucket by g and the bucket
+    self-join by g² — at 10× replication the join degenerated to ~2.5G
+    rows (4-bit buckets hold corpus/16 docs each), which was the entire
+    cost of the slowest full-registry sf1 name (the DCT was 3.9 s of ~60).
+    Banding, the bucket join, and the popcount verify now run over DISTINCT
+    hashes; expansion is exact because hamming depends only on the hash:
+    a group with ≥2 members is a hamming-0 clique (and hamming 0 implies
+    the SAME group, so clique and cross rows cannot overlap), and a
+    verified rep pair's hamming holds for every member pair. Identity on
+    all-distinct hashes.
     """
     n_bands = (63 + band_bits - 1) // band_bits
     if max_hamming >= n_bands:
@@ -265,8 +278,12 @@ def phash_neardup_pairs(
         )
     mask = (1 << band_bits) - 1
     h = perceptual_hash(multimodal, grid=grid)
-    bands = h.select(
-        "doc_id",
+    gh = h.groupBy("phash").agg(
+        F.min("doc_id").alias("gid"), F.count(F.lit(1)).alias("gsz")
+    )
+    mem = h.join(gh, "phash").select("doc_id", "gid", "gsz")
+    bands = gh.select(
+        "gid",
         "phash",
         F.explode(
             F.array(
@@ -281,22 +298,36 @@ def phash_neardup_pairs(
                 ]
             )
         ).alias("bv"),
-    ).select("doc_id", "phash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    ).select("gid", "phash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
     a = bands.select(
-        F.col("band"), F.col("val"), F.col("doc_id").alias("a"), F.col("phash").alias("ha")
+        F.col("band"), F.col("val"), F.col("gid").alias("g1"), F.col("phash").alias("ha")
     )
     b = bands.select(
-        F.col("band"), F.col("val"), F.col("doc_id").alias("b"), F.col("phash").alias("hb")
-    )
-    cand = (
-        a.join(b, ["band", "val"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "ha", "hb")
-        .distinct()
+        F.col("band"), F.col("val"), F.col("gid").alias("g2"), F.col("phash").alias("hb")
     )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
-        cand.select("a", "b", ham.alias("hamming"))
+    rep_pairs = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("g1") < F.col("g2"))
+        .select("g1", "g2", "ha", "hb")
+        .distinct()
+        .select("g1", "g2", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .orderBy("a", "b")
     )
+    cross = (
+        rep_pairs.join(mem.select(F.col("gid").alias("g1"), F.col("doc_id").alias("da")), "g1")
+        .join(mem.select(F.col("gid").alias("g2"), F.col("doc_id").alias("db")), "g2")
+        .select(
+            F.least("da", "db").alias("a"),
+            F.greatest("da", "db").alias("b"),
+            "hamming",
+        )
+    )
+    dup = mem.filter(F.col("gsz") >= 2)
+    clique = (
+        dup.select("gid", F.col("doc_id").alias("a"))
+        .join(dup.select("gid", F.col("doc_id").alias("b")), "gid")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.lit(0).cast("integer").alias("hamming"))
+    )
+    return cross.unionByName(clique).orderBy("a", "b")

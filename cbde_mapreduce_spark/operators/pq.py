@@ -152,11 +152,49 @@ def ivf_pq_topk(
     per-qid top-k expands through the membership map
     (expand_rep_qtopk_by_dist). Identity on all-distinct data.
     """
-    from cbde_mapreduce_spark.operators.iterative import kmeans_fit
-    from cbde_mapreduce_spark.operators.similarity import (
-        embedding_dup_tables,
-        expand_rep_qtopk_by_dist,
+    from cbde_mapreduce_spark.operators.similarity import expand_rep_qtopk_by_dist
+
+    res = _ivf_pq_rep_scan(
+        emb,
+        k,
+        n_clusters=n_clusters,
+        n_probe=n_probe,
+        m=m,
+        n_centroids=n_centroids,
+        n_sample=n_sample,
+        kmeans_iters=kmeans_iters,
+        seed=seed,
     )
+    if res is None:  # empty corpus
+        return emb.sparkSession.createDataFrame(
+            [], "qid bigint, nid bigint, adc_dist double, rn bigint"
+        )
+    mem, _reps, scanned = res
+    rep_cross = scanned.filter(F.col("qid") != F.col("nid"))
+    rep_self = scanned.filter(F.col("qid") == F.col("nid")).select(
+        F.col("qid").alias("gid"), "adc_dist"
+    )
+    return expand_rep_qtopk_by_dist(mem, rep_cross, rep_self, k)
+
+
+def _ivf_pq_rep_scan(
+    emb: DataFrame,
+    k: int,
+    n_clusters: int = 8,
+    n_probe: int = 3,
+    m: int = 8,
+    n_centroids: int = 16,
+    n_sample: int = 2048,
+    kmeans_iters: int = 3,
+    seed: int = 42,
+):
+    """Shared IVF-PQ candidate stage over identical-vector REPRESENTATIVES:
+    returns (mem, reps, scanned) where ``scanned`` holds each rep query's
+    per-qid ADC top-k cross rows plus its self-code row, or None on an
+    empty corpus. ivf_pq_topk expands it directly; ivf_pq_rerank_topk
+    exact-scores the rep pairs first (round-8 split)."""
+    from cbde_mapreduce_spark.operators.iterative import kmeans_fit
+    from cbde_mapreduce_spark.operators.similarity import embedding_dup_tables
 
     spark = emb.sparkSession
     grp, reps = embedding_dup_tables(emb)
@@ -167,9 +205,7 @@ def ivf_pq_topk(
     centroids, assigned = kmeans_fit(emb, k=n_clusters, iters=kmeans_iters)
     books = pq_train_codebooks(emb, m=m, k=n_centroids, n_sample=n_sample, seed=seed)
     if books is None:  # empty corpus
-        return spark.createDataFrame(
-            [], "qid bigint, nid bigint, adc_dist double, rn bigint"
-        )
+        return None
     sub = books.shape[2]
 
     # Inverted file: (cluster, nid, codes) — cluster id IS the partition key.
@@ -258,11 +294,7 @@ def ivf_pq_topk(
         .cogroup(codes.groupBy("cluster"))
         .applyInPandas(adc_cluster, "qid bigint, nid bigint, adc_dist double")
     )
-    rep_cross = scanned.filter(F.col("qid") != F.col("nid"))
-    rep_self = scanned.filter(F.col("qid") == F.col("nid")).select(
-        F.col("qid").alias("gid"), "adc_dist"
-    )
-    return expand_rep_qtopk_by_dist(mem, rep_cross, rep_self, k)
+    return mem, emb, scanned
 
 
 def pq_adc_topk(
@@ -354,7 +386,7 @@ def ivf_pq_rerank_topk(
 ) -> DataFrame:
     """IVF-PQ with an exact re-rank tail: ADC proposes ``rerank`` candidates
     per query (compressed-domain scan over probed clusters), then the TRUE
-    squared-L2 distance is computed for only those n·rerank pairs and the
+    squared-L2 distance is computed for only those candidate pairs and the
     final top-k re-sorted on it (Jégou et al. 2011 §V.C).
 
     This kills the PQ quantization error in the final ordering at a cost
@@ -362,23 +394,49 @@ def ivf_pq_rerank_topk(
     candidate pairs only — the original vectors are never scanned
     per-query. Recall-vs-exact strictly improves over raw ADC
     (asserted in tests/test_pq.py).
+
+    Re-rank runs at REPRESENTATIVE level (round-8): expanding first and
+    exact-scoring the vec-level pairs shipped two full embedding payloads
+    onto every one of the n·rerank expanded rows — ~6 GB of Arrow/shuffle
+    at 100× replication, the slowest name in the sf10 gate (95-134 s).
+    Identical vectors make expansion distance-preserving (a twin pair's
+    exact distance is 0; a cross pair's equals its rep pair's), so the
+    exact join now touches only the DISTINCT-vector candidate pairs and
+    the per-qid top-k expands through the membership map afterwards,
+    exactly like every other operator in this family. Identity on
+    all-distinct data (rep == vec level there).
     """
     from cbde_mapreduce_spark.functions.vectors import pair_l2_pandas
+    from cbde_mapreduce_spark.operators.similarity import expand_rep_qtopk_by_dist
 
-    cand = ivf_pq_topk(emb, k=rerank, **ivf_kwargs).select("qid", "nid")
-    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    res = _ivf_pq_rep_scan(emb, rerank, **ivf_kwargs)
+    if res is None:  # empty corpus
+        return emb.sparkSession.createDataFrame(
+            [], "qid bigint, nid bigint, l2_dist double, rn bigint"
+        )
+    mem, reps, scanned = res
+    e = reps.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     pair_l2 = pair_l2_pandas()
-    exact = (
-        cand.join(e.select(F.col("vec_id").alias("qid"), F.col("e").alias("ea")), "qid")
+    # the ADC proposal set is top-`rerank` PER QUERY (the per-cluster scan
+    # emits up to n_probe·rerank rows); truncate by (adc, nid) before the
+    # exact join — the same order the old expand-first path truncated with
+    wadc = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("nid"))
+    rep_cross = (
+        scanned.filter(F.col("qid") != F.col("nid"))
+        .withColumn("rr", F.row_number().over(wadc))
+        .filter(F.col("rr") <= rerank)
+        .select("qid", "nid")
+        .join(e.select(F.col("vec_id").alias("qid"), F.col("e").alias("ea")), "qid")
         .join(e.select(F.col("vec_id").alias("nid"), F.col("e").alias("eb")), "nid")
         .select(
             "qid", "nid", F.round(pair_l2(F.col("ea"), F.col("eb")), 6).alias("l2_dist")
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.asc("l2_dist"), F.asc("nid"))
-    return exact.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(
-        F.col("rn") <= k
+    # exact self distance of a duplicate twin is 0 (identical vectors)
+    rep_self = reps.select(
+        F.col("vec_id").alias("gid"), F.lit(0.0).alias("l2_dist")
     )
+    return expand_rep_qtopk_by_dist(mem, rep_cross, rep_self, k, dist_col="l2_dist")
 
 
 def ivf_rpq_topk(

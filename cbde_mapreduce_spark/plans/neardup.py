@@ -264,49 +264,85 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc. At 100 TB the shingle groupBy keys on xxhash64(g) (8-byte shuffle
     keys instead of 50-char strings) with an md5 upgrade if collision odds
     at corpus cardinality warrant 128 bits; the span algebra is unchanged.
+
+    Duplicate-collapse (round-8 — this operator predated the r6 campaign):
+    the shingle explosion is Θ(corpus chars), so a 100×-replicated corpus
+    shuffled ~30 GB of 50-char shingle rows twice (the GCLocker-warning
+    name in the r8 sf10 gate). Spans are text-deterministic, so the
+    explosion now runs over DISTINCT texts only, with an exact group-level
+    split of the cross-doc test (count(DISTINCT doc_id) > 1):
+    - a doc whose text has ≥2 copies: every one of its shingles occurs
+      verbatim in a twin (a distinct doc), so every position is a hit and
+      the span algebra degenerates to ONE island covering the whole text —
+      its row is (1, len, len) in closed form, no shingles needed;
+    - a doc with a unique text: within-own-text repeats never satisfy the
+      DISTINCT-doc test, so a shingle hits iff it occurs in some OTHER
+      distinct text — i.e. its rep-level shingle group spans ≥2 distinct
+      texts (any sizes; even another singleton is another doc). The
+      island merge runs on the rep text, which IS the doc text.
+    Multi-copy texts still serve as match TARGETS for the singles, so the
+    shingle aggregate runs over all reps. Identity on all-distinct data
+    (every group is a singleton and ng≥2 is exactly nd>1).
     """
     docs = load_table(spark, sf_dir, "documents")
     k = _SUBDUP_K
+    g = docs.groupBy("text").agg(
+        F.min("doc_id").alias("gid"), F.count(F.lit(1)).alias("gsz")
+    )
     pos = (
-        # Docs shorter than k chars generate no positions — without the
+        # Texts shorter than k chars generate no positions — without the
         # filter, sequence(1, 0) yields [1, 0] on Spark (default step -1
         # when start > stop) and emits two phantom shingles the oracle's
         # WHERE i <= length(text)-k+1 predicate excludes.
-        docs.filter(F.length("text") >= k)
+        g.filter(F.length("text") >= k)
         .select(
-            "doc_id",
+            "gid",
+            "gsz",
             F.explode(
                 F.sequence(F.lit(1), F.length("text") - (k - 1))
             ).alias("i"),
             "text",
         )
-        .select("doc_id", "i", F.expr(f"substring(text, i, {k})").alias("g"))
+        .select("gid", "gsz", "i", F.expr(f"substring(text, i, {k})").alias("g"))
     )
     dupg = pos.groupBy("g").agg(
-        F.count_distinct("doc_id").alias("nd")
-    ).filter(F.col("nd") > 1).select("g")
-    hit = pos.join(dupg, "g").select("doc_id", "i")
+        F.count_distinct("gid").alias("ng")
+    ).filter(F.col("ng") > 1).select("g")
+    hit = pos.filter(F.col("gsz") == 1).join(dupg, "g").select("gid", "i")
     wprev = (
-        Window.partitionBy("doc_id")
+        Window.partitionBy("gid")
         .orderBy("i")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     isl = hit.select(
-        "doc_id",
+        "gid",
         "i",
         F.when(F.max(F.col("i") + (k - 1)).over(wprev) >= F.col("i"), 0)
         .otherwise(1)
         .alias("new_island"),
     )
-    wcum = Window.partitionBy("doc_id").orderBy("i")
-    grp = isl.select(
-        "doc_id", "i", F.sum("new_island").over(wcum).alias("island")
-    )
-    spans = grp.groupBy("doc_id", "island").agg(
+    wcum = Window.partitionBy("gid").orderBy("i")
+    grp = isl.select("gid", "i", F.sum("new_island").over(wcum).alias("island"))
+    spans = grp.groupBy("gid", "island").agg(
         F.min("i").alias("s"), F.max(F.col("i") + (k - 1)).alias("e")
     )
-    return spans.groupBy("doc_id").agg(
+    single_rows = spans.groupBy("gid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_chars"),
         F.max(F.col("e") - F.col("s") + 1).cast("bigint").alias("max_span"),
     )
+    multi_rows = (
+        g.filter((F.col("gsz") >= 2) & (F.length("text") >= k))
+        .select(
+            "gid",
+            F.lit(1).cast("bigint").alias("n_spans"),
+            F.length("text").cast("bigint").alias("dup_chars"),
+            F.length("text").cast("bigint").alias("max_span"),
+        )
+    )
+    rows = single_rows.unionByName(multi_rows)
+    mem = docs.join(
+        g.select(F.col("text").alias("__gt"), "gid"),
+        F.col("text") == F.col("__gt"),
+    ).select("doc_id", "gid")
+    return mem.join(rows, "gid").select("doc_id", "n_spans", "dup_chars", "max_span")
