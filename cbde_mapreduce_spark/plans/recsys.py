@@ -91,15 +91,40 @@ def item_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |b| <= |lineitem| (b is a projection of the join, then distinct), so
     # the lineitem row count — parquet-metadata cheap — bounds the scaling
     pair_tasks = int(min(2048, max(sh, li.count() // 100_000)))
-    co = (
-        x.join(y, "c")
-        .filter(F.col("p1") < F.col("p2"))
-        .repartition(pair_tasks, "p1", "p2")
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).cast("double").alias("co"))
-        .filter(F.col("co") >= _CF_MIN_CO)
-    )
-    n_parts = load_table(spark, sf_dir, "part").count()  # >= |pop|: p is a FK
+    pairs = x.join(y, "c").filter(F.col("p1") < F.col("p2"))
+    # the pair exchange moves ~Σ B² rows — the dominant cost at replication
+    # scale (measured: ~230 s of the 255 s sf10 total was this shuffle).
+    # While part keys fit 31 bits (gated on the dimension's measured max,
+    # one scalar with the n_parts count below), pack the ordered pair into
+    # ONE bigint: p1·2³² + p2 < 2⁶³, a third less row width through the
+    # exchange and a single-long hash-aggregate key; unpack is two bit ops.
+    # Past the gate the two-column exchange is used unchanged.
+    part_stats = load_table(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).alias("n"), F.max("p_partkey").alias("mx")
+    ).collect()[0]
+    n_parts, max_part = part_stats["n"], part_stats["mx"] or 0
+    if max_part < 2**31:
+        co = (
+            pairs.select(
+                (F.col("p1") * F.lit(2**32) + F.col("p2")).alias("pk")
+            )
+            .repartition(pair_tasks, "pk")
+            .groupBy("pk")
+            .agg(F.count(F.lit(1)).cast("double").alias("co"))
+            .filter(F.col("co") >= _CF_MIN_CO)
+            .select(
+                F.shiftright("pk", 32).alias("p1"),
+                F.col("pk").bitwiseAND(F.lit(2**32 - 1)).alias("p2"),
+                "co",
+            )
+        )
+    else:
+        co = (
+            pairs.repartition(pair_tasks, "p1", "p2")
+            .groupBy("p1", "p2")
+            .agg(F.count(F.lit(1)).cast("double").alias("co"))
+            .filter(F.col("co") >= _CF_MIN_CO)
+        )
     n1 = maybe_broadcast(
         pop.select(F.col("p").alias("p1"), F.col("n").alias("n1")), n_parts
     )
