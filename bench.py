@@ -9,9 +9,13 @@ Methodology (mirrors BASELINE.md's DuckDB warm median-of-3, hardened
 against ambient load in round 8):
 - one shared SparkSession; per query the DataFrame is built once, then
   executed RUNS times per round for ROUNDS interleaved rounds; per-query
-  time = MIN over rounds of the per-round median wall-clock, with results
-  materialized via the Arrow path (toPandas). Load averages before/after
-  are recorded alongside so a hot machine is visible in the artifact.
+  time = MEDIAN over rounds of the per-round median wall-clock, with
+  results materialized via the Arrow path (toPandas). Load averages
+  before/after are recorded alongside so a hot machine is visible in the
+  artifact. (Round 9, ADVICE r8: the round-8 min-of-rounds was downward-
+  biased relative to the DuckDB baseline's warm median; the median of
+  round medians keeps the load robustness — a spike must hit 2 of 3
+  time-separated windows to move the record — without the asymmetry.)
 - driver-side plan construction (py4j + Catalyst analysis, ~0.3-0.8 s per
   query) is reported separately as ``planning_sec``: it is a fixed,
   data-size-independent driver cost — at the 100 TB design point it is
@@ -63,10 +67,12 @@ RUNS = 9
 #: ambient machine load over its ~10 s window — BENCH_r07 recorded
 #: sessionize_events at 1.60x its r6 reading from load alone, breaching the
 #: repo's own <=1.5x guard in the artifact of record. The recorded value is
-#: now the MIN of ROUNDS interleaved median-of-9 passes: the full headline
+#: the MEDIAN of ROUNDS interleaved median-of-9 passes: the full headline
 #: list is timed, then timed again, so each query gets medians from
-#: time-separated windows and the min picks its quietest one. A load spike
-#: would have to span all passes of a query to survive into the record.
+#: time-separated windows and a load spike must span a majority of a
+#: query's passes to survive into the record. (Round 8 used MIN of rounds;
+#: ADVICE r8 flagged that as downward-biased vs the DuckDB baseline's warm
+#: median-of-3, so round 9 switched to the symmetric median-of-medians.)
 ROUNDS = 3
 
 
@@ -128,7 +134,9 @@ def main() -> None:
                 dfs[name].toPandas()
                 samples.append(time.perf_counter() - t0)
             medians[name].append(statistics.median(samples))
-    timings = {name: round(min(medians[name]), 4) for name in HEADLINE}
+    timings = {
+        name: round(statistics.median(medians[name]), 4) for name in HEADLINE
+    }
 
     total = round(sum(timings.values()), 4)
     print(
@@ -147,9 +155,9 @@ def main() -> None:
                 },
                 "loadavg_before": [round(v, 2) for v in load_before],
                 "loadavg_after": [round(v, 2) for v in os.getloadavg()],
-                "note": "min over interleaved rounds of median-of-RUNS warm "
-                "executions (Arrow materialization); driver-side plan build "
-                "reported separately in planning_sec",
+                "note": "median over interleaved rounds of median-of-RUNS "
+                "warm executions (Arrow materialization); driver-side plan "
+                "build reported separately in planning_sec",
             }
         )
     )

@@ -94,16 +94,25 @@ def item_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = x.join(y, "c").filter(F.col("p1") < F.col("p2"))
     # the pair exchange moves ~Σ B² rows — the dominant cost at replication
     # scale (measured: ~230 s of the 255 s sf10 total was this shuffle).
-    # While part keys fit 31 bits (gated on the dimension's measured max,
-    # one scalar with the n_parts count below), pack the ordered pair into
-    # ONE bigint: p1·2³² + p2 < 2⁶³, a third less row width through the
-    # exchange and a single-long hash-aggregate key; unpack is two bit ops.
-    # Past the gate the two-column exchange is used unchanged.
-    part_stats = load_table(spark, sf_dir, "part").agg(
-        F.count(F.lit(1)).alias("n"), F.max("p_partkey").alias("mx")
+    # While part keys fit 31 bits, pack the ordered pair into ONE bigint:
+    # p1·2³² + p2 < 2⁶³, a third less row width through the exchange and a
+    # single-long hash-aggregate key; unpack is two bit ops. Past the gate
+    # the two-column exchange is used unchanged.
+    #
+    # The gate measures min/max of the VALUES BEING PACKED's source column
+    # (ADVICE r8): p1/p2 come from lineitem.l_partkey, and the part
+    # dimension's max would not catch an orphan or negative FK — shiftright
+    # is arithmetic, so an out-of-range key would silently corrupt the
+    # pack/unpack. The join+distinct building ``b`` can only drop values
+    # from lineitem, never add, so lineitem's single-column min/max bounds
+    # b.p exactly; it is one cheap scalar agg on an already-loaded column.
+    n_parts = load_table(spark, sf_dir, "part").count()
+    li_stats = li.agg(
+        F.min("l_partkey").alias("mn"), F.max("l_partkey").alias("mx")
     ).collect()[0]
-    n_parts, max_part = part_stats["n"], part_stats["mx"] or 0
-    if max_part < 2**31:
+    min_part = li_stats["mn"] if li_stats["mn"] is not None else 0
+    max_part = li_stats["mx"] if li_stats["mx"] is not None else 0
+    if 0 <= min_part and max_part < 2**31:
         co = (
             pairs.select(
                 (F.col("p1") * F.lit(2**32) + F.col("p2")).alias("pk")
