@@ -29,73 +29,17 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #: query earns a driver-green row across rounds; ROTATION.md records which
 #: names sat in each round's window.
 #:
-#: Round-8 window = FRESHNESS (the registry stays FROZEN at 284/263 — the
-#: never-checked backlog is zero after round 7): first the names whose
-#: implementation changed after their last driver row — the round-8 fixes
-#: (item_item_cf pair-reduce reshape, sorted_neighborhood verify collapse,
-#: similarity zero-norm/NULL-safe advice fixes), the round-7 out-of-window
-#: hygiene changes (sssp, bpe_merges), and the f69cdd0/ffab311 similarity +
-#: ANN/PQ family — then the stalest r1-checked names in _STALENESS_TAIL
-#: order (VERDICT r7 ask #1; ROTATION.md "Round 8").
+#: Round-9 window: the three round-9 unfreeze names (applyInArrow /
+#: mapInArrow / UDTF-analyze — new plan shapes enter the window
+#: immediately), item_item_cf_topk (its pair-pack gate source changed this
+#: round, ADVICE r8), then the stalest r1-checked names in _STALENESS_TAIL
+#: order. The round-8 window (50/50 green in CORRECTNESS_r08) moves to the
+#: back of the tail as the freshest evidence. ROTATION.md "Round 9".
 _PRIORITY = [
+    "arrow_grouped_minmax_norm",
+    "arrow_map_doc_stats",
+    "udtf_analyze_ngrams",
     "item_item_cf_topk",
-    "sorted_neighborhood_neardup",
-    "sssp_trade_graph",
-    "bpe_merges_vocab",
-    "cosine_topk_similarity",
-    "cosine_topk_sharded",
-    "cosine_topk_hof",
-    "maxsim_label_topk",
-    "maxsim_label_sharded",
-    "mips_topk_augmented",
-    "embedding_neardup_pairs",
-    "ann_lsh_topk",
-    "embedding_neardup_lsh",
-    "ivf_ann_topk",
-    "ivf_pq_topk",
-    "ivf_pq_rerank_topk",
-    "ivf_rpq_topk",
-    "pq_adc_topk",
-    "approx_distinct_users",
-    "approx_percentile_values",
-    "argmax_order_per_customer",
-    "array_funcs_embeddings",
-    "conditional_case_orders",
-    "count_distinct_by_status",
-    "cross_join_region_segments",
-    "cube_orders_status_priority",
-    "dataset_split_assignment",
-    "date_format_buckets",
-    "datetime_funcs_orders",
-    "dedup_exact_docs",
-    "dedup_exact_keep_first",
-    "distinct_segment_nation",
-    "doc_fingerprint",
-    "except_all_priorities",
-    "explode_doc_tokens",
-    "filter_project_orders",
-    "first_last_event_per_user",
-    "freq_items_words",
-    "full_outer_nation_activity",
-    "global_agg_lineitem",
-    "grouped_agg_pandas_median",
-    "grouped_map_zscore",
-    "hash_functions_docs",
-    "having_busy_suppliers",
-    "histogram_event_types",
-    "intersect_nation_keys",
-    "json_props_extract",
-    "kmeans_clusters",
-    "lag_lead_event_values",
-    "substring_dup_spans",
-]
-
-#: Everything outside the window, ordered by evidence staleness (round of
-#: last driver row, oldest first): the remaining r1-checked names, then
-#: r2/r3, the round-4 window, the round-4 rows-only batch, the round-6
-#: window, and finally the round-7 window (the freshest evidence, moved to
-#: the back after its 50/50-green CORRECTNESS_r07 rows).
-_STALENESS_TAIL = [
     "left_outer_order_counts",
     "like_rlike_filter",
     "map_literal_region_lookup",
@@ -142,6 +86,13 @@ _STALENESS_TAIL = [
     "streaming_tumbling_counts",
     "string_funcs_customer",
     "tfidf_top_terms",
+]
+
+#: Everything outside the window, ordered by evidence staleness (round of
+#: last driver row, oldest first): the remaining r1/r2/r3-checked names,
+#: the round-4/6/7 windows, and finally the round-8 window (the freshest
+#: evidence, moved to the back after its 50/50-green CORRECTNESS_r08 rows).
+_STALENESS_TAIL = [
     "theta_join_price_bands",
     "token_stats_per_doc",
     "top50_parts_ranked",
@@ -330,6 +281,55 @@ _STALENESS_TAIL = [
     "neardup_components_star",
     "dedup_canonical_docs",
     "pagerank_trade_graph",
+    "sorted_neighborhood_neardup",
+    "sssp_trade_graph",
+    "bpe_merges_vocab",
+    "cosine_topk_similarity",
+    "cosine_topk_sharded",
+    "cosine_topk_hof",
+    "maxsim_label_topk",
+    "maxsim_label_sharded",
+    "mips_topk_augmented",
+    "embedding_neardup_pairs",
+    "ann_lsh_topk",
+    "embedding_neardup_lsh",
+    "ivf_ann_topk",
+    "ivf_pq_topk",
+    "ivf_pq_rerank_topk",
+    "ivf_rpq_topk",
+    "pq_adc_topk",
+    "approx_distinct_users",
+    "approx_percentile_values",
+    "argmax_order_per_customer",
+    "array_funcs_embeddings",
+    "conditional_case_orders",
+    "count_distinct_by_status",
+    "cross_join_region_segments",
+    "cube_orders_status_priority",
+    "dataset_split_assignment",
+    "date_format_buckets",
+    "datetime_funcs_orders",
+    "dedup_exact_docs",
+    "dedup_exact_keep_first",
+    "distinct_segment_nation",
+    "doc_fingerprint",
+    "except_all_priorities",
+    "explode_doc_tokens",
+    "filter_project_orders",
+    "first_last_event_per_user",
+    "freq_items_words",
+    "full_outer_nation_activity",
+    "global_agg_lineitem",
+    "grouped_agg_pandas_median",
+    "grouped_map_zscore",
+    "hash_functions_docs",
+    "having_busy_suppliers",
+    "histogram_event_types",
+    "intersect_nation_keys",
+    "json_props_extract",
+    "kmeans_clusters",
+    "lag_lead_event_values",
+    "substring_dup_spans",
 ]
 
 def _ordered_names() -> list[str]:

@@ -338,3 +338,189 @@ def cogroup_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_lines bigint, diff double",
         )
     )
+
+
+@query(
+    "arrow_grouped_minmax_norm",
+    oracle="""
+        SELECT event_id, user_id, vnorm FROM (
+            SELECT event_id, user_id,
+                   round((value - min(value) OVER u)
+                         / (max(value) OVER u - min(value) OVER u), 4) AS vnorm
+            FROM events
+            WINDOW u AS (PARTITION BY user_id)
+        ) WHERE vnorm IS NOT NULL
+    """,
+    category="udf",
+)
+def arrow_grouped_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInArrow (round-9 unfreeze: the Arrow-native grouped-map
+    physical shape, FlatMapGroupsInArrow): per-user min-max normalization
+    of event values computed with pyarrow.compute kernels — no pandas
+    materialization of the group at all, columnar end to end.
+
+    vs applyInPandas (grouped_map_zscore): same shuffle (one hash exchange
+    on the group key), but the per-group body receives a pyarrow.Table and
+    skips the Arrow->pandas->Arrow conversion both ways — on wide string
+    columns that conversion IS the grouped-map cost, so this is the shape
+    a 100 TB per-group kernel should prefer when pa.compute expresses it.
+    Degenerate groups (single event / zero range / all-NULL) are excluded
+    on both sides: their SQL twin divides by zero -> NULL -> filtered.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    events = load_table(spark, sf_dir, "events")
+
+    def minmax(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("value")
+        mn, mx = pc.min(v), pc.max(v)
+        if not mn.is_valid or not mx.is_valid or mn.as_py() == mx.as_py():
+            # degenerate group (all-NULL / single / zero range): emit the
+            # empty table directly — slice FIRST, then append the empty
+            # column (append_column validates length against the table)
+            return tbl.select(["event_id", "user_id"]).slice(0, 0).append_column(
+                "vnorm", pa.array([], type=pa.float64())
+            )
+        # the kernel emits the RAW quotient; rounding happens JVM-side below.
+        # pc.round is NOT bit-compatible with either SQL engine (default
+        # half_to_even tie direction AND a different scaled-multiply
+        # algorithm — the identical-embeddings skew sweep caught a cell
+        # where pc.round and DuckDB round produce different doubles for the
+        # same input), while F.round-vs-DuckDB-round is the pair every
+        # oracled float in this repo already relies on.
+        norm = pc.divide(pc.subtract(v, mn), pc.subtract(mx, mn))
+        out = tbl.select(["event_id", "user_id"]).append_column("vnorm", norm)
+        # NULL values carry no normalized score (oracle: WHERE vnorm IS NOT NULL)
+        return out.filter(pc.is_valid(norm))
+
+    return (
+        events.select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInArrow(minmax, "event_id bigint, user_id bigint, vnorm double")
+        .withColumn("vnorm", F.round("vnorm", 4))
+    )
+
+
+@query(
+    "arrow_map_doc_stats",
+    oracle="""
+        SELECT doc_id,
+               length(text)::bigint                                  AS n_cp,
+               strlen(text)::bigint                                  AS n_bytes,
+               (length(text) - length(replace(text, ' ', '')))::bigint AS n_spaces
+        FROM documents
+        WHERE text IS NOT NULL
+    """,
+    category="udf",
+)
+def arrow_map_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (round-9 unfreeze: the Arrow-native map physical shape,
+    MapInArrow / ArrowEvalPython-free): per-document codepoint count, utf-8
+    byte count and space count computed on RecordBatches with pyarrow
+    kernels — the zero-copy row-parallel path for Python logic that is
+    per-record but not expressible as a single pandas_udf expression.
+
+    No shuffle at all: this is a pure map over the scan, the cheapest
+    possible 100 TB shape, and unlike a scalar pandas_udf the batch never
+    round-trips through pandas object arrays (for string-heavy batches
+    that conversion dominates). NULL texts are dropped on both sides (no
+    stats for absent content).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def stats(batches):
+        for batch in batches:
+            t = batch.column("text")
+            keep = pc.is_valid(t)
+            t = pc.filter(t, keep)
+            ids = pc.filter(batch.column("doc_id"), keep)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pc.cast(pc.utf8_length(t), pa.int64()),
+                    pc.cast(pc.binary_length(pc.cast(t, pa.binary())), pa.int64()),
+                    pc.cast(pc.count_substring(t, " "), pa.int64()),
+                ],
+                names=["doc_id", "n_cp", "n_bytes", "n_spaces"],
+            )
+
+    return docs.select("doc_id", "text").mapInArrow(
+        stats, "doc_id bigint, n_cp bigint, n_bytes bigint, n_spaces bigint"
+    )
+
+
+_NGRAM_N = 2  # the analyze()-time constant that names the output column
+
+
+@query(
+    "udtf_analyze_ngrams",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents WHERE doc_id < 20 AND text IS NOT NULL)
+        SELECT doc_id,
+               array_to_string(toks[i:i+{_NGRAM_N}-1], ' ') AS gram_{_NGRAM_N},
+               i::int AS pos
+        FROM t, generate_series(1, 4096) s(i)
+        WHERE i <= len(toks) - {_NGRAM_N} + 1
+    """,
+    category="udf",
+)
+def udtf_analyze_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a static ``analyze()`` (round-9 unfreeze: the
+    polymorphic-OUTPUT table function shape — Spark 4 resolves the result
+    schema at PLAN time by calling analyze() with the constant argument,
+    so the column is literally named ``gram_2`` because n=2 was passed).
+
+    This is the remaining UDTF capability beside the row generator
+    (python_udtf_tokenize) and the TABLE(...) PARTITION BY reducer
+    (udtf_table_arg_lang_stats): schema-producing user code, the shape
+    CSV-header inference or key-set-dependent pivot UDTFs need. The eval
+    body is a bounded generator (doc_id < 20, same bound as the tokenize
+    UDTF — UDTFs run row-at-a-time and stay off hot paths; the declarative
+    twin for n-grams at scale is the F.transform/slice pipeline in
+    plans/text.py). Oracle: DuckDB list slicing over the same positions,
+    1-based, windows that fit entirely inside the token list.
+    """
+    import uuid
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, LongType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class NGrams:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not n.isConstantExpression:
+                raise ValueError("n must be a constant (it names the column)")
+            width = int(n.value)
+            schema = (
+                StructType()
+                .add(f"gram_{width}", StringType())
+                .add("pos", IntegerType())
+            )
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            if text is None:
+                return
+            toks = text.split(" ")
+            for i in range(len(toks) - n + 1):
+                yield (" ".join(toks[i : i + n]), i + 1)
+
+    tag = uuid.uuid4().hex[:8]
+    spark.udtf.register(f"cbde_ngrams_{tag}", udtf(NGrams))
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") < 20).createOrReplaceTempView(
+        f"udtf_ng_docs_{tag}"
+    )
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, g.gram_{_NGRAM_N}, g.pos
+        FROM udtf_ng_docs_{tag} d,
+             LATERAL cbde_ngrams_{tag}(d.text, {_NGRAM_N}) g
+        """
+    )

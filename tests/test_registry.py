@@ -39,28 +39,17 @@ def test_driver_window_is_valid():
     typo would silently shrink the driver's correctness window. A window
     may deliberately stage rows-only names (their no_oracle driver row
     beats another round of nothing — ROTATION.md records each round's
-    staging); every other window slot must be an oracled query. Round 8
-    stages the rows-only ANN/PQ family (all read embedding dup groups,
-    whose join-back changed in the round-8 advice fix)."""
+    staging); every other window slot must be an oracled query. Round 9
+    stages two rows-only names the stalest-r1 freshness fill reaches
+    (both LSH-sketch families, SURVEY §2's "Oracle?" column)."""
     import __spark_entry__ as E
 
     P = E._PRIORITY
     assert len(P) == 50
     assert len(set(P)) == 50, "duplicate names in the window"
     staged_rows_only = {
-        "ann_lsh_topk",
-        "embedding_neardup_lsh",
-        "ivf_ann_topk",
-        "ivf_pq_topk",
-        "ivf_pq_rerank_topk",
-        "ivf_rpq_topk",
-        "pq_adc_topk",
-        # rows-only-by-design names the stalest-r1 freshness fill reaches
-        # (approx sketches / kmeans, SURVEY §2's "Oracle?" column)
-        "approx_distinct_users",
-        "approx_percentile_values",
-        "freq_items_words",
-        "kmeans_clusters",
+        "minhash_lsh_neardup",
+        "simhash_fingerprints",
     }
     for n in P:
         assert n in REGISTRY, f"window name {n} not in registry"
