@@ -85,7 +85,10 @@ _PRIORITY = [
     "stats_agg_lineitem",
     "streaming_tumbling_counts",
     "string_funcs_customer",
-    "tfidf_top_terms",
+    # swapped in mid-round (changed-oracled-name rule, like the round-8
+    # substring swap): the ring order fix displaced tfidf_top_terms,
+    # which returns to the tail head
+    "contrastive_negatives_ring",
 ]
 
 #: Everything outside the window, ordered by evidence staleness (round of
@@ -93,6 +96,7 @@ _PRIORITY = [
 #: the round-4/6/7 windows, and finally the round-8 window (the freshest
 #: evidence, moved to the back after its 50/50-green CORRECTNESS_r08 rows).
 _STALENESS_TAIL = [
+    "tfidf_top_terms",
     "theta_join_price_bands",
     "token_stats_per_doc",
     "top50_parts_ranked",
@@ -185,7 +189,6 @@ _STALENESS_TAIL = [
     "ks_binned_order_drift",
     "clustering_coeff_cosupplier",
     "decile_histogram_orders",
-    "contrastive_negatives_ring",
     "ntile_percentile_orders",
     "cm_sketch_heavy_hitters",
     "hll_rollup_daily_users",

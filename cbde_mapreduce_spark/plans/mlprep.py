@@ -644,13 +644,12 @@ _NEG_K = 4
 _NEG_ORACLE = f"""
     WITH ring AS (
         SELECT vec_id, label,
-               (ascii(substr(md5(vec_id::varchar), 1, 1))::bigint * 65536
+               ascii(substr(md5(vec_id::varchar), 1, 1))::bigint * 65536
                 + ascii(substr(md5(vec_id::varchar), 2, 1))::bigint * 256
-                + ascii(substr(md5(vec_id::varchar), 3, 1))::bigint) * 1024
-                + vec_id AS pos
+                + ascii(substr(md5(vec_id::varchar), 3, 1))::bigint AS hpos
         FROM embeddings),
-    ordered AS (SELECT vec_id, label, pos,
-                       row_number() OVER (ORDER BY pos) AS rn,
+    ordered AS (SELECT vec_id, label,
+                       row_number() OVER (ORDER BY hpos, vec_id) AS rn,
                        count(*) OVER () AS n
                 FROM ring),
     cand AS (
@@ -687,22 +686,32 @@ def contrastive_negatives_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ring size n is a driver scalar (count() moves O(partitions)
     partials) inlined into the modular-rank successor join, which the
     planner runs as a plain hash equi-join on the computed rank key.
+
+    Round 9 (found by the dup-heavy cell-exact sweep): the ring order is
+    the COMPOSITE key (hpos, vec_id), not the packed hpos·1024 + vec_id —
+    the pack is injective only while vec_id < 1024, and a 20×-replicated
+    corpus (vec_ids offset past 1024) produced position TIES whose
+    row_number resolution is engine-arbitrary: 32 anchors drew different
+    negatives on Spark vs DuckDB. The md5 trio ranges over 16³ hex-ascii
+    values, so collisions need only |Δhpos| = Δvec_id/1024 — routine at
+    corpus scale. The composite order is total for ANY id range (both
+    exclusive_prefix_sum and the oracle's ORDER BY take the two-column
+    lexicographic key directly; no packing bound to gate).
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     h = F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8"))
-    pos = (
-        (
-            F.ascii(F.substring(h, 1, 1)).cast("bigint") * 65536
-            + F.ascii(F.substring(h, 2, 1)).cast("bigint") * 256
-            + F.ascii(F.substring(h, 3, 1)).cast("bigint")
-        )
-        * 1024
-        + F.col("vec_id")
+    hpos = (
+        F.ascii(F.substring(h, 1, 1)).cast("bigint") * 65536
+        + F.ascii(F.substring(h, 2, 1)).cast("bigint") * 256
+        + F.ascii(F.substring(h, 3, 1)).cast("bigint")
     )
-    ring = emb.select("vec_id", "label", pos.alias("pos"))
+    ring = emb.select("vec_id", "label", hpos.alias("hpos"))
     n = ring.count()
     ordered = exclusive_prefix_sum(
-        ring.withColumn("__one", F.lit(1)), "pos", "__one", out_col="__r0"
+        ring.withColumn("__one", F.lit(1)),
+        ["hpos", "vec_id"],
+        "__one",
+        out_col="__r0",
     ).withColumn("rn", F.col("__r0") + 1)
     a = ordered.select(
         F.col("vec_id").alias("anchor"),

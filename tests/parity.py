@@ -25,12 +25,18 @@ from cbde_mapreduce_spark.sources import TABLES
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    import os
+
     con = duckdb.connect()
     try:
         for t in TABLES:
-            con.sql(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-            )
+            # both fixture layouts (ROTATION.md round-5 sixth regime): a
+            # single file, or a directory of part files as written at scale
+            # (tools_scale_gen, partitioned sinks) — Spark's loaders handle
+            # both, so the oracle side must too
+            p = f"{sf_dir}/{t}.parquet"
+            src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
         return con.sql(sql).df()
     finally:
         con.close()

@@ -5,8 +5,11 @@
 #      tests/test_parity.py is the stricter cell-exact layer);
 #   2. standing dup-heavy gate: the 25 flagged heavy names in ONE worker
 #      JVM at sf10 (SCALING.md);
-#   3. full-registry sweep at sf1 (10x) under the orchestrator.
-# Takes ~45 min total; each step prints PASS/FAIL at the end.
+#   3. full-registry sweep at sf1 (10x) under the orchestrator;
+#   4. dup-heavy CELL-EXACT sweep: every oracled query value-checked vs
+#      DuckDB on a 20x-replicated sf0.001 corpus (round 9 — counts can't
+#      see tie-resolution divergence on duplicated data).
+# Takes ~65 min total; each step prints PASS/FAIL at the end.
 set -eu
 cd "$(dirname "$0")"
 OUT=.scratch/preflight_$(date +%Y%m%d_%H%M)
@@ -65,12 +68,25 @@ check_sweep() {
     fi
 }
 
+# regenerate the replicas when .scratch starts clean (fresh round)
+[ -d .scratch/sf10 ] || python tools_scale_gen.py /root/testdata/sf0.1 .scratch/sf10 100 >/dev/null 2>&1
+[ -d .scratch/sf1 ] || python tools_scale_gen.py /root/testdata/sf0.1 .scratch/sf1 10 >/dev/null 2>&1
+
 # shellcheck disable=SC2086
 python tools_scale_sweep.py .scratch/sf10 420 $HEAVY25 > "$OUT.sf10_heavy25.txt" 2>/dev/null || true
 check_sweep "$OUT.sf10_heavy25.txt" "sf10 heavy-25"
 
 python tools_scale_sweep.py .scratch/sf1 180 > "$OUT.sf1_all.txt" 2>/dev/null || true
 check_sweep "$OUT.sf1_all.txt" "sf1 full sweep"
+
+[ -d .scratch/dup20 ] || python tools_scale_gen.py /root/testdata/sf0.001 .scratch/dup20 20 >/dev/null 2>&1
+if python tools_dup_value_sweep.py .scratch/dup20 > "$OUT.dup_value.txt" 2>/dev/null \
+   && grep -q "^DONE 0 failures" "$OUT.dup_value.txt"; then
+    echo "dup-value sweep: clean ($(grep -c ' OK ' "$OUT.dup_value.txt") names)"
+else
+    echo "dup-value sweep: FAIL"; FAIL=1
+    grep "FAILURE" "$OUT.dup_value.txt" | head -5
+fi
 
 [ "$FAIL" -eq 0 ] && echo "PREFLIGHT: PASS" || echo "PREFLIGHT: FAIL"
 exit "$FAIL"
