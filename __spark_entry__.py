@@ -29,73 +29,16 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #: query earns a driver-green row across rounds; ROTATION.md records which
 #: names sat in each round's window.
 #:
-#: Round-9 window: the three round-9 unfreeze names (applyInArrow /
-#: mapInArrow / UDTF-analyze — new plan shapes enter the window
-#: immediately), item_item_cf_topk (its pair-pack gate source changed this
-#: round, ADVICE r8), then the stalest r1-checked names in _STALENESS_TAIL
-#: order. The round-8 window (50/50 green in CORRECTNESS_r08) moves to the
-#: back of the tail as the freshest evidence. ROTATION.md "Round 9".
+#: Round-10 window: the two CONVERTED names first (minhash_lsh_neardup and
+#: simhash_fingerprints graduated from rows-only to md5-portable oracled
+#: queries this round — changed-oracled-name rule: new oracle evidence
+#: lands immediately), then the 10 stalest r1-vintage names (the head of
+#: the staleness tail, VERDICT r9 item 1), then the round-4 window names
+#: by staleness. The round-9 window moves to the back of the tail as the
+#: freshest evidence. ROTATION.md "Round 10".
 _PRIORITY = [
-    "arrow_grouped_minmax_norm",
-    "arrow_map_doc_stats",
-    "udtf_analyze_ngrams",
-    "item_item_cf_topk",
-    "left_outer_order_counts",
-    "like_rlike_filter",
-    "map_literal_region_lookup",
-    "math_funcs_lineitem",
     "minhash_lsh_neardup",
-    "moving_avg_user_value",
-    "multimodal_binary_features",
-    "anti_join_inactive_customers",
-    "asof_join_purchase_click",
-    "collect_set_priorities",
-    "except_nation_keys",
-    "null_predicates_unmatched",
-    "pandas_udf_net_revenue",
-    "percentiles_order_value",
-    "pivot_user_event_matrix",
-    "profile_lineitem_columns",
-    "python_udtf_tokenize",
-    "q10_returned_revenue",
-    "q14_promo_share",
-    "q16_supplier_part_counts",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
-    "q2_cheapest_part_per_type",
-    "q3_shipping_priority",
-    "q4_priority_late_ship",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "quality_score_docs",
-    "range_join_ship_lag",
-    "rank_customers_in_nation",
-    "regexp_json_extract_events",
-    "right_outer_supplier_items",
-    "rollup_lineitem_flags",
-    "running_revenue_per_customer",
-    "salted_agg_event_types",
-    "semi_join_active_customers",
-    "session_window_events",
-    "sessionize_events",
     "simhash_fingerprints",
-    "sliding_window_events",
-    "sql_entry_revenue_by_nation",
-    "stats_agg_lineitem",
-    "streaming_tumbling_counts",
-    "string_funcs_customer",
-    # swapped in mid-round (changed-oracled-name rule, like the round-8
-    # substring swap): the ring order fix displaced tfidf_top_terms,
-    # which returns to the tail head
-    "contrastive_negatives_ring",
-]
-
-#: Everything outside the window, ordered by evidence staleness (round of
-#: last driver row, oldest first): the remaining r1/r2/r3-checked names,
-#: the round-4/6/7 windows, and finally the round-8 window (the freshest
-#: evidence, moved to the back after its 50/50-green CORRECTNESS_r08 rows).
-_STALENESS_TAIL = [
     "tfidf_top_terms",
     "theta_join_price_bands",
     "token_stats_per_doc",
@@ -144,6 +87,14 @@ _STALENESS_TAIL = [
     "seq_len_histogram",
     "skyline_orders",
     "sliding_distinct_users",
+]
+
+#: Everything outside the window, ordered by evidence staleness (round of
+#: last driver row, oldest first): the remaining round-4/6-checked names,
+#: then the round-7/8 windows, and finally the round-9 window (the
+#: freshest evidence, moved to the back after its 48+2-green
+#: CORRECTNESS_r09 rows).
+_STALENESS_TAIL = [
     "source_cap_sample",
     "stopword_array_ops_docs",
     "streaming_dedup_users",
@@ -333,6 +284,54 @@ _STALENESS_TAIL = [
     "kmeans_clusters",
     "lag_lead_event_values",
     "substring_dup_spans",
+    "arrow_grouped_minmax_norm",
+    "arrow_map_doc_stats",
+    "udtf_analyze_ngrams",
+    "item_item_cf_topk",
+    "left_outer_order_counts",
+    "like_rlike_filter",
+    "map_literal_region_lookup",
+    "math_funcs_lineitem",
+    "moving_avg_user_value",
+    "multimodal_binary_features",
+    "anti_join_inactive_customers",
+    "asof_join_purchase_click",
+    "collect_set_priorities",
+    "except_nation_keys",
+    "null_predicates_unmatched",
+    "pandas_udf_net_revenue",
+    "percentiles_order_value",
+    "pivot_user_event_matrix",
+    "profile_lineitem_columns",
+    "python_udtf_tokenize",
+    "q10_returned_revenue",
+    "q14_promo_share",
+    "q16_supplier_part_counts",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q2_cheapest_part_per_type",
+    "q3_shipping_priority",
+    "q4_priority_late_ship",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "quality_score_docs",
+    "range_join_ship_lag",
+    "rank_customers_in_nation",
+    "regexp_json_extract_events",
+    "right_outer_supplier_items",
+    "rollup_lineitem_flags",
+    "running_revenue_per_customer",
+    "salted_agg_event_types",
+    "semi_join_active_customers",
+    "session_window_events",
+    "sessionize_events",
+    "sliding_window_events",
+    "sql_entry_revenue_by_nation",
+    "stats_agg_lineitem",
+    "streaming_tumbling_counts",
+    "string_funcs_customer",
+    "contrastive_negatives_ring",
 ]
 
 def _ordered_names() -> list[str]:

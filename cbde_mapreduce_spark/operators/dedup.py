@@ -9,17 +9,23 @@ Leskovec/Rajaraman/Ullman MMDS ch.3 banding analysis):
   counts → |A∩B| / (|A|+|B|-|A∩B|). Shuffle cost ∝ Σ_shingle df².
   Correct but quadratic on hot shingles; it is the *oracle* for the
   approximate operators.
-- **MinHash-LSH** — 64-permutation signature via salted xxhash64 minima,
-  banded 16×4; only same-(band, bandhash) docs become candidates, then
-  exact-Jaccard verification. At 100 TB: signature pass is one groupBy per
+- **MinHash-LSH** — 64-'permutation' signature via Kirsch-Mitzenmacher
+  double hashing over an md5-derived 60-bit shingle hash (engine-portable:
+  a DuckDB oracle reproduces it cell-exact), banded 16×4; only
+  same-(band, bandkey) docs become candidates, then exact-Jaccard
+  verification. At 100 TB: signature pass is one groupBy per
   doc (map-side combinable), banding shuffle is O(docs·bands), candidate
   verification touches only colliding pairs — never all-pairs.
-- **SimHash** — 64-bit fingerprint: per-token xxhash64 bit votes weighted
-  by term frequency, sign of the per-bit sum. Hamming-close fingerprints ≈
-  similar docs; bucket by 16-bit prefix for blocking.
+- **SimHash** — 64-bit fingerprint: per-token md5-derived bit votes
+  weighted by term frequency, sign of the per-bit sum (engine-portable,
+  same discipline). Hamming-close fingerprints ≈ similar docs; bucket by
+  16-bit prefix for blocking.
 
-Everything is pure DataFrame ops (xxhash64 / explode / groupBy / bit ops) —
-no Python on the hot path.
+Everything is pure DataFrame ops (md5 / xxhash64 / explode / groupBy /
+bit ops) — no Python on the hot path. md5 is chosen over xxhash64 exactly
+where cross-engine value-checkability matters (the approximate operators'
+outputs); the exact-Jaccard internals keep the cheaper xxhash64 join keys,
+whose collisions are count-neutral at any realistic corpus size.
 """
 
 from __future__ import annotations
@@ -59,6 +65,23 @@ def hashed_shingle_sets(docs: DataFrame, k: int = 3) -> DataFrame:
     collisions (~n²/2⁶⁴ — negligible at any realistic corpus size, and the
     MinHash path is approximate anyway)."""
     return shingle_sets(docs, k).select("doc_id", F.xxhash64("s").alias("h"))
+
+
+def portable_hashed_shingle_sets(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, h): shingle sets under the ENGINE-PORTABLE 60-bit hash
+    ``('0x' || substr(md5(s), 1, 15))::bigint`` — md5 is bit-identical in
+    Spark and DuckDB, so every value derived from h (MinHash signatures,
+    band collisions, intersection counts) is reproducible by an oracle SQL
+    statement BY CONSTRUCTION, not merely modulo hash collisions. One md5
+    per distinct shingle; everything downstream is integer arithmetic.
+
+    Deliberately NO distinct after hashing: the oracle applies the same
+    hash to the same distinct-string shingle set, so a (vanishingly rare)
+    60-bit collision would produce the same duplicated h row in both
+    engines — parity is preserved exactly, not approximately.
+    """
+    h = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint")
+    return shingle_sets(docs, k).select("doc_id", h.alias("h"))
 
 
 def text_dup_groups(docs: DataFrame) -> DataFrame:
@@ -178,35 +201,70 @@ def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.1) -> DataFr
     return _expand_rep_pairs(mem, rep_edges, clique_gids)
 
 
-#: Per-'permutation' xor salts (splitmix64 golden-ratio multiples, masked
-#: into the positive long range). Overflow-free: xor never overflows, so
-#: this is safe under ANSI mode (on by default in Spark 4).
-_MH_SALT = [
-    (0x9E3779B97F4A7C15 * (j + 1)) & 0x7FFFFFFFFFFFFFFF for j in range(N_HASHES)
-]
+#: Universal-hash 'permutation' family over the Mersenne prime 2³¹−1:
+#: h_j = (a_j·(h mod p) + b_j) mod p. Pairwise-independent within a
+#: permutation and decorrelated ACROSS permutations (independent a_j, b_j)
+#: — the property a shared-multiplier derivation like h1 + j·h2 lacks: with
+#: one multiplier, every large-j 'permutation' ranks by the same component,
+#: so a single differing shingle that wins that ranking flips ~all 64 mins
+#: at once (observed: a 0.95-Jaccard fixture pair agreeing on 3/64 slots).
+#: Constants are FIXED (seeded PRNG, frozen here) and embedded verbatim in
+#: the DuckDB oracle (plans/neardup.py), keeping the pipeline cell-exact
+#: across engines. a_j·h < 2³¹·2³¹ = 2⁶² — overflow-free in a bigint under
+#: ANSI mode and in DuckDB alike.
+MH_PRIME = (1 << 31) - 1
+
+
+def _mh_affine_constants() -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(0x5EED_CBDE)
+    return [
+        (rng.randrange(1, MH_PRIME), rng.randrange(0, MH_PRIME))
+        for _ in range(N_HASHES)
+    ]
+
+
+MH_AFFINE = _mh_affine_constants()
 
 
 def minhash_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, h0..h63): 64 min-wise hashes over the shingle set.
 
-    One string xxhash64 per shingle, then each 'permutation' j re-hashes
-    the 8-byte value (xxhash64 of h xor salt_j) — native long-input
-    hashing, ~64x cheaper than hashing the shingle string per permutation.
+    One string md5 per shingle (engine-portable, see
+    portable_hashed_shingle_sets), then each 'permutation' j is the
+    universal affine hash (a_j·h + b_j) mod (2³¹−1) — pure integer
+    arithmetic, ~64x cheaper than hashing the shingle string per
+    permutation, and reproducible in DuckDB so the driver can hash-check
+    the full LSH output (round 10; previously xxhash64 → rows-only).
     """
-    sh = hashed_shingle_sets(docs, k)
+    sh = portable_hashed_shingle_sets(docs, k)
+    hm = F.col("h") % F.lit(MH_PRIME).cast("bigint")
     aggs = [
-        F.min(F.xxhash64(F.col("h").bitwiseXOR(F.lit(salt).cast("bigint")))).alias(f"h{j}")
-        for j, salt in enumerate(_MH_SALT)
+        F.min((F.lit(a).cast("bigint") * hm + F.lit(b).cast("bigint")) % F.lit(MH_PRIME).cast("bigint")).alias(f"h{j}")
+        for j, (a, b) in enumerate(MH_AFFINE)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
-    """(doc_a, doc_b): pairs colliding in ≥1 of the 16 bands of 4 rows."""
+    """(doc_a, doc_b): pairs colliding in ≥1 of the 16 bands of 4 rows.
+
+    The band key is the comma-joined signature string (injective for an
+    int 4-tuple), NOT a re-hash: band equality is then EXACTLY 4-tuple
+    equality in both engines — a band-hash collision can't mint a spurious
+    candidate here while the oracle sees none (engine-portability by
+    construction; the ~44-byte band key costs a few bytes over a bigint
+    on a 16-rows-per-doc exchange, which the exactness buys cheaply).
+    """
     band_cols = [
-        F.xxhash64(*[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]).alias(
-            f"band{b}"
-        )
+        F.concat_ws(
+            ",",
+            *[
+                F.col(f"h{b * ROWS_PER_BAND + r}").cast("string")
+                for r in range(ROWS_PER_BAND)
+            ],
+        ).alias(f"band{b}")
         for b in range(BANDS)
     ]
     banded = signatures.select("doc_id", F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash"))
@@ -238,6 +296,11 @@ def minhash_lsh_neardup(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> 
     ≥1 shingle) expand to their jaccard-1.0 cliques directly — exactly
     the pairs the row-level algorithm emitted (identical signatures
     collide with certainty; jaccard 1 passes any threshold ≤ 1).
+
+    Engine-portable end to end (round 10): signatures, band keys, and the
+    verify join all derive from the md5-60-bit shingle hash, so a DuckDB
+    oracle reproduces every value cell-exact (plans/neardup.py) — this
+    operator graduated from rows-only to a full rows+schema+hash row.
     """
     m = text_dup_groups(docs)
     mem = m.select("doc_id", "gid")
@@ -245,7 +308,7 @@ def minhash_lsh_neardup(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> 
         "doc_id", "text", "gsz"
     )
     cand = lsh_candidate_pairs(minhash_signatures(reps, k))
-    sh = hashed_shingle_sets(reps, k)
+    sh = portable_hashed_shingle_sets(reps, k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -282,16 +345,31 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     Token-frequency-weighted bit votes: explode tokens (multiplicity = tf
     weight), hash, vote ±1 per bit position, sign-aggregate, reassemble via
     bit_or of shifted bits.
+
+    The per-token 64-bit hash is ENGINE-PORTABLE (round 10, previously
+    xxhash64 → rows-only): two 32-bit md5 hex slices — hi = hex[1:8],
+    lo = hex[9:16] — give bit j as (lo >> j) & 1 for j < 32 and
+    (hi >> (j-32)) & 1 above; every shift operates on a positive < 2³²
+    value, so the identical expression runs in DuckDB and the driver
+    hash-checks the full fingerprint output (plans/neardup.py oracle).
+    band16 (bits 48..63, the blocking prefix) is assembled from the same
+    votes rather than re-extracted from the signed bigint, avoiding any
+    engine-specific unsigned-shift semantics.
     """
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
-    hashed = tok.select("doc_id", F.xxhash64("w").alias("h"))
+    hashed = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint").alias("hi"),
+        F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("bigint").alias("lo"),
+    )
+
+    def _bit(j: int) -> Column:
+        src, off = ("lo", j) if j < 32 else ("hi", j - 32)
+        return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+
     # 64 static ±1 vote aggregates — one groupBy, fully map-side combinable.
     vote_aggs = [
-        F.sum(
-            F.when(
-                F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"b{j}")
+        F.sum(F.when(_bit(j) == 1, 1).otherwise(-1)).alias(f"b{j}")
         for j in range(64)
     ]
     sums = hashed.groupBy("doc_id").agg(*vote_aggs)
@@ -303,9 +381,14 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
         simhash = simhash.bitwiseOR(
             F.when(F.col(f"b{j}") > 0, F.lit(bit_vals[j]).cast("bigint")).otherwise(0)
         )
+    band16 = F.lit(0).cast("bigint")
+    for i in range(16):
+        band16 = band16 + F.when(
+            F.col(f"b{48 + i}") > 0, F.lit(1 << i).cast("bigint")
+        ).otherwise(0)
     return sums.select(
-        "doc_id", simhash.alias("simhash")
-    ).withColumn("band16", F.shiftrightunsigned("simhash", 48))
+        "doc_id", simhash.alias("simhash"), band16.alias("band16")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,9 +1,14 @@
-"""Near-duplicate queries (SURVEY.md §2.11): exact Jaccard oracle + MinHash/SimHash.
+"""Near-duplicate queries (SURVEY.md §2.11): exact Jaccard + MinHash/SimHash.
 
 The exact 3-gram Jaccard join is oracle-checked cell-exact against DuckDB.
-MinHash-LSH and SimHash depend on xxhash64 (no DuckDB twin) → rows-only in
-the driver; their correctness is asserted against the exact operator in
-tests/test_neardup.py (recall of planted near-duplicates).
+MinHash-LSH and SimHash are oracle-checked too (round 10): their hashing is
+md5-derived — bit-identical in Spark and DuckDB — so the full signature →
+banding → verify pipeline (and the full 64-bit fingerprint) is reproduced
+by the oracle SQL below cell-exact, BY CONSTRUCTION rather than modulo
+engine hash seeds. Approximation QUALITY (recall of planted near-dups,
+Hamming separation) is still asserted against the exact operator in
+tests/test_neardup.py — the oracle proves the engines agree, the tests
+prove the algorithm works.
 """
 
 from __future__ import annotations
@@ -12,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cbde_mapreduce_spark.operators.dedup import (
+    MH_AFFINE,
+    MH_PRIME,
     jaccard_pairs,
     jaccard_rep_graph,
     minhash_lsh_neardup,
@@ -51,20 +58,104 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, k=3, threshold=0.1)
 
 
-@query("minhash_lsh_neardup", oracle=None, category="dedup")
+#: DuckDB twin of the full MinHash-LSH pipeline (operators/dedup.py):
+#: the SAME md5-60-bit shingle hash, the SAME universal affine
+#: 'permutations' (a_j·h + b_j) mod 2³¹−1 with the SAME frozen constants
+#: (MH_AFFINE, embedded as a VALUES list), the SAME 16×4 banding by
+#: comma-joined signature tuple, the SAME exact-Jaccard verification at
+#: 0.5 — row-level here, rep-level + expansion on the Spark side (proven
+#: equivalent: identical text ⇒ identical signature ⇒ certain collision).
+_MH_VALUES = ",\n                 ".join(
+    f"({j}, {a}, {b})" for j, (a, b) in enumerate(MH_AFFINE)
+)
+
+_MINHASH_ORACLE = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh0 AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+           FROM t),
+    sh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::bigint AS h FROM sh0),
+    hp AS (SELECT doc_id, h % {MH_PRIME} AS hm FROM sh),
+    hs AS (SELECT doc_id, r.j, min((r.a * hm + r.b) % {MH_PRIME}) AS mh
+           FROM hp CROSS JOIN (VALUES {_MH_VALUES}) r(j, a, b)
+           GROUP BY 1, 2),
+    bands AS (SELECT doc_id, j // 4 AS band_id,
+                     string_agg(mh::varchar, ',' ORDER BY j) AS sig
+              FROM hs GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_id = b.band_id AND a.sig = b.sig
+                  AND a.doc_id < b.doc_id),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT doc_a, doc_b, count(*) AS inter
+              FROM cand JOIN sh a ON a.doc_id = doc_a
+                        JOIN sh b ON b.doc_id = doc_b AND a.h = b.h
+              GROUP BY 1, 2),
+    jj AS (SELECT doc_a, doc_b,
+                  round(inter / (x.n + y.n - inter), 6) AS jaccard
+           FROM inter JOIN sz x ON x.doc_id = doc_a
+                      JOIN sz y ON y.doc_id = doc_b)
+    SELECT doc_a, doc_b, jaccard FROM jj WHERE jaccard >= 0.5
+"""
+
+
+@query("minhash_lsh_neardup", oracle=_MINHASH_ORACLE, category="dedup")
 def minhash_lsh_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH (64 hashes, 16×4 bands) near-dup pairs, exact-verified ≥0.5.
 
-    Rows-only for the driver (xxhash64 has no DuckDB twin); recall vs the
-    exact operator is asserted in tests/test_neardup.py.
+    Fully oracled since round 10: the md5-derived portable hashing makes
+    every signature, band collision, and verified jaccard reproducible in
+    DuckDB (hash-matched driver rows). Recall of planted near-dups vs the
+    exact operator is additionally asserted in tests/test_neardup.py.
     """
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_neardup(docs, k=3, threshold=0.5)
 
 
-@query("simhash_fingerprints", oracle=None, category="dedup")
+def _simhash_oracle_sql() -> str:
+    """Generate the 64-bit-vote SimHash twin (bit j of the per-token hash
+    comes from two 32-bit md5 hex slices; votes sign-aggregate; the signed
+    64-bit fingerprint and the 16-bit blocking prefix are assembled as
+    sums of literal bit values — no unsigned-shift semantics needed)."""
+    votes = ",\n               ".join(
+        "sum(CASE WHEN ({src} >> {off}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}".format(
+            src="lo" if j < 32 else "hi", off=j if j < 32 else j - 32, j=j
+        )
+        for j in range(64)
+    )
+    bits = "\n             + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {(1 << j) if j < 63 else -(1 << 63)} ELSE 0 END)"
+        for j in range(64)
+    )
+    band = "\n             + ".join(
+        f"(CASE WHEN b{48 + i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+    )
+    return f"""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                     FROM documents),
+        h AS (SELECT doc_id,
+                     ('0x' || substr(md5(w), 1, 8))::bigint AS hi,
+                     ('0x' || substr(md5(w), 9, 8))::bigint AS lo
+              FROM tok),
+        v AS (SELECT doc_id,
+               {votes}
+              FROM h GROUP BY doc_id)
+        SELECT doc_id,
+               ({bits})::bigint AS simhash,
+               ({band})::bigint AS band16
+        FROM v
+    """
+
+
+@query("simhash_fingerprints", oracle=_simhash_oracle_sql(), category="dedup")
 def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints + 16-bit blocking prefix (rows-only)."""
+    """64-bit SimHash fingerprints + 16-bit blocking prefix.
+
+    Fully oracled since round 10 (md5-portable bit votes, hash-matched
+    driver rows); Hamming separation of planted near-dups vs random pairs
+    is additionally asserted in tests/test_neardup.py.
+    """
     docs = load_table(spark, sf_dir, "documents")
     return simhash_fingerprints(docs)
 

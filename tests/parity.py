@@ -33,9 +33,11 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
             # both fixture layouts (ROTATION.md round-5 sixth regime): a
             # single file, or a directory of part files as written at scale
             # (tools_scale_gen, partitioned sinks) — Spark's loaders handle
-            # both, so the oracle side must too
+            # both, so the oracle side must too. Recursive glob so a
+            # hive-partitioned layout (key=val/part-*.parquet) also loads
+            # on the oracle side, not just flat part files (ADVICE r10).
             p = f"{sf_dir}/{t}.parquet"
-            src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+            src = f"'{p}/**/*.parquet'" if os.path.isdir(p) else f"'{p}'"
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
         return con.sql(sql).df()
     finally:

@@ -39,18 +39,16 @@ def test_driver_window_is_valid():
     typo would silently shrink the driver's correctness window. A window
     may deliberately stage rows-only names (their no_oracle driver row
     beats another round of nothing — ROTATION.md records each round's
-    staging); every other window slot must be an oracled query. Round 9
-    stages two rows-only names the stalest-r1 freshness fill reaches
-    (both LSH-sketch families, SURVEY §2's "Oracle?" column)."""
+    staging); every other window slot must be an oracled query. Round 10
+    stages none: the two former rows-only LSH-sketch names graduated to
+    md5-portable oracled queries this round and lead the window as
+    changed-oracled names."""
     import __spark_entry__ as E
 
     P = E._PRIORITY
     assert len(P) == 50
     assert len(set(P)) == 50, "duplicate names in the window"
-    staged_rows_only = {
-        "minhash_lsh_neardup",
-        "simhash_fingerprints",
-    }
+    staged_rows_only: set[str] = set()
     for n in P:
         assert n in REGISTRY, f"window name {n} not in registry"
         if n not in staged_rows_only:
