@@ -75,6 +75,31 @@ RUNS = 9
 #: median-of-3, so round 9 switched to the symmetric median-of-medians.)
 ROUNDS = 3
 
+#: Round-10 (VERDICT r9 "What's wrong" #1): BENCH_r09 was driver-recorded on
+#: a machine with loadavg 4.4-9.4 and carried ~20% uniform ambient inflation
+#: that only a settled re-run could expose. The artifact now self-labels:
+#: if the 1-minute loadavg exceeds this threshold right before measurement,
+#: the run first sleeps once to let a transient spike drain, re-checks, and
+#: if still hot (a) records ``"contended": true`` and (b) adds one extra
+#: interleaved round so the median has more time-separated windows to vote
+#: with. A reader of BENCH_r{N}.json no longer needs BENCHNOTES archaeology
+#: to know whether the number was taken on a quiet box.
+CONTENTION_LOADAVG = 2.0
+CONTENTION_SETTLE_SEC = 20
+
+#: Second tracked tier (VERDICT r9 ask #5): the round-9 Arrow-native plan
+#: shapes and the single heaviest registry name get round-over-round timing
+#: regression tracking like the 13 headliners, WITHOUT joining the headline
+#: total (which must stay comparable across rounds). Fewer runs: these are
+#: trend lines, not the artifact's headline statistic.
+TRACKED = [
+    "arrow_grouped_minmax_norm",
+    "arrow_map_doc_stats",
+    "udtf_analyze_ngrams",
+    "item_item_cf_topk",
+]
+RUNS_TRACKED = 3
+
 
 def _shuffle_partitions_for(sf: float, cpus: int) -> int:
     """Size shuffle partitions to the benchmark's data volume: the largest
@@ -116,26 +141,37 @@ def main() -> None:
     REGISTRY["cosine_topk_similarity"].fn(spark, sf_dir).toPandas()
 
     load_before = os.getloadavg()
+    contended = load_before[0] > CONTENTION_LOADAVG
+    if contended:
+        # transient spike? settle once, re-read, and only then label the run
+        time.sleep(CONTENTION_SETTLE_SEC)
+        load_before = os.getloadavg()
+        contended = load_before[0] > CONTENTION_LOADAVG
+    rounds = ROUNDS + (1 if contended else 0)
+
     dfs: dict[str, object] = {}
     planning: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + TRACKED:
         t0 = time.perf_counter()
         df = REGISTRY[name].fn(spark, sf_dir)
         df.schema  # force analysis
         planning[name] = round(time.perf_counter() - t0, 4)
         dfs[name] = df
 
-    medians: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(ROUNDS):
-        for name in HEADLINE:
+    medians: dict[str, list[float]] = {name: [] for name in HEADLINE + TRACKED}
+    for _ in range(rounds):
+        for name in HEADLINE + TRACKED:
             samples = []
-            for _ in range(RUNS):
+            for _ in range(RUNS if name in HEADLINE else RUNS_TRACKED):
                 t0 = time.perf_counter()
                 dfs[name].toPandas()
                 samples.append(time.perf_counter() - t0)
             medians[name].append(statistics.median(samples))
     timings = {
         name: round(statistics.median(medians[name]), 4) for name in HEADLINE
+    }
+    tracked = {
+        name: round(statistics.median(medians[name]), 4) for name in TRACKED
     }
 
     total = round(sum(timings.values()), 4)
@@ -146,15 +182,17 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "tracked": tracked,
                 "sf": sf,
                 "planning_sec": round(sum(planning.values()), 4),
                 "runs_per_query": RUNS,
-                "rounds": ROUNDS,
+                "rounds": rounds,
                 "round_medians": {
-                    n: [round(v, 4) for v in medians[n]] for n in HEADLINE
+                    n: [round(v, 4) for v in medians[n]] for n in HEADLINE + TRACKED
                 },
                 "loadavg_before": [round(v, 2) for v in load_before],
                 "loadavg_after": [round(v, 2) for v in os.getloadavg()],
+                "contended": contended,
                 "note": "median over interleaved rounds of median-of-RUNS "
                 "warm executions (Arrow materialization); driver-side plan "
                 "build reported separately in planning_sec",

@@ -460,12 +460,14 @@ _NGRAM_N = 2  # the analyze()-time constant that names the output column
     "udtf_analyze_ngrams",
     oracle=f"""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-                   FROM documents WHERE doc_id < 20 AND text IS NOT NULL)
+                   FROM documents WHERE doc_id < 20 AND text IS NOT NULL),
+        g AS (SELECT doc_id, toks,
+                     unnest(range(1, len(toks) - {_NGRAM_N} + 2)) AS i
+              FROM t)
         SELECT doc_id,
                array_to_string(toks[i:i+{_NGRAM_N}-1], ' ') AS gram_{_NGRAM_N},
                i::int AS pos
-        FROM t, generate_series(1, 4096) s(i)
-        WHERE i <= len(toks) - {_NGRAM_N} + 1
+        FROM g
     """,
     category="udf",
 )
