@@ -45,9 +45,12 @@ def item_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity over binary customer-purchase vectors, with a pair-support
     floor (co-occurrence >= 5).
 
-    cosine(i,j) = |U_i ∩ U_j| / sqrt(|U_i|·|U_j|) — computed from the
-    basket self-join on the customer key, so the shuffle carries incidence
-    pairs, never an items×items matrix. The support floor is applied
+    cosine(i,j) = |U_i ∩ U_j| / sqrt(|U_i|·|U_j|) — computed basket-major:
+    one customer-keyed exchange builds each customer's sorted distinct
+    item array, ordered pairs stream out of a codegen explode (round 10;
+    previously a basket self-join — same pairs, three fewer
+    incidence-sized exchanges), so the big shuffle carries packed pair
+    keys, never an items×items matrix. The support floor is applied
     DURING the co-occurrence reduce (HAVING on the combinable count), so
     sub-threshold pairs die in the aggregation, not in a later filter.
 
@@ -69,9 +72,11 @@ def item_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing while building a per-task hash map as large as the task's
     whole pair stream — at 100× replication that was 32 tasks × ~40M-entry
     maps, the GC-thrash regime behind the one aged-JVM ERROR in SCALING.md
-    round 7. The explicit repartition on (p1, p2) between pair generation
-    and the count removes the useless partial stage entirely: join tasks
-    STREAM pairs into the shuffle with O(1) memory, and the reduce side's
+    round 7. The explicit repartition on the pair key between pair
+    generation and the count removes the useless partial stage entirely:
+    pair-emitting tasks STREAM the explode output into the shuffle with
+    O(basket) memory (the largest live object is one customer's sorted
+    item array), and the reduce side's
     task count scales with the measured incidence volume (one scalar
     count, ~100k incidence rows per reduce task) so each final hash map
     stays ~1-2M entries at any replication factor. Shuffle volume is
@@ -79,33 +84,65 @@ def item_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    b = (
+    inc = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_partkey").isNotNull())
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
     )
-    pop = b.groupBy("p").agg(F.count(F.lit(1)).cast("double").alias("n"))
-    x = b.select(F.col("c"), F.col("p").alias("p1"))
-    y = b.select(F.col("c"), F.col("p").alias("p2"))
+    # Basket-major build (round 10): ONE customer-keyed exchange of the raw
+    # incidence, deduped + sorted inside the aggregation
+    # (array_distinct∘sort_array∘collect_list ≡ the old distinct + basket
+    # self-join's per-customer item set, order made deterministic by the
+    # sort). This replaces THREE incidence-sized exchanges — the (c, p)
+    # distinct, then the x and y sides of the self-join — plus the
+    # sort-merge-join machinery, with one exchange and a codegen explode.
+    # Measured at sf1 (10×): end-to-end 19.9 s → 14.6 s; the saved time is
+    # all exchange/SMJ constant factor, the inherent Σ B² pair stream is
+    # untouched (see the infeasibility note below).
+    bk = inc.groupBy("c").agg(
+        F.array_distinct(F.sort_array(F.collect_list("p"))).alias("ps")
+    )
+    pop = (
+        bk.select(F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
     sh = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # |b| <= |lineitem| (b is a projection of the join, then distinct), so
-    # the lineitem row count — parquet-metadata cheap — bounds the scaling
+    # |inc| <= |lineitem| (a projection of the join), so the lineitem row
+    # count — parquet-metadata cheap — bounds the scaling
     pair_tasks = int(min(2048, max(sh, li.count() // 100_000)))
-    pairs = x.join(y, "c").filter(F.col("p1") < F.col("p2"))
     # the pair exchange moves ~Σ B² rows — the dominant cost at replication
-    # scale (measured: ~230 s of the 255 s sf10 total was this shuffle).
-    # While part keys fit 31 bits, pack the ordered pair into ONE bigint:
-    # p1·2³² + p2 < 2⁶³, a third less row width through the exchange and a
-    # single-long hash-aggregate key; unpack is two bit ops. Past the gate
-    # the two-column exchange is used unchanged.
+    # scale. While part keys fit 31 bits, pack the ordered pair into ONE
+    # bigint inside the pair-emitting lambda: p1·2³² + p2 < 2⁶³, a third
+    # less row width through the exchange and a single-long hash-aggregate
+    # key; unpack is two bit ops. Past the gate the two-column join-based
+    # pair generation is used unchanged (value-identical, pinned with the
+    # gate forced in tests/test_gates.py).
     #
     # The gate measures min/max of the VALUES BEING PACKED's source column
     # (ADVICE r8): p1/p2 come from lineitem.l_partkey, and the part
     # dimension's max would not catch an orphan or negative FK — shiftright
     # is arithmetic, so an out-of-range key would silently corrupt the
-    # pack/unpack. The join+distinct building ``b`` can only drop values
-    # from lineitem, never add, so lineitem's single-column min/max bounds
-    # b.p exactly; it is one cheap scalar agg on an already-loaded column.
+    # pack/unpack. The join building ``inc`` can only drop values from
+    # lineitem, never add, so lineitem's single-column min/max bounds
+    # inc.p exactly; it is one cheap scalar agg on an already-loaded column.
+    #
+    # LOSSLESS-PRUNING INFEASIBILITY (VERDICT r9 ask #4, measured sf1): the
+    # only bound available BEFORE counting a pair is popularity-based —
+    # cosine(i,j) <= min(n_i,n_j)/sqrt(n_i·n_j) = sqrt(min/max) — and on
+    # this corpus it has zero traction BY CONSTRUCTION: part choice is
+    # TPC-H-uniform, so popularity spans only 11..53 at sf1 (median 30) and
+    # the bound's floor over ALL pairs is sqrt(11/53) = 0.455, while the
+    # 20th-best cosine (the cutoff a lossless prune must clear) is 0.154.
+    # Every pair's bound exceeds the cutoff ⇒ no pair is excludable; the
+    # same uniformity kills the min-popularity >= _CF_MIN_CO prune (min
+    # popularity 11 > 5). Per-basket top-m truncation is NOT lossless (a
+    # dropped co-occurrence changes co for a surviving pair). The Σ B²
+    # exchange is therefore inherent to the exact top-k-by-cosine
+    # semantics on uniform-popularity data; what this plan optimizes is
+    # every constant factor around it. Skew-heavy real corpora are the
+    # regime where the bound DOES prune — the sparse-cosine guard
+    # (text.py) shows the pattern when popularity is Zipfian.
     n_parts = load_table(spark, sf_dir, "part").count()
     li_stats = li.agg(
         F.min("l_partkey").alias("mn"), F.max("l_partkey").alias("mx")
@@ -113,11 +150,24 @@ def item_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_part = li_stats["mn"] if li_stats["mn"] is not None else 0
     max_part = li_stats["mx"] if li_stats["mx"] is not None else 0
     if 0 <= min_part and max_part < 2**31:
+        # successors of position i (0-based) in the sorted distinct item
+        # array are exactly the j > i pairs; slice is 1-based and clips at
+        # the array end, so (i+2, size) yields ps[i+1:].
+        pks = bk.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda x, i: F.transform(
+                            F.slice("ps", i + F.lit(2), F.size("ps")),
+                            lambda y: x * F.lit(2**32) + y,
+                        ),
+                    )
+                )
+            ).alias("pk")
+        )
         co = (
-            pairs.select(
-                (F.col("p1") * F.lit(2**32) + F.col("p2")).alias("pk")
-            )
-            .repartition(pair_tasks, "pk")
+            pks.repartition(pair_tasks, "pk")
             .groupBy("pk")
             .agg(F.count(F.lit(1)).cast("double").alias("co"))
             .filter(F.col("co") >= _CF_MIN_CO)
@@ -128,6 +178,10 @@ def item_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     else:
+        b = inc.distinct()
+        x = b.select(F.col("c"), F.col("p").alias("p1"))
+        y = b.select(F.col("c"), F.col("p").alias("p2"))
+        pairs = x.join(y, "c").filter(F.col("p1") < F.col("p2"))
         co = (
             pairs.repartition(pair_tasks, "p1", "p2")
             .groupBy("p1", "p2")
