@@ -79,8 +79,17 @@ check_sweep "$OUT.sf10_heavy25.txt" "sf10 heavy-25"
 python tools_scale_sweep.py .scratch/sf1 180 > "$OUT.sf1_all.txt" 2>/dev/null || true
 check_sweep "$OUT.sf1_all.txt" "sf1 full sweep"
 
-[ -d .scratch/dup20 ] || python tools_scale_gen.py /root/testdata/sf0.001 .scratch/dup20 20 >/dev/null 2>&1
-if python tools_dup_value_sweep.py .scratch/dup20 > "$OUT.dup_value.txt" 2>/dev/null \
+# Roll the dup corpus shape per day (VERDICT r9 ask #6): replication
+# factor 16..24 and a stride pad 0..999, both derived from the date, so a
+# tie-resolution bug cannot overfit one frozen layout. DUP_R / DUP_PAD
+# env vars override for reproducing a specific shape.
+DOY=$(date +%j | sed 's/^0*//')
+DUP_R=${DUP_R:-$(( 16 + DOY % 9 ))}
+DUP_PAD=${DUP_PAD:-$(( (DOY * 7919) % 1000 ))}
+DUPDIR=".scratch/dup_r${DUP_R}_p${DUP_PAD}"
+echo "dup-value corpus: replicas=$DUP_R stride_pad=$DUP_PAD ($DUPDIR)"
+[ -d "$DUPDIR" ] || python tools_scale_gen.py /root/testdata/sf0.001 "$DUPDIR" "$DUP_R" "$DUP_PAD" >/dev/null 2>&1
+if python tools_dup_value_sweep.py "$DUPDIR" > "$OUT.dup_value.txt" 2>/dev/null \
    && grep -q "^DONE 0 failures" "$OUT.dup_value.txt"; then
     echo "dup-value sweep: clean ($(grep -c ' OK ' "$OUT.dup_value.txt") names)"
 else

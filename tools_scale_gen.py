@@ -56,8 +56,17 @@ KEY_DOMAINS: dict[str, dict[str, str]] = {
 FIXED_DIMS = {"region", "nation"}
 
 
-def _domain_strides(src: str) -> dict[str, int]:
-    """max(key)+1 per FK domain, computed over every column in the domain."""
+def _domain_strides(src: str, pad: int = 0) -> dict[str, int]:
+    """max(key)+1 per FK domain, computed over every column in the domain.
+
+    ``pad`` widens every domain stride by a constant: replicated keys then
+    land at (max+1+pad)-spaced offsets instead of densely abutting the
+    source range. Referential integrity is unaffected (both sides of an FK
+    edge use the same widened stride); what changes is the ARITHMETIC
+    relationship between replica keys — packing layouts, modulo buckets,
+    and sort-tie neighborhoods all shift, so a tie-resolution bug cannot
+    overfit to one corpus shape (VERDICT r9 ask #6: the dup-value sweep
+    rolls replicas and pad per round)."""
     strides: dict[str, int] = {}
     for table, cols in KEY_DOMAINS.items():
         if not cols:
@@ -65,12 +74,12 @@ def _domain_strides(src: str) -> dict[str, int]:
         tbl = pq.read_table(os.path.join(src, f"{table}.parquet"), columns=list(cols))
         for col, domain in cols.items():
             hi = pc.max(tbl[col]).as_py() or 0
-            strides[domain] = max(strides.get(domain, 0), int(hi) + 1)
+            strides[domain] = max(strides.get(domain, 0), int(hi) + 1 + pad)
     return strides
 
 
-def replicate(src: str, out: str, replicas: int) -> None:
-    strides = _domain_strides(src)
+def replicate(src: str, out: str, replicas: int, pad: int = 0) -> None:
+    strides = _domain_strides(src, pad)
     for table, cols in KEY_DOMAINS.items():
         tbl = pq.read_table(os.path.join(src, f"{table}.parquet"))
         tdir = os.path.join(out, f"{table}.parquet")
@@ -94,4 +103,5 @@ def replicate(src: str, out: str, replicas: int) -> None:
 
 if __name__ == "__main__":
     src, out, r = sys.argv[1], sys.argv[2], int(sys.argv[3])
-    replicate(src, out, r)
+    pad = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    replicate(src, out, r, pad)
