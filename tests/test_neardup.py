@@ -93,3 +93,48 @@ def test_bloom_no_false_negatives_and_low_fp(spark, sf_oracle):
     )
     out = incremental_dedup(dup.unionByName(novel), seen, key_col="h").toPandas()
     assert set(out.h) == set(novel.toPandas().h)
+
+
+def test_portable_hash_constants_are_frozen():
+    """The MinHash oracle SQL embeds MH_AFFINE verbatim (plans/neardup.py
+    VALUES list) — regenerating the constants differently (new seed, new
+    PRNG semantics, reordered generation) would silently break Spark/DuckDB
+    parity even though both sides still 'work'. Pin the family: size,
+    modulus, and spot values at the ends."""
+    from cbde_mapreduce_spark.operators.dedup import MH_AFFINE, MH_PRIME
+
+    assert MH_PRIME == 2147483647  # Mersenne prime 2^31 - 1
+    assert len(MH_AFFINE) == 64
+    assert MH_AFFINE[0] == (2075059641, 994516985)
+    assert MH_AFFINE[1] == (355108416, 542105135)
+    assert MH_AFFINE[63] == (145810866, 355348227)
+    assert all(1 <= a < MH_PRIME and 0 <= b < MH_PRIME for a, b in MH_AFFINE)
+
+
+def test_portable_shingle_hash_matches_python_md5(spark):
+    """The 60-bit shingle hash must equal int(md5(s)[:15], 16) — the exact
+    value the DuckDB oracle computes via ('0x' || substr(md5(s),1,15)).
+    One divergent engine (charset, hex case, slice off-by-one) breaks every
+    downstream signature; pin against Python's md5 as the third engine."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from cbde_mapreduce_spark.operators.dedup import portable_hashed_shingle_sets
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "x y z")], "doc_id long, text string"
+    )
+    got = {
+        r.h
+        for r in portable_hashed_shingle_sets(docs, k=3).collect()
+    }
+    want = {
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        for s in [
+            "alpha beta gamma",
+            "beta gamma delta",
+            "x y z",
+        ]
+    }
+    assert got == want

@@ -459,10 +459,25 @@ def test_rrf_windows_run_after_limit(spark, sf_oracle):
 def test_item_item_cf_broadcasts_popularity(spark, sf_oracle):
     df = REGISTRY["item_item_cf_topk"].fn(spark, sf_oracle)
     plan = _executed_plan(df)
-    # popularity dims join broadcast; the only shuffle joins are the basket
-    # self-join on the customer key
+    # popularity dims join broadcast
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # basket-major shape (round 10): pairs come from a codegen explode over
+    # each customer's sorted distinct item array — NO basket self-join, so
+    # no sort-merge join may appear anywhere in the plan
+    assert "SortMergeJoin" not in plan
+    assert "Generate explode" in plan
+    # the pair stream enters the count through the explicit pair-key
+    # exchange with NO map-side partial aggregate in between (the r8
+    # memory-shape fix): in the printed tree the exchange sits above the
+    # explode, and the segment between them must not build a hash map
+    assert "Exchange hashpartitioning(pk" in plan
+    between = plan.split("Exchange hashpartitioning(pk", 1)[1].split(
+        "Generate explode", 1
+    )[0]
+    assert "HashAggregate" not in between and "partial_count" not in between
+    # top-k is TakeOrdered, never a global sort
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_woe_binning_no_global_window_on_facts(spark, sf_oracle):
