@@ -215,13 +215,14 @@ _RFM_ORACLE = """
                    date_diff('day', max(o_orderdate)::date,
                              (SELECT mend FROM mx)) AS r,
                    count(*)::double AS f,
-                   sum(o_totalprice) AS m
+                   sum(round(o_totalprice * 100)::bigint) AS mc,
+                   sum(round(o_totalprice * 100)::bigint) / 100.0 AS m
             FROM orders GROUP BY o_custkey),
     e AS (SELECT quantile_cont(r, [0.2, 0.4, 0.6, 0.8]) AS re,
                  quantile_cont(f, [0.2, 0.4, 0.6, 0.8]) AS fe,
                  quantile_cont(m, [0.2, 0.4, 0.6, 0.8]) AS me
           FROM rfm),
-    s AS (SELECT o_custkey, m,
+    s AS (SELECT o_custkey, m, mc,
                  6 - (1 + CASE WHEN r >= re[1] THEN 1 ELSE 0 END
                         + CASE WHEN r >= re[2] THEN 1 ELSE 0 END
                         + CASE WHEN r >= re[3] THEN 1 ELSE 0 END
@@ -235,7 +236,7 @@ _RFM_ORACLE = """
                    + CASE WHEN m >= me[3] THEN 1 ELSE 0 END
                    + CASE WHEN m >= me[4] THEN 1 ELSE 0 END AS ms
           FROM rfm, e),
-    lab AS (SELECT o_custkey, m,
+    lab AS (SELECT o_custkey, m, mc,
                    CASE WHEN rs >= 4 AND fs >= 4 AND ms >= 4 THEN 'champions'
                         WHEN rs >= 3 AND fs >= 4 THEN 'loyal'
                         WHEN rs >= 4 AND fs <= 2 THEN 'new'
@@ -245,8 +246,8 @@ _RFM_ORACLE = """
             FROM s)
     SELECT segment,
            count(*)::bigint AS n_customers,
-           round(sum(m), 2) AS revenue,
-           round(avg(m), 2) AS avg_monetary
+           round(sum(mc) / 100.0, 2) AS revenue,
+           round((sum(mc) / 100.0) / count(*), 2) AS avg_monetary
     FROM lab GROUP BY segment
 """
 
@@ -268,19 +269,29 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     mx = orders.agg(F.max(F.to_date("o_orderdate")).alias("mend"))
+    # Monetary totals ride EXACT integer cents (round-10 dup-sweep finding:
+    # at 19× replication the double sum-of-sums crossed a cent-rounding
+    # boundary in a different direction per engine — avg_monetary differed
+    # by 0.01). Per-order cents are engine-identical (one IEEE multiply +
+    # round of a value nowhere near a half-cent tie); bigint sums are exact
+    # and order-independent; the ONLY float ops left are single deterministic
+    # divisions of identical operands. Same discipline as
+    # decimal_exact_revenue.
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     rfm = (
         orders.groupBy("o_custkey")
         .agg(
             F.max(F.to_date("o_orderdate")).alias("last"),
             F.count(F.lit(1)).cast("double").alias("f"),
-            F.sum("o_totalprice").alias("m"),
+            F.sum(cents).alias("mc"),
         )
         .crossJoin(F.broadcast(mx))
         .select(
             "o_custkey",
             F.datediff("mend", "last").alias("r"),
             "f",
-            "m",
+            "mc",
+            (F.col("mc") / F.lit(100.0)).alias("m"),
         )
     )
     edges = rfm.agg(
@@ -306,11 +317,13 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("other")
     )
     return (
-        s.select(segment.alias("segment"), "m")
+        s.select(segment.alias("segment"), "mc")
         .groupBy("segment")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-            F.round(F.sum("m"), 2).alias("revenue"),
-            F.round(F.avg("m"), 2).alias("avg_monetary"),
+            F.round(F.sum("mc") / F.lit(100.0), 2).alias("revenue"),
+            F.round(
+                (F.sum("mc") / F.lit(100.0)) / F.count(F.lit(1)), 2
+            ).alias("avg_monetary"),
         )
     )
