@@ -84,9 +84,15 @@ def item_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # NULL keys carry NO basket semantics and must be dropped HERE: the
+    # oracle's self-join on c discards a NULL customer (equi-join), but
+    # groupBy(c) would happily build one giant NULL-customer basket and
+    # mint pairs that never co-occurred (caught by the NULL-FK regime of
+    # tests/test_skew_input.py on this round's basket-major rewrite);
+    # likewise a NULL part key can never satisfy p1 < p2.
     inc = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .filter(F.col("l_partkey").isNotNull())
+        .filter(F.col("l_partkey").isNotNull() & F.col("o_custkey").isNotNull())
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
     )
     # Basket-major build (round 10): ONE customer-keyed exchange of the raw
