@@ -607,26 +607,52 @@ def grouped_elasticity_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CONF_ALPHA = 0.9  # target coverage
 
+#: The fit rides EXACT integer moments (round-10 dup-sweep finding on the
+#: rolled corpus dup_r19_p532): regr_slope/regr_intercept accumulate double
+#: co-moments in engine-specific partial-merge order, so m/c differed in
+#: the last ulps — invisible in the rounded outputs, but the coverage test
+#: compares |y − (m·x + c)| ≤ qhat at FULL precision, and 19× replication
+#: put 19 copies of one boundary order on the band edge (coverage moved by
+#: exactly 19/n_test). Now: y in bigint cents, x in bigint days, the five
+#: sums (n, Σx, Σy, Σx², Σxy) are exact order-independent integer
+#: aggregates, and slope/intercept are ONE deterministic double expression
+#: over identical operands — bit-equal in both engines. The band cutoff is
+#: rounded to 2 cent-decimals before comparison so percentile-interpolation
+#: ulps cannot reclassify a row either.
 _CONF_ORACLE = f"""
     WITH base AS (
-        SELECT o_totalprice AS y,
-               date_diff('day', DATE '1995-01-01', o_orderdate::date)::double AS x,
+        SELECT round(o_totalprice * 100)::bigint AS yc,
+               date_diff('day', DATE '1995-01-01', o_orderdate::date)::bigint AS x,
                (ascii(substr(md5(o_orderkey::varchar), 1, 1)) * 256
                 + ascii(substr(md5(o_orderkey::varchar), 2, 1))) % 100 AS b
         FROM orders),
     cal AS (SELECT * FROM base WHERE b < 50),
     tst AS (SELECT * FROM base WHERE b >= 50),
-    fit AS (SELECT regr_slope(y, x) AS m, regr_intercept(y, x) AS c FROM cal),
-    q AS (SELECT quantile_cont(abs(cal.y - (fit.m * cal.x + fit.c)),
-                               {_CONF_ALPHA}) AS qhat
+    mom AS (SELECT count(*)::bigint AS n,
+                   sum(x)::bigint AS sx, sum(yc)::bigint AS sy,
+                   sum(x * x)::bigint AS sxx, sum(x * yc)::bigint AS sxy
+            FROM cal),
+    fitm AS (SELECT n, sx, sy,
+                    CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                         ELSE (n::double * sxy::double - sx::double * sy::double)
+                              / (n::double * sxx::double - sx::double * sx::double)
+                    END AS m
+             FROM mom),
+    fit AS (SELECT n, m,
+                   (sy::double - m * sx::double) / n::double AS c
+            FROM fitm),
+    q AS (SELECT round(quantile_cont(abs(cal.yc::double
+                                         - (fit.m * cal.x::double + fit.c)),
+                                     {_CONF_ALPHA}), 2) AS qhat
           FROM cal, fit),
     cov AS (SELECT count(*)::bigint AS n_test,
-                   sum(CASE WHEN abs(tst.y - (fit.m * tst.x + fit.c)) <= q.qhat
+                   sum(CASE WHEN abs(tst.yc::double - (fit.m * tst.x::double + fit.c))
+                             <= q.qhat
                             THEN 1 ELSE 0 END)::bigint AS covered
             FROM tst, fit, q)
-    SELECT (SELECT count(*) FROM cal)::bigint AS n_cal,
+    SELECT (SELECT n FROM fit) AS n_cal,
            cov.n_test,
-           round(q.qhat, 4) AS qhat,
+           round(q.qhat / 100.0, 4) AS qhat,
            round(cov.covered / cov.n_test::double, 6) AS coverage
     FROM cov, q
 """
@@ -642,37 +668,59 @@ def conformal_interval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The split is the md5-bucket hash (never rand() — the same leakage-
     safe discipline as the dataset splitters, and what makes the oracle
-    comparison exact); the fit is the combinable regr_* pass; q̂ is one
-    percentile over calibration residuals; coverage is one conditional
-    count over the test half with the 1-row fit and q̂ broadcast. Two
-    scans total regardless of scale.
+    comparison exact); the fit is ONE combinable pass of exact integer
+    moments (bigint cents × bigint days — see the oracle's header note:
+    regr_* double co-moments merge in engine-specific order, and the
+    unrounded band comparison downstream amplified an ulp of slope into a
+    19-row coverage flip on the rolled dup corpus); q̂ is one percentile
+    over calibration residuals, rounded to 2 cent-decimals before the
+    band test so interpolation ulps can't reclassify a row; coverage is
+    one conditional count over the test half with the 1-row fit and q̂
+    broadcast. Two scans total regardless of scale.
     """
     orders = load_table(spark, sf_dir, "orders")
     h = F.md5(F.encode(F.col("o_orderkey").cast("string"), "UTF-8"))
     b = (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))) % 100
     base = orders.select(
-        F.col("o_totalprice").alias("y"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("yc"),
         F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
-        .cast("double")
+        .cast("bigint")
         .alias("x"),
         b.alias("b"),
     )
     cal = base.filter(F.col("b") < 50)
     tst = base.filter(F.col("b") >= 50)
-    fit = cal.agg(
-        F.expr("regr_slope(y, x)").alias("m"),
-        F.expr("regr_intercept(y, x)").alias("c"),
-        F.count(F.lit(1)).cast("bigint").alias("n_cal"),
-    )
     # GLOBAL aggregates (no groupBy on carried scalars): the oracle's CTEs
     # aggregate without GROUP BY, so an empty split still yields the one
     # NULL-stat summary row — a grouped Spark agg would vanish instead.
+    mom = cal.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("yc").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("yc")).cast("bigint").alias("sxy"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731 — mirror ::double
+    m_expr = F.when(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") == 0, F.lit(None)
+    ).otherwise(
+        (dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy"))
+        / (dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx"))
+    )
+    fit = mom.select(
+        F.col("n").alias("n_cal"),
+        m_expr.alias("m"),
+    ).crossJoin(F.broadcast(mom.select("sx", "sy"))).select(
+        "n_cal",
+        "m",
+        ((dbl("sy") - F.col("m") * dbl("sx")) / dbl("n_cal")).alias("c"),
+    )
     q = (
         cal.crossJoin(F.broadcast(fit.select("m", "c")))
         .select(
-            F.abs(F.col("y") - (F.col("m") * F.col("x") + F.col("c"))).alias("r")
+            F.abs(dbl("yc") - (F.col("m") * dbl("x") + F.col("c"))).alias("r")
         )
-        .agg(F.expr(f"percentile(r, {_CONF_ALPHA})").alias("qhat"))
+        .agg(F.round(F.expr(f"percentile(r, {_CONF_ALPHA})"), 2).alias("qhat"))
     )
     fitq = fit.crossJoin(F.broadcast(q))
     cov = (
@@ -684,7 +732,7 @@ def conformal_interval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             # would carry the NULL into sum() and emit NaN coverage instead
             # (uniform-timestamp value-parity probe).
             F.when(
-                F.abs(F.col("y") - (F.col("m") * F.col("x") + F.col("c")))
+                F.abs(dbl("yc") - (F.col("m") * dbl("x") + F.col("c")))
                 <= F.col("qhat"),
                 1,
             )
@@ -699,7 +747,7 @@ def conformal_interval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cov.crossJoin(F.broadcast(fitq.select("n_cal", "qhat"))).select(
         "n_cal",
         "n_test",
-        F.round("qhat", 4).alias("qhat"),
+        F.round(F.col("qhat") / F.lit(100.0), 4).alias("qhat"),
         F.round(F.col("covered") / F.col("n_test").cast("double"), 6).alias(
             "coverage"
         ),

@@ -1,14 +1,16 @@
 #!/bin/sh
 # Round pre-flight (run before staging a driver window; records to .scratch):
-#   1. bare-session driver-sim: all 284 queries() vs oracle_sql() row counts
+#   1. bare-session driver-sim: all 287 queries() vs oracle_sql() row counts
 #      at sf0.01 (the driver's own check, minus the value hash -- pytest
 #      tests/test_parity.py is the stricter cell-exact layer);
 #   2. standing dup-heavy gate: the 25 flagged heavy names in ONE worker
 #      JVM at sf10 (SCALING.md);
 #   3. full-registry sweep at sf1 (10x) under the orchestrator;
 #   4. dup-heavy CELL-EXACT sweep: every oracled query value-checked vs
-#      DuckDB on a 20x-replicated sf0.001 corpus (round 9 — counts can't
-#      see tie-resolution divergence on duplicated data).
+#      DuckDB on a replicated sf0.001 corpus whose shape ROLLS per day
+#      (replicas 16-24, stride pad 0-999 — round 10; counts can't see
+#      tie-resolution divergence on duplicated data, and a frozen corpus
+#      shape can be overfit).
 # Takes ~65 min total; each step prints PASS/FAIL at the end.
 set -eu
 cd "$(dirname "$0")"
