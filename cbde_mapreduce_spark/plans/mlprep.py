@@ -217,23 +217,24 @@ def largest_remainder_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH c AS (
             SELECT o_orderpriority, o_totalprice,
-                   quantile_cont(o_totalprice, 0.05)
-                     OVER (PARTITION BY o_orderpriority) AS lo,
-                   quantile_cont(o_totalprice, 0.95)
-                     OVER (PARTITION BY o_orderpriority) AS hi
+                   round(quantile_cont(o_totalprice, 0.05)
+                     OVER (PARTITION BY o_orderpriority), 4) AS lo,
+                   round(quantile_cont(o_totalprice, 0.95)
+                     OVER (PARTITION BY o_orderpriority), 4) AS hi
             FROM orders
-        )
+        ),
+        w AS (SELECT o_orderpriority, o_totalprice, lo, hi,
+                     least(greatest(o_totalprice, lo), hi)::decimal(18,4) AS clip
+              FROM c)
         SELECT o_orderpriority,
                count(*)::bigint AS n,
                sum(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END)::bigint
                  AS n_clipped_low,
                sum(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END)::bigint
                  AS n_clipped_high,
-               round(avg(least(greatest(o_totalprice, lo), hi)), 4)
-                 AS mean_winsorized,
-               round(sum(least(greatest(o_totalprice, lo), hi)), 2)
-                 AS sum_winsorized
-        FROM c
+               round(sum(clip)::double / count(*), 4) AS mean_winsorized,
+               round(sum(clip)::double, 2) AS sum_winsorized
+        FROM w
         GROUP BY o_orderpriority
     """,
     category="ml-prep",
@@ -247,16 +248,26 @@ def winsorize_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     both steps, with no separate edge table and no join-back (the classic
     two-scan formulation). Both engines compute exact linearly-interpolated
     (type-7) percentiles.
+
+    Round-10 hardening (the conformal/RFM rolled-corpus class, fixed here
+    before a corpus hits it): the edges are quantized to 4 decimals —
+    collapsing any cross-engine interpolation-order ulp — and the clipped
+    values (2-decimal prices clamped to 4-decimal edges: exactly 4-decimal
+    numbers) are summed as lossless decimal(18,4), so the sum is exact and
+    order-independent; the only remaining float op is one deterministic
+    division for the mean.
     """
     orders = load_table(spark, sf_dir, "orders")
     wp = Window.partitionBy("o_orderpriority")
     c = orders.select(
         "o_orderpriority",
         "o_totalprice",
-        F.expr("percentile(o_totalprice, 0.05)").over(wp).alias("lo"),
-        F.expr("percentile(o_totalprice, 0.95)").over(wp).alias("hi"),
+        F.round(F.expr("percentile(o_totalprice, 0.05)").over(wp), 4).alias("lo"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)").over(wp), 4).alias("hi"),
     )
-    clip = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    clip = F.least(
+        F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi")
+    ).cast("decimal(18,4)")
     return c.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum((F.col("o_totalprice") < F.col("lo")).cast("int"))
@@ -265,8 +276,10 @@ def winsorize_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("o_totalprice") > F.col("hi")).cast("int"))
         .cast("bigint")
         .alias("n_clipped_high"),
-        F.round(F.avg(clip), 4).alias("mean_winsorized"),
-        F.round(F.sum(clip), 2).alias("sum_winsorized"),
+        F.round(
+            F.sum(clip).cast("double") / F.count(F.lit(1)), 4
+        ).alias("mean_winsorized"),
+        F.round(F.sum(clip).cast("double"), 2).alias("sum_winsorized"),
     )
 
 

@@ -303,19 +303,22 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "mad_outlier_orders",
     oracle="""
-        WITH med AS (SELECT o_orderpriority,
-                            quantile_cont(o_totalprice, 0.5) AS med
-                     FROM orders GROUP BY 1),
-        dev AS (SELECT o.o_orderpriority, o.o_totalprice, med.med,
-                       abs(o.o_totalprice - med.med) AS adev
-                FROM orders o JOIN med USING (o_orderpriority)),
+        WITH o AS (SELECT o_orderpriority,
+                          round(o_totalprice * 100)::bigint AS yc
+                   FROM orders),
+        med AS (SELECT o_orderpriority,
+                       quantile_cont(yc, 0.5) AS med
+                FROM o GROUP BY 1),
+        dev AS (SELECT o.o_orderpriority, o.yc, med.med,
+                       abs(o.yc - med.med) AS adev
+                FROM o JOIN med USING (o_orderpriority)),
         mad AS (SELECT o_orderpriority, any_value(med) AS med,
                        quantile_cont(adev, 0.5) AS mad
                 FROM dev GROUP BY 1)
         SELECT d.o_orderpriority,
                count(*)::bigint AS n_orders,
-               round(any_value(m.med), 4) AS med_price,
-               round(any_value(m.mad), 4) AS mad_price,
+               round(any_value(m.med) / 100.0, 4) AS med_price,
+               round(any_value(m.mad) / 100.0, 4) AS mad_price,
                count(*) FILTER (WHERE d.adev > 3 * m.mad)::bigint AS n_outliers
         FROM dev d JOIN mad m USING (o_orderpriority)
         GROUP BY 1
@@ -330,17 +333,24 @@ def mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two grouped exact-percentile passes chained by a broadcast join of the
     (|groups|-sized) median table back onto the facts; all aggregation is
-    combinable, no global sort. Interpolated percentile definition is
-    engine-identical (proven by percentiles_order_value); medians of
-    2-decimal prices carry ≤3 decimals, so round(…,4) sits on no halfway
-    point.
+    combinable, no global sort. The medians run over INTEGER CENTS
+    (round-10 hardening, same class as the conformal/RFM rolled-corpus
+    catches): with integer inputs below 2⁵³, every value the 0.5-quantile
+    interpolation can produce — halves, then quarters for the MAD pass —
+    is exactly representable, so med/mad are bit-equal across engines
+    REGARDLESS of each engine's interpolation formula, and the unrounded
+    3·MAD band test (which replicated cent-quantized data loads with exact
+    ties) cannot flip a row on an ulp.
     """
-    o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("yc"),
+    )
     med = o.groupBy("o_orderpriority").agg(
-        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
+        F.percentile("yc", F.lit(0.5)).alias("med")
     )
     dev = o.join(F.broadcast(med), "o_orderpriority").withColumn(
-        "adev", F.abs(F.col("o_totalprice") - F.col("med"))
+        "adev", F.abs(F.col("yc") - F.col("med"))
     )
     mad = dev.groupBy("o_orderpriority").agg(
         F.any_value("med").alias("med2"),
@@ -351,8 +361,8 @@ def mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            F.round(F.any_value("med2"), 4).alias("med_price"),
-            F.round(F.any_value("mad"), 4).alias("mad_price"),
+            F.round(F.any_value("med2") / F.lit(100.0), 4).alias("med_price"),
+            F.round(F.any_value("mad") / F.lit(100.0), 4).alias("mad_price"),
             F.sum(F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0))
             .cast("bigint")
             .alias("n_outliers"),
