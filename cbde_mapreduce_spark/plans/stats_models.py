@@ -886,20 +886,32 @@ def expected_clv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TT_Z = 3.29  # ~ two-sided alpha 0.001 ≈ 0.005 Bonferroni-adjusted for 5 tests
 
+#: Sufficient statistics ride EXACT integer cents (third rolled-corpus
+#: catch, round 10: mean_bal = round(Σbal/n, 4) landed on a .00005
+#: boundary that the engines' different summation orders crossed in
+#: opposite directions). Σbal is a bigint cent sum, Σbal² a bigint
+#: cent² sum (balances < 10⁶ cents ⇒ squares < 10¹², sums ≪ 2⁶³); every
+#: complement statistic subtracts EXACT integers, and the only float ops
+#: are deterministic divisions of identical operands.
 _TT_ORACLE = f"""
     WITH g AS (SELECT c_mktsegment AS segment,
                       count(*)::double AS n,
-                      sum(c_acctbal) AS s,
-                      sum(c_acctbal * c_acctbal) AS ss
+                      sum(round(c_acctbal * 100)::bigint) AS sc,
+                      sum(round(c_acctbal * 100)::bigint
+                          * round(c_acctbal * 100)::bigint) AS ssc
                FROM customer GROUP BY c_mktsegment),
-    tot AS (SELECT sum(n) AS tn, sum(s) AS ts, sum(ss) AS tss FROM g),
+    tot AS (SELECT sum(n) AS tn,
+                   sum(sc)::bigint AS tsc, sum(ssc)::bigint AS tssc
+            FROM g),
     d AS (SELECT g.segment, g.n,
-                 g.s / g.n AS m,
-                 (g.ss - g.s * g.s / g.n) / (g.n - 1) AS v,
+                 (g.sc / 100.0) / g.n AS m,
+                 (g.ssc / 10000.0
+                  - (g.sc / 100.0) * (g.sc / 100.0) / g.n) / (g.n - 1) AS v,
                  (tot.tn - g.n) AS rn,
-                 (tot.ts - g.s) / (tot.tn - g.n) AS rm,
-                 ((tot.tss - g.ss) - (tot.ts - g.s) * (tot.ts - g.s)
-                   / (tot.tn - g.n)) / (tot.tn - g.n - 1) AS rv
+                 ((tot.tsc - g.sc) / 100.0) / (tot.tn - g.n) AS rm,
+                 ((tot.tssc - g.ssc) / 10000.0
+                  - ((tot.tsc - g.sc) / 100.0) * ((tot.tsc - g.sc) / 100.0)
+                    / (tot.tn - g.n)) / (tot.tn - g.n - 1) AS rv
           FROM g, tot)
     SELECT segment, n::bigint AS n,
            round(m, 4) AS mean_bal,
@@ -922,38 +934,47 @@ def segment_ttests_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σy²) per segment; every complement ("rest") statistic is derived by
     subtracting from the global totals — no second scan, no per-test
     pass. Welch's unequal-variance form avoids the pooled-variance
-    assumption the segments would violate.
+    assumption the segments would violate. The sums ride exact integer
+    cents (see the oracle's header note — third rolled-corpus catch of
+    the engine-order float-summation class), so every derived statistic
+    is a deterministic float function of identical integer operands.
     """
     cust = load_table(spark, sf_dir, "customer")
-    y = F.col("c_acctbal")
+    yc = F.round(F.col("c_acctbal") * 100).cast("bigint")
     g = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(y).alias("s"),
-        F.sum(y * y).alias("ss"),
+        F.sum(yc).alias("sc"),
+        F.sum(yc * yc).alias("ssc"),
     )
     tot = g.agg(
-        F.sum("n").alias("tn"), F.sum("s").alias("ts"), F.sum("ss").alias("tss")
+        F.sum("n").alias("tn"),
+        F.sum("sc").cast("bigint").alias("tsc"),
+        F.sum("ssc").cast("bigint").alias("tssc"),
     )
     # try_divide throughout: n = 1 (sample variance) or a single-segment
     # table (rest-size 0) makes the statistic undefined — NULL like
     # DuckDB, not an ANSI error
+    c100 = F.lit(100.0)
+    c1e4 = F.lit(10000.0)
     d = g.crossJoin(F.broadcast(tot)).select(
         "segment",
         "n",
-        (F.col("s") / F.col("n")).alias("m"),
+        ((F.col("sc") / c100) / F.col("n")).alias("m"),
         F.try_divide(
-            F.col("ss") - F.col("s") * F.col("s") / F.col("n"),
+            F.col("ssc") / c1e4
+            - (F.col("sc") / c100) * (F.col("sc") / c100) / F.col("n"),
             F.col("n") - 1,
         ).alias("v"),
         (F.col("tn") - F.col("n")).alias("rn"),
         F.try_divide(
-            F.col("ts") - F.col("s"), F.col("tn") - F.col("n")
+            (F.col("tsc") - F.col("sc")) / c100, F.col("tn") - F.col("n")
         ).alias("rm"),
         F.try_divide(
-            (F.col("tss") - F.col("ss"))
-            - (F.col("ts") - F.col("s"))
-            * F.try_divide(
-                F.col("ts") - F.col("s"), F.col("tn") - F.col("n")
+            (F.col("tssc") - F.col("ssc")) / c1e4
+            - F.try_divide(
+                ((F.col("tsc") - F.col("sc")) / c100)
+                * ((F.col("tsc") - F.col("sc")) / c100),
+                F.col("tn") - F.col("n"),
             ),
             F.col("tn") - F.col("n") - 1,
         ).alias("rv"),
