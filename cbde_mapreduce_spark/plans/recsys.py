@@ -22,7 +22,8 @@ _CF_TOP = 20
 
 _CF_ORACLE = f"""
     WITH b AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
-               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL),
     pop AS (SELECT p, count(*)::double AS n FROM b GROUP BY p),
     co AS (SELECT x.p AS p1, y.p AS p2, count(*)::double AS co
            FROM b x JOIN b y ON x.c = y.c AND x.p < y.p
@@ -89,7 +90,16 @@ def item_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groupBy(c) would happily build one giant NULL-customer basket and
     # mint pairs that never co-occurred (caught by the NULL-FK regime of
     # tests/test_skew_input.py on this round's basket-major rewrite);
-    # likewise a NULL part key can never satisfy p1 < p2.
+    # likewise a NULL part key can never satisfy p1 < p2. The oracle's b
+    # CTE carries the SAME explicit NULL filter (ADVICE r10 high): the
+    # equi-join only hides NULLs from the PAIR side — a (NULL, p)
+    # incidence row would still inflate pop's per-item denominator there
+    # while this filtered incidence excludes it, skewing every cosine
+    # that involves an item bought by a NULL customer (reproduced: 1.0 vs
+    # 0.92582 on a crafted corpus). Popularity and pairs must count the
+    # same universe on both engines; tests/test_advice_r11.py pins it
+    # with a corpus where pairs SURVIVE the support floor next to NULL
+    # customers, so the check can never pass vacuously again.
     inc = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .filter(F.col("l_partkey").isNotNull() & F.col("o_custkey").isNotNull())

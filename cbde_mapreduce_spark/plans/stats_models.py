@@ -633,7 +633,13 @@ _CONF_ORACLE = f"""
                    sum(x * x)::bigint AS sxx, sum(x * yc)::bigint AS sxy
             FROM cal),
     fitm AS (SELECT n, sx, sy,
-                    CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                    -- the degenerate-fit guard tests the SAME double
+                    -- expression the slope divides by, never the bigint
+                    -- product: at sf10 n*sxx ~ 1.0e20 overflows int64
+                    -- under ANSI (ADVICE r10 medium) while the double
+                    -- form is deterministic from identical exact operands
+                    CASE WHEN n::double * sxx::double
+                              - sx::double * sx::double = 0 THEN NULL
                          ELSE (n::double * sxy::double - sx::double * sy::double)
                               / (n::double * sxx::double - sx::double * sx::double)
                     END AS m
@@ -701,8 +707,11 @@ def conformal_interval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("yc")).cast("bigint").alias("sxy"),
     )
     dbl = lambda c: F.col(c).cast("double")  # noqa: E731 — mirror ::double
+    # guard in DOUBLE, mirroring the oracle's CASE: the bigint product
+    # n*sxx overflows int64 at sf10 under ANSI; testing the exact double
+    # denominator the slope uses keeps guard and division consistent
     m_expr = F.when(
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") == 0, F.lit(None)
+        dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx") == 0, F.lit(None)
     ).otherwise(
         (dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy"))
         / (dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx"))

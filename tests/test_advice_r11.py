@@ -1,0 +1,174 @@
+"""Round-11 ADVICE regressions (ADVICE.md, r10 judge pass).
+
+1. HIGH — item_item_cf_topk popularity universe: the oracle's incidence
+   CTE used to keep (NULL, p) rows (the equi-join only hides NULLs from
+   the PAIR side), so pop's denominators counted a phantom NULL customer
+   while the Spark plan filtered it — cosine 1.0 vs 0.909 on the corpus
+   below. The existing NULL-FK sweep passed only VACUOUSLY because no
+   pair survives co >= 5 on the 50%-nulled sf0.001 fixture. This corpus
+   plants pairs that DO survive the support floor right next to
+   NULL-custkey orders buying the same parts, so the aligned NULL filter
+   in the oracle's b CTE is load-bearing, not decorative.
+
+2. MEDIUM — conformal_interval_orders' degenerate-fit guard computed
+   n*sxx - sx*sx in bigint; with far-future order dates (x ~ 2.9e6 days)
+   and ~1k calibration rows the product exceeds int64 and ANSI raises at
+   a scale tier where the double slope expression is perfectly happy.
+   The guard now tests the same DOUBLE expression the slope divides by.
+   The corpus below is sized so the bigint product provably overflows
+   (asserted from exact Python integers, so the test cannot go vacuous
+   if fixture sizes change).
+"""
+
+from __future__ import annotations
+
+import datetime
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from cbde_mapreduce_spark.plans import REGISTRY
+from cbde_mapreduce_spark.sources import TABLES
+from tests.parity import assert_parity
+
+_SRC_SF = "/root/testdata/sf0.001"
+
+
+def _write_orders(path: str, rows: list[tuple]) -> None:
+    """rows = (o_orderkey, o_custkey|None, status, totalprice, date, prio)."""
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array([r[2] for r in rows], pa.string()),
+            "o_totalprice": pa.array([r[3] for r in rows], pa.float64()),
+            "o_orderdate": pa.array([r[4] for r in rows], pa.timestamp("us")),
+            "o_orderpriority": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def _write_lineitem(path: str, rows: list[tuple]) -> None:
+    """rows = (l_orderkey, l_partkey, l_linenumber)."""
+    n = len(rows)
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            "l_suppkey": pa.array([1] * n, pa.int64()),
+            "l_linenumber": pa.array([r[2] for r in rows], pa.int32()),
+            "l_quantity": pa.array([1.0] * n, pa.float64()),
+            "l_extendedprice": pa.array([100.0] * n, pa.float64()),
+            "l_discount": pa.array([0.0] * n, pa.float64()),
+            "l_tax": pa.array([0.0] * n, pa.float64()),
+            "l_returnflag": pa.array(["N"] * n, pa.string()),
+            "l_linestatus": pa.array(["O"] * n, pa.string()),
+            "l_shipdate": pa.array(
+                [datetime.datetime(1996, 1, 1)] * n, pa.timestamp("us")
+            ),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def _clone_fixture(dst) -> str:
+    for t in TABLES:
+        shutil.copy(f"{_SRC_SF}/{t}.parquet", str(dst / f"{t}.parquet"))
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def cf_null_sf_dir(tmp_path_factory) -> str:
+    """Pairs above the co>=5 floor NEXT TO NULL-custkey orders that buy
+    the same parts: customers 1-10 each buy parts {1,2,3} (three pairs at
+    co=10), customers 11-16 buy {4,5} (one pair at co=6), and six
+    NULL-custkey orders buy {1,2,3,6}. A popularity universe that keeps
+    the (NULL, p) incidence row reads pop(1..3)=11 and every top cosine
+    as 10/11; the basket universe both engines now share reads 10/10."""
+    d = tmp_path_factory.mktemp("cfnull_sf")
+    _clone_fixture(d)
+    day = datetime.datetime(1996, 6, 1)
+    orders, lines = [], []
+    for c in range(1, 11):
+        orders.append((c, c, "O", 1000.0, day, "1-URGENT"))
+        for i, p in enumerate((1, 2, 3), 1):
+            lines.append((c, p, i))
+    for c in range(11, 17):
+        orders.append((c, c, "O", 1000.0, day, "1-URGENT"))
+        for i, p in enumerate((4, 5), 1):
+            lines.append((c, p, i))
+    for k in range(100, 106):
+        orders.append((k, None, "O", 1000.0, day, "1-URGENT"))
+        for i, p in enumerate((1, 2, 3, 6), 1):
+            lines.append((k, p, i))
+    _write_orders(str(d / "orders.parquet"), orders)
+    _write_lineitem(str(d / "lineitem.parquet"), lines)
+    return str(d)
+
+
+def test_item_item_cf_null_pop_non_vacuous(spark, cf_null_sf_dir):
+    spec = REGISTRY["item_item_cf_topk"]
+    df = spec.fn(spark, cf_null_sf_dir)
+    rows = df.toPandas()
+    # non-vacuous: pairs DO survive the support floor here, and the parts
+    # the NULL customers bought are among them (the regime where the old
+    # oracle's phantom-pop divergence reproduces: 1.0 vs 0.925820).
+    assert len(rows) >= 4, rows
+    assert {(1, 2), (1, 3), (2, 3), (4, 5)} <= set(
+        zip(rows["p1"].astype(int), rows["p2"].astype(int))
+    )
+    assert (rows["cosine"] == 1.0).all(), rows
+    assert_parity(df, spec.oracle, cf_null_sf_dir, name="item_item_cf_topk")
+
+
+@pytest.fixture(scope="module")
+def far_future_sf_dir(tmp_path_factory) -> str:
+    """3000 orders dated 9890-9905: x = days since 1995-01-01 ~ 2.9e6, so
+    the calibration half's n*sxx lands ~1e20 — far past int64 — while the
+    double fit is well-conditioned."""
+    d = tmp_path_factory.mktemp("farfuture_sf")
+    _clone_fixture(d)
+    orders = []
+    for k in range(1, 3001):
+        dt = datetime.datetime(9890, 1, 1) + datetime.timedelta(
+            days=(k * 7) % 5600
+        )
+        price = 1000.0 + (k % 997) + (k % 100) / 100.0
+        orders.append((k, 1 + k % 50, "O", price, dt, "1-URGENT"))
+    _write_orders(str(d / "orders.parquet"), orders)
+    return str(d)
+
+
+def test_conformal_guard_survives_int64_scale(spark, far_future_sf_dir):
+    import hashlib
+
+    epoch = datetime.date(1995, 1, 1)
+    n = sx = sxx = 0
+    for k in range(1, 3001):
+        dt = datetime.date(9890, 1, 1) + datetime.timedelta(days=(k * 7) % 5600)
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        if (ord(h[0]) * 256 + ord(h[1])) % 100 < 50:
+            x = (dt - epoch).days
+            n, sx, sxx = n + 1, sx + x, sxx + x * x
+    # non-vacuous: the OLD bigint guard would overflow on this corpus
+    assert n * sxx > 2**63 - 1, (n, sxx)
+    spec = REGISTRY["conformal_interval_orders"]
+    df = spec.fn(spark, far_future_sf_dir)
+    out = df.toPandas()
+    assert len(out) == 1 and out["n_cal"].iloc[0] == n
+    assert_parity(
+        df, spec.oracle, far_future_sf_dir, name="conformal_interval_orders"
+    )
+
+
+def test_conformal_sf001_parity_unchanged(spark, sf_oracle):
+    """The double guard changes nothing at fixture scale."""
+    spec = REGISTRY["conformal_interval_orders"]
+    assert_parity(
+        spec.fn(spark, sf_oracle), spec.oracle, sf_oracle,
+        name="conformal_interval_orders",
+    )
+
