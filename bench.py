@@ -87,6 +87,18 @@ ROUNDS = 3
 CONTENTION_LOADAVG = 2.0
 CONTENTION_SETTLE_SEC = 20
 
+#: Round-11 (VERDICT r10 "Next round" #2): self-labeling was not enough —
+#: BENCH_r10.json still RECORDED the hot number (uniform 1.6-3.6x ambient
+#: inflation, `contended: true`). The run now ESCALATES: if the box is
+#: still hot after the settle-and-recheck, the whole measurement pass is
+#: retried with backoff, and the artifact of record is the FIRST SETTLED
+#: attempt; only if the box never settles does the labeled hot run land,
+#: carrying the full attempts trail so a reader sees the escalation was
+#: exhausted, not skipped. Bounded: MAX_ATTEMPTS full passes, BACKOFF_SEC
+#: sleep between them (env-overridable for CI).
+MAX_ATTEMPTS = int(os.environ.get("SPARK_BENCH_MAX_ATTEMPTS", "3"))
+BACKOFF_SEC = float(os.environ.get("SPARK_BENCH_BACKOFF_SEC", "60"))
+
 #: Second tracked tier (VERDICT r9 ask #5): the round-9 Arrow-native plan
 #: shapes and the single heaviest registry name get round-over-round timing
 #: regression tracking like the 13 headliners, WITHOUT joining the headline
@@ -140,15 +152,6 @@ def main() -> None:
     REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).collect()
     REGISTRY["cosine_topk_similarity"].fn(spark, sf_dir).toPandas()
 
-    load_before = os.getloadavg()
-    contended = load_before[0] > CONTENTION_LOADAVG
-    if contended:
-        # transient spike? settle once, re-read, and only then label the run
-        time.sleep(CONTENTION_SETTLE_SEC)
-        load_before = os.getloadavg()
-        contended = load_before[0] > CONTENTION_LOADAVG
-    rounds = ROUNDS + (1 if contended else 0)
-
     dfs: dict[str, object] = {}
     planning: dict[str, float] = {}
     for name in HEADLINE + TRACKED:
@@ -158,15 +161,47 @@ def main() -> None:
         planning[name] = round(time.perf_counter() - t0, 4)
         dfs[name] = df
 
-    medians: dict[str, list[float]] = {name: [] for name in HEADLINE + TRACKED}
-    for _ in range(rounds):
-        for name in HEADLINE + TRACKED:
-            samples = []
-            for _ in range(RUNS if name in HEADLINE else RUNS_TRACKED):
-                t0 = time.perf_counter()
-                dfs[name].toPandas()
-                samples.append(time.perf_counter() - t0)
-            medians[name].append(statistics.median(samples))
+    def check_contention() -> tuple[tuple[float, float, float], bool]:
+        load = os.getloadavg()
+        if load[0] > CONTENTION_LOADAVG:
+            # transient spike? settle once, re-read, only then label
+            time.sleep(CONTENTION_SETTLE_SEC)
+            load = os.getloadavg()
+        return load, load[0] > CONTENTION_LOADAVG
+
+    def measure(rounds: int) -> dict[str, list[float]]:
+        medians: dict[str, list[float]] = {n: [] for n in HEADLINE + TRACKED}
+        for _ in range(rounds):
+            for name in HEADLINE + TRACKED:
+                samples = []
+                for _ in range(RUNS if name in HEADLINE else RUNS_TRACKED):
+                    t0 = time.perf_counter()
+                    dfs[name].toPandas()
+                    samples.append(time.perf_counter() - t0)
+                medians[name].append(statistics.median(samples))
+        return medians
+
+    attempts_trail: list[dict[str, object]] = []
+    for attempt in range(1, MAX_ATTEMPTS + 1):
+        load_before, contended = check_contention()
+        rounds = ROUNDS + (1 if contended else 0)
+        medians = measure(rounds)
+        attempts_trail.append(
+            {
+                "attempt": attempt,
+                "contended": contended,
+                "loadavg_before": [round(v, 2) for v in load_before],
+                "loadavg_after": [round(v, 2) for v in os.getloadavg()],
+                "total": round(
+                    sum(statistics.median(medians[n]) for n in HEADLINE), 4
+                ),
+            }
+        )
+        if not contended:
+            break
+        if attempt < MAX_ATTEMPTS:
+            time.sleep(BACKOFF_SEC)
+
     timings = {
         name: round(statistics.median(medians[name]), 4) for name in HEADLINE
     }
@@ -186,6 +221,7 @@ def main() -> None:
                 "sf": sf,
                 "planning_sec": round(sum(planning.values()), 4),
                 "runs_per_query": RUNS,
+                "runs_tracked": RUNS_TRACKED,
                 "rounds": rounds,
                 "round_medians": {
                     n: [round(v, 4) for v in medians[n]] for n in HEADLINE + TRACKED
@@ -193,9 +229,12 @@ def main() -> None:
                 "loadavg_before": [round(v, 2) for v in load_before],
                 "loadavg_after": [round(v, 2) for v in os.getloadavg()],
                 "contended": contended,
+                "attempts": attempts_trail,
                 "note": "median over interleaved rounds of median-of-RUNS "
                 "warm executions (Arrow materialization); driver-side plan "
-                "build reported separately in planning_sec",
+                "build reported separately in planning_sec; a contended box "
+                "triggers up to MAX_ATTEMPTS full re-runs with backoff and "
+                "the first settled attempt is the record",
             }
         )
     )
