@@ -19,26 +19,44 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cbde_mapreduce_spark.plans.money import (
+    avg_money,
+    charge_units,
+    disc_units,
+    sum_money,
+    sum_units,
+)
 from cbde_mapreduce_spark.plans.registry import query
 from cbde_mapreduce_spark.sources import load_table
 
-def revenue():
-    """l_extendedprice * (1 - l_discount) — built lazily (needs a live JVM)."""
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+#: SQL twins of the plans/money.py unit expressions (kept as fragments so
+#: every oracle spells the discipline identically).
+EP_CENTS_SQL = "round(l_extendedprice * 100)::bigint"
+DISC_UNITS_SQL = (
+    "(round(l_extendedprice * 100)::bigint"
+    " * (100 - round(l_discount * 100)::bigint))::decimal(38,0)"
+)
+CHARGE_UNITS_SQL = (
+    "(round(l_extendedprice * 100)::bigint"
+    " * (100 - round(l_discount * 100)::bigint)"
+    " * (100 + round(l_tax * 100)::bigint))::decimal(38,0)"
+)
 
 
 @query(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2)                                    AS sum_qty,
-               round(sum(l_extendedprice), 2)                               AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 6)                                    AS avg_qty,
-               round(avg(l_extendedprice), 6)                               AS avg_price,
-               round(avg(l_discount), 6)                                    AS avg_disc,
-               count(*)                                                     AS count_order
+               round(sum(l_quantity), 2)                          AS sum_qty,
+               round(sum({EP_CENTS_SQL}) / 100.0, 2)              AS sum_base_price,
+               round(sum({DISC_UNITS_SQL})::double / 10000.0, 2)  AS sum_disc_price,
+               round(sum({CHARGE_UNITS_SQL})::double / 1000000.0, 2) AS sum_charge,
+               round(avg(l_quantity), 6)                          AS avg_qty,
+               round(sum({EP_CENTS_SQL}) / 100.0
+                     / count(l_extendedprice), 6)                 AS avg_price,
+               round(sum(round(l_discount * 100)::bigint) / 100.0
+                     / count(l_discount), 6)                      AS avg_disc,
+               count(*)                                           AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
         GROUP BY l_returnflag, l_linestatus
@@ -46,19 +64,25 @@ def revenue():
     category="aggregation",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1: scan + filter + 8 simultaneous aggregates per group."""
+    """TPC-H Q1: scan + filter + 8 simultaneous aggregates per group.
+
+    Money aggregates ride exact integer units (plans/money.py): quantity
+    sums stay double (integer-valued doubles are exact in float64 and
+    order-independent below 2^53), everything priced is an exact
+    bigint/decimal sum with ONE deterministic final division.
+    """
     lineitem = load_table(spark, sf_dir, "lineitem")
     return (
         lineitem.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(revenue()), 2).alias("sum_disc_price"),
-            F.round(F.sum(revenue() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            sum_money("l_extendedprice").alias("sum_base_price"),
+            sum_units(disc_units(), 4).alias("sum_disc_price"),
+            sum_units(charge_units(), 6).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            avg_money("l_extendedprice", 6).alias("avg_price"),
+            avg_money("l_discount", 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -66,9 +90,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q3_shipping_priority",
-    oracle="""
+    oracle=f"""
         SELECT l.l_orderkey,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               round(sum({DISC_UNITS_SQL})::double / 10000.0, 2) AS revenue,
                o.o_orderdate
         FROM customer c
         JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -92,7 +116,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz"))
         .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(revenue()), 2).alias("revenue"))
+        .agg(sum_units(disc_units(), 4).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -101,9 +125,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q5_local_supplier",
-    oracle="""
+    oracle=f"""
         SELECT n.n_name,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               round(sum({DISC_UNITS_SQL})::double / 10000.0, 2) AS revenue
         FROM customer c
         JOIN orders o   ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -133,5 +157,5 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
         .groupBy("n_name")
-        .agg(F.round(F.sum(revenue()), 2).alias("revenue"))
+        .agg(sum_units(disc_units(), 4).alias("revenue"))
     )

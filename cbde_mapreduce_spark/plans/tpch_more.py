@@ -14,15 +14,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cbde_mapreduce_spark.plans.money import disc_units, promo_units, sum_units
 from cbde_mapreduce_spark.plans.registry import query
-from cbde_mapreduce_spark.plans.tpch import revenue
+from cbde_mapreduce_spark.plans.tpch import DISC_UNITS_SQL  # noqa: F401 (shared SQL fragment)
 from cbde_mapreduce_spark.sources import load_table
+
+#: extendedprice * discount in exact 1e-4-dollar units (money.py twin)
+PROMO_UNITS_SQL = (
+    "(round(l_extendedprice * 100)::bigint"
+    " * round(l_discount * 100)::bigint)::decimal(38,0)"
+)
 
 
 @query(
     "q6_forecast_revenue",
-    oracle="""
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS promo_revenue,
+    oracle=f"""
+        SELECT round(sum({PROMO_UNITS_SQL})::double / 10000.0, 2) AS promo_revenue,
                count(*) AS n_items
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -43,9 +50,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "promo_revenue"
-            ),
+            sum_units(promo_units(), 4).alias("promo_revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -111,9 +116,9 @@ def q2_cheapest_part_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q10_returned_revenue",
-    oracle="""
+    oracle=f"""
         SELECT c.c_custkey, c.c_name,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               round(sum({DISC_UNITS_SQL})::double / 10000.0, 2) AS revenue
         FROM customer c
         JOIN orders o   ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -133,7 +138,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("c_custkey", "c_name")
-        .agg(F.round(F.sum(revenue()), 2).alias("revenue"))
+        .agg(sum_units(disc_units(), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -141,11 +146,11 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q14_promo_share",
-    oracle="""
+    oracle=f"""
         SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                                      THEN l.l_extendedprice * (1 - l.l_discount)
-                                      ELSE 0 END)
-                     / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_share
+                                      THEN {DISC_UNITS_SQL}
+                                      ELSE 0::decimal(38,0) END)::double
+                     / sum({DISC_UNITS_SQL})::double, 6) AS promo_share
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -156,18 +161,23 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional revenue share over a join."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    rev = revenue()
+    rev = disc_units()  # exact units; the share ratio cancels the 1e-4 scale
     joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
     )
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(38,0)")
+    )
     return joined.agg(
         # try_divide: zero window revenue (all discounts 1.0) is 0/0 —
         # DuckDB yields NULL, ANSI Spark raises (numeric-extremes sweep).
-        F.round(F.try_divide(100.0 * F.sum(promo), F.sum(rev)), 6).alias(
-            "promo_share"
-        )
+        F.round(
+            F.try_divide(
+                100.0 * F.sum(promo).cast("double"), F.sum(rev).cast("double")
+            ),
+            6,
+        ).alias("promo_share")
     )
 
 
@@ -234,8 +244,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q19_disjunctive_revenue",
-    oracle="""
-        SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    oracle=f"""
+        SELECT round(sum({DISC_UNITS_SQL})::double / 10000.0, 2) AS revenue,
                count(*) AS n_items
         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         WHERE (p.p_type = 'ECONOMY'  AND p.p_size BETWEEN 1 AND 15
@@ -258,6 +268,6 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_type") == "PROMO") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 50))
     )
     return j.filter(cond).agg(
-        F.round(F.sum(revenue()), 2).alias("revenue"),
+        sum_units(disc_units(), 4).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )

@@ -22,16 +22,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cbde_mapreduce_spark.plans.money import cents, disc_units, sum_units
 from cbde_mapreduce_spark.plans.registry import query
+from cbde_mapreduce_spark.plans.tpch import DISC_UNITS_SQL, EP_CENTS_SQL
 from cbde_mapreduce_spark.sources import load_table
 
 
 @query(
     "q7_nation_volume",
-    oracle="""
+    oracle=f"""
         SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
                year(l.l_shipdate)::int AS l_year,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume
+               round(sum({DISC_UNITS_SQL})::double / 10000.0, 2) AS volume
         FROM lineitem l
         JOIN orders o    ON l.l_orderkey = o.o_orderkey
         JOIN customer c  ON o.o_custkey = c.c_custkey
@@ -74,20 +76,16 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
         )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("volume")
-        )
+        .agg(sum_units(disc_units(), 4).alias("volume"))
     )
 
 
 @query(
     "q8_market_share",
-    oracle="""
+    oracle=f"""
         WITH all_sales AS (
             SELECT year(o.o_orderdate)::int AS o_year,
-                   l.l_extendedprice * (1 - l.l_discount) AS volume,
+                   {DISC_UNITS_SQL} AS volume,
                    s.s_nationkey AS supp_nation
             FROM lineitem l
             JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -97,8 +95,9 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
             WHERE r.r_name = 'ASIA')
         SELECT o_year,
-               round(sum(CASE WHEN supp_nation = 8 THEN volume ELSE 0 END)
-                     / sum(volume), 6) AS mkt_share
+               round(sum(CASE WHEN supp_nation = 8 THEN volume
+                              ELSE 0::decimal(38,0) END)::double
+                     / sum(volume)::double, 6) AS mkt_share
         FROM all_sales
         GROUP BY o_year
     """,
@@ -117,7 +116,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(r.filter(F.col("r_name") == "ASIA")),
         n.n_regionkey == r.r_regionkey,
     ).select("n_nationkey")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = disc_units()  # exact 1e-4-dollar units; the share ratio cancels the scale
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -130,9 +129,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.try_divide(
                     F.sum(
-                        F.when(F.col("s_nationkey") == 8, vol).otherwise(F.lit(0.0))
-                    ),
-                    F.sum(vol),
+                        F.when(F.col("s_nationkey") == 8, vol).otherwise(
+                            F.lit(0).cast("decimal(38,0)")
+                        )
+                    ).cast("double"),
+                    F.sum(vol).cast("double"),
                 ),
                 6,
             ).alias("mkt_share")
@@ -144,8 +145,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_type_profit",
     oracle="""
         SELECT n.n_name AS nation, year(o.o_orderdate)::int AS o_year,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)
-                         - 0.8 * p.p_retailprice * l.l_quantity / 100.0)
+               round(sum((round(l.l_extendedprice * 100)::bigint
+                          * (100 - round(l.l_discount * 100)::bigint) * 10
+                          - 8 * round(p.p_retailprice * 100)::bigint
+                              * round(l.l_quantity)::bigint)::decimal(38,0)
+                        )::double / 100000.0
                      / 1000000.0, 6) AS profit_m
         FROM lineitem l
         JOIN part p     ON l.l_partkey = p.p_partkey
@@ -174,9 +178,12 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.8) * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity") / F.lit(100.0)
+    # exact 1e-5-dollar units: disc revenue x10, and the 0.8/100 surrogate
+    # cost factor becomes the integer 8 x retail_cents x qty (money.py rule)
+    profit = (
+        cents("l_extendedprice") * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")) * F.lit(10)
+        - F.lit(8) * cents("p_retailprice") * F.round(F.col("l_quantity")).cast("bigint")
+    ).cast("decimal(38,0)")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
@@ -186,7 +193,11 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit) / F.lit(1000000.0), 6).alias("profit_m"))
+        .agg(
+            F.round(
+                F.sum(profit).cast("double") / F.lit(100000.0) / F.lit(1000000.0), 6
+            ).alias("profit_m")
+        )
     )
 
 
@@ -195,15 +206,17 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH holdings AS (
             SELECT l.l_partkey,
-                   sum(l.l_extendedprice * l.l_quantity) AS value
+                   sum((round(l.l_extendedprice * 100)::bigint
+                        * round(l.l_quantity)::bigint)::decimal(38,0)) AS vu
             FROM lineitem l
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
             JOIN nation n   ON s.s_nationkey = n.n_nationkey
             WHERE n.n_regionkey = 1
-            GROUP BY l.l_partkey)
-        SELECT l_partkey, round(value, 2) AS value
-        FROM holdings
-        WHERE value > (SELECT 1.5 * avg(value) FROM holdings)
+            GROUP BY l.l_partkey),
+        tot AS (SELECT sum(vu) AS tu, count(*) AS np FROM holdings)
+        SELECT l_partkey, round(vu::double / 100.0, 2) AS value
+        FROM holdings, tot
+        WHERE 2 * np * vu > 3 * tu
     """,
     category="aggregation",
 )
@@ -219,13 +232,26 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("__value"))
+        .agg(
+            F.sum(
+                (
+                    cents("l_extendedprice")
+                    * F.round(F.col("l_quantity")).cast("bigint")
+                ).cast("decimal(38,0)")
+            ).alias("__vu")
+        )
     )
     total = Window.partitionBy()
+    # value > 1.5*avg(value) cross-multiplied into the EXACT integer test
+    # 2*np*vu > 3*tu, so the threshold never rides a float mean (money.py)
     return (
-        holdings.withColumn("__avg", F.avg("__value").over(total))
-        .filter(F.col("__value") > F.lit(1.5) * F.col("__avg"))
-        .select("l_partkey", F.round("__value", 2).alias("value"))
+        holdings.withColumn("__tu", F.sum("__vu").over(total))
+        .withColumn("__np", F.count(F.lit(1)).over(total))
+        .filter(2 * F.col("__np") * F.col("__vu") > 3 * F.col("__tu"))
+        .select(
+            "l_partkey",
+            F.round(F.col("__vu").cast("double") / F.lit(100.0), 2).alias("value"),
+        )
     )
 
 
@@ -348,10 +374,10 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q15_top_supplier",
-    oracle="""
+    oracle=f"""
         WITH revenue0 AS (
             SELECT l_suppkey AS supplier_no,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                   round(sum({DISC_UNITS_SQL})::double / 10000.0, 2) AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -376,11 +402,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("total_revenue")
-        )
+        .agg(sum_units(disc_units(), 4).alias("total_revenue"))
     )
     w = Window.partitionBy()
     best = rev.withColumn("__mx", F.max("total_revenue").over(w)).filter(
@@ -394,7 +416,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_quantity_revenue",
     oracle="""
-        SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        SELECT round(sum(round(l.l_extendedprice * 100)::bigint)
+                     / 100.0 / 7.0, 2) AS avg_yearly
         FROM lineitem l
         WHERE l.l_quantity < (
             SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
@@ -412,7 +435,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
     return spark.sql(
         f"""
-        SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        SELECT round(sum(cast(round(l.l_extendedprice * 100) AS bigint))
+                     / double(100) / double(7), 2) AS avg_yearly
         FROM {view} l
         WHERE l.l_quantity < (
             SELECT 0.5 * avg(l2.l_quantity) FROM {view} l2
@@ -474,11 +498,14 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q22_global_sales_opportunity",
     oracle="""
+        WITH pos AS (SELECT sum(round(c2.c_acctbal * 100)::bigint) AS sc,
+                            count(*) AS n
+                     FROM customer c2 WHERE c2.c_acctbal > 0)
         SELECT c.c_nationkey AS cntry, count(*) AS numcust,
-               round(sum(c.c_acctbal), 2) AS totacctbal
-        FROM customer c
-        WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
-                             WHERE c2.c_acctbal > 0)
+               round(sum(round(c.c_acctbal * 100)::bigint) / 100.0, 2)
+                 AS totacctbal
+        FROM customer c, pos
+        WHERE round(c.c_acctbal * 100)::bigint * pos.n > pos.sc
           AND NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_totalprice > 300000)
@@ -493,18 +520,22 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-vacuous at every SF)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    avg_pos = (
-        c.filter(F.col("c_acctbal") > 0)
-        .agg(F.avg("c_acctbal").alias("__avg"))
+    # c_acctbal > avg(...) cross-multiplied into exact integer cents
+    # (cents_c * n > sum_cents), so the cut never rides a float mean
+    avg_pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(cents("c_acctbal")).alias("__sc"),
+        F.count(F.lit(1)).alias("__n"),
     )
     big_orders = o.filter(F.col("o_totalprice") > 300000)
     return (
         c.join(F.broadcast(avg_pos))
-        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .filter(cents("c_acctbal") * F.col("__n") > F.col("__sc"))
         .join(big_orders, c.c_custkey == big_orders.o_custkey, "left_anti")
         .groupBy(F.col("c_nationkey").alias("cntry"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(F.sum(cents("c_acctbal")) / F.lit(100.0), 2).alias(
+                "totacctbal"
+            ),
         )
     )
