@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from cbde_mapreduce_spark.operators.prefix import exclusive_prefix_sum
 from cbde_mapreduce_spark.plans.registry import query
+from cbde_mapreduce_spark.plans.money import avg_money, cents, disc_units
 from cbde_mapreduce_spark.sources import load_table
 
 
@@ -33,7 +34,8 @@ from cbde_mapreduce_spark.sources import load_table
                min(l_shipdate)                  AS min_ship,
                max(l_shipdate)                  AS max_ship,
                count(DISTINCT l_suppkey)        AS n_suppliers,
-               round(avg(l_extendedprice), 6)   AS avg_price
+               round(sum(round(l_extendedprice * 100)::bigint) / 100.0
+                     / count(l_extendedprice), 6) AS avg_price
         FROM lineitem
     """,
     category="aggregation",
@@ -47,7 +49,7 @@ def global_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("min_ship"),
         F.max("l_shipdate").alias("max_ship"),
         F.countDistinct("l_suppkey").alias("n_suppliers"),
-        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        avg_money("l_extendedprice", 6).alias("avg_price"),
     )
 
 
@@ -103,7 +105,8 @@ def rollup_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderstatus, o_orderpriority,
                grouping(o_orderstatus, o_orderpriority)::bigint AS gid,
                count(*)                                         AS n,
-               round(sum(o_totalprice), 2)                      AS sum_price
+               round(sum(round(o_totalprice * 100)::bigint) / 100.0, 2)
+                                                                AS sum_price
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -117,7 +120,9 @@ def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("bigint").alias("gid"),
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.sum(cents("o_totalprice")) / F.lit(100.0), 2).alias(
+                "sum_price"
+            ),
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n", "sum_price")
     )
@@ -365,7 +370,8 @@ def freq_items_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping_sets_orders",
     oracle="""
         SELECT o_orderstatus, o_orderpriority,
-               count(*) AS n, round(sum(o_totalprice), 2) AS total
+               count(*) AS n,
+               round(sum(round(o_totalprice * 100)::bigint) / 100.0, 2) AS total
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                 (o_orderstatus, o_orderpriority))
@@ -384,7 +390,9 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT o_orderstatus, o_orderpriority,
-               count(*) AS n, round(sum(o_totalprice), 2) AS total
+               count(*) AS n,
+               round(sum(cast(round(o_totalprice * 100) AS bigint))
+                     / double(100), 2) AS total
         FROM {view}
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                 (o_orderstatus, o_orderpriority))
@@ -611,24 +619,27 @@ def mg_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ABC_ORACLE = """
     WITH rev AS (SELECT l_partkey AS partkey,
-                        sum(l_extendedprice * (1 - l_discount)) AS r
+                        sum((round(l_extendedprice * 100)::bigint
+                             * (100 - round(l_discount * 100)::bigint)
+                            )::decimal(38,0)) AS u
                  FROM lineitem GROUP BY l_partkey),
-    c AS (SELECT partkey, r,
-                 CAST(round(round(r, 2) * 100, 0) AS BIGINT) AS cents
+    c AS (SELECT partkey, u,
+                 round(u::double / 100.0)::bigint AS cents
           FROM rev),
-    rk AS (SELECT partkey, r, cents,
+    rk AS (SELECT partkey, u, cents,
                   sum(cents) OVER (ORDER BY cents DESC, partkey) AS cum_c,
                   sum(cents) OVER () AS tot_c
            FROM c),
-    cls AS (SELECT partkey, r,
+    cls AS (SELECT partkey, u,
                    CASE WHEN 10 * cum_c <= 8 * tot_c  THEN 'A'
                         WHEN 20 * cum_c <= 19 * tot_c THEN 'B'
                         ELSE 'C' END AS abc
             FROM rk)
     SELECT abc,
            count(*)::bigint AS n_parts,
-           round(sum(r), 2) AS revenue,
-           round(sum(r) / max(1.0) / (SELECT sum(r) FROM rev), 6) AS rev_share
+           round(sum(u)::double / 10000.0, 2) AS revenue,
+           round(sum(u)::double
+                 / (SELECT sum(u) FROM rev)::double, 6) AS rev_share
     FROM cls GROUP BY abc
 """
 
@@ -643,38 +654,45 @@ def abc_analysis_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round 4: the cumulative ranking rides the distributed prefix-sum
     machinery (operators/prefix.py), not a single-partition window — at
     the 100 TB design point parts are dimension-sized but still ~1e8
-    rows. Exactness discipline: per-part revenue is fixed to integer
-    CENTS (round(r, 2) x 100 as bigint) before accumulating, so the
-    prefix sums are associative integers — the distributed two-phase sum
-    cannot drift a Pareto boundary the way reassociated double addition
-    could — and the 80%/95% thresholds are exact integer comparisons
-    (10*cum <= 8*tot, 20*cum <= 19*tot) on both engines.
+    rows. Exactness discipline (money.py, round-11): per-part revenue is
+    summed as exact 1e-4-dollar integer units, the ranking cents derive
+    from that integer, the prefix sums are associative integers — the
+    distributed two-phase sum cannot drift a Pareto boundary the way
+    reassociated double addition could — and the 80%/95% thresholds are
+    exact integer comparisons (10*cum <= 8*tot, 20*cum <= 19*tot) on
+    both engines; class revenue and share are single divisions of the
+    exact class totals.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # per-part revenue as exact 1e-4-dollar units (money.py); the ranking
+    # cents, the class sums, and the share ratio all derive from this one
+    # exact integer — no double sum anywhere in the Pareto pipeline
     rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
+        F.sum(disc_units()).alias("u")
     )
-    cents = F.round(F.round("r", 2) * 100, 0).cast("bigint")
+    cents = F.round(F.col("u").cast("double") / F.lit(100.0)).cast("bigint")
     c = rev.select(
-        "partkey", "r", cents.alias("cents"), (-cents).alias("neg_cents")
+        "partkey", "u", cents.alias("cents"), (-cents).alias("neg_cents")
     )
     ranked = exclusive_prefix_sum(
         c, ["neg_cents", "partkey"], "cents", out_col="pre"
     ).withColumn("cum_c", F.col("pre") + F.col("cents"))
-    tot_c = int(rev.agg(F.sum(cents)).first()[0] or 0)
+    tot_c = int(c.agg(F.sum("cents")).first()[0] or 0)
     abc = (
         F.when(10 * F.col("cum_c") <= 8 * F.lit(tot_c), "A")
         .when(20 * F.col("cum_c") <= 19 * F.lit(tot_c), "B")
         .otherwise("C")
     )
-    tot = rev.agg(F.sum("r").alias("t"))
+    tot = rev.agg(F.sum("u").alias("t"))
     return (
-        ranked.select(abc.alias("abc"), "r")
+        ranked.select(abc.alias("abc"), "u")
         .groupBy("abc")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_parts"),
-            F.round(F.sum("r"), 2).alias("revenue"),
-            F.sum("r").alias("_raw"),
+            F.round(F.sum("u").cast("double") / F.lit(10000.0), 2).alias(
+                "revenue"
+            ),
+            F.sum("u").alias("_raw"),
         )
         .crossJoin(F.broadcast(tot))
         .select(
@@ -683,7 +701,12 @@ def abc_analysis_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
             # try_divide: zero total revenue (all-free lineitems) is 0/0 —
             # DuckDB yields NULL, ANSI Spark raises (numeric-extremes sweep).
-            F.round(F.try_divide(F.col("_raw"), F.col("t")), 6).alias("rev_share"),
+            F.round(
+                F.try_divide(
+                    F.col("_raw").cast("double"), F.col("t").cast("double")
+                ),
+                6,
+            ).alias("rev_share"),
         )
     )
 
@@ -692,19 +715,19 @@ _CR_K = 10
 
 _CR_ORACLE = f"""
     WITH cr AS (SELECT year(o_orderdate) AS y, o_custkey,
-                       sum(o_totalprice) AS rev
+                       sum(round(o_totalprice * 100)::bigint) AS rc
                 FROM orders GROUP BY 1, 2),
-    rk AS (SELECT y, rev,
+    rk AS (SELECT y, rc,
                   row_number() OVER (PARTITION BY y
-                                     ORDER BY round(rev, 2) DESC, o_custkey)
+                                     ORDER BY rc DESC, o_custkey)
                     AS rn
            FROM cr)
     SELECT y AS year,
            count(*)::bigint AS n_customers,
-           round(sum(CASE WHEN rn <= {_CR_K} THEN rev ELSE 0 END), 2)
+           round(sum(CASE WHEN rn <= {_CR_K} THEN rc ELSE 0 END) / 100.0, 2)
              AS top{_CR_K}_revenue,
-           round(sum(CASE WHEN rn <= {_CR_K} THEN rev ELSE 0 END)
-                 / sum(rev), 6) AS cr{_CR_K}
+           round(sum(CASE WHEN rn <= {_CR_K} THEN rc ELSE 0 END)::double
+                 / sum(rc)::double, 6) AS cr{_CR_K}
     FROM rk GROUP BY y
 """
 
@@ -722,17 +745,24 @@ def cr10_concentration_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     same ranked relation — one fact scan, one dimension-bounded window.
     """
     orders = load_table(spark, sf_dir, "orders")
+    # per-customer revenue in exact integer cents: ranking by cents is
+    # identical to the old round(rev,2) order (cent-quantized inputs make
+    # the yearly sum an exact integer number of cents), and the CR share
+    # is one division of two exact integers
     cr = orders.groupBy(
         F.year("o_orderdate").alias("y"), "o_custkey"
-    ).agg(F.sum("o_totalprice").alias("rev"))
-    wy = Window.partitionBy("y").orderBy(
-        F.desc(F.round("rev", 2)), F.asc("o_custkey")
-    )
-    rk = cr.select("y", "rev", F.row_number().over(wy).alias("rn"))
-    top = F.when(F.col("rn") <= _CR_K, F.col("rev")).otherwise(0.0)
+    ).agg(F.sum(cents("o_totalprice")).alias("rc"))
+    wy = Window.partitionBy("y").orderBy(F.desc("rc"), F.asc("o_custkey"))
+    rk = cr.select("y", "rc", F.row_number().over(wy).alias("rn"))
+    top = F.when(F.col("rn") <= _CR_K, F.col("rc")).otherwise(F.lit(0))
     return rk.groupBy(F.col("y").alias("year")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-        F.round(F.sum(top), 2).alias(f"top{_CR_K}_revenue"),
+        F.round(F.sum(top) / F.lit(100.0), 2).alias(f"top{_CR_K}_revenue"),
         # try_divide: a zero-revenue year is 0/0 — DuckDB NULL, ANSI raises.
-        F.round(F.try_divide(F.sum(top), F.sum("rev")), 6).alias(f"cr{_CR_K}"),
+        F.round(
+            F.try_divide(
+                F.sum(top).cast("double"), F.sum("rc").cast("double")
+            ),
+            6,
+        ).alias(f"cr{_CR_K}"),
     )

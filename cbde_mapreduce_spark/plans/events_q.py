@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cbde_mapreduce_spark.plans.money import cents
 from cbde_mapreduce_spark.plans.registry import query
 from cbde_mapreduce_spark.sources import load_table
 
@@ -20,7 +21,7 @@ from cbde_mapreduce_spark.sources import load_table
     oracle="""
         SELECT date_trunc('hour', ts)   AS hour_start,
                count(*)                 AS n,
-               round(sum(value), 2)     AS sum_value
+               round(sum(round(value * 100)::bigint) / 100.0, 2)     AS sum_value
         FROM events
         GROUP BY 1
     """,
@@ -33,7 +34,7 @@ def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.sum(cents("value")) / F.lit(100.0), 2).alias("sum_value"),
         )
         .select(F.col("w.start").cast("timestamp_ntz").alias("hour_start"), "n", "sum_value")
     )
@@ -46,7 +47,7 @@ def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                  - ((epoch_us(ts) % 900000000 + 900000000) % 900000000))
                  - INTERVAL 15 MINUTE * k.i AS win_start,
                count(*)             AS n,
-               round(sum(value), 2) AS sum_value
+               round(sum(round(value * 100)::bigint) / 100.0, 2) AS sum_value
         FROM events, (SELECT unnest(range(0, 4)) AS i) k
         GROUP BY 1
     """,
@@ -63,7 +64,7 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.sum(cents("value")) / F.lit(100.0), 2).alias("sum_value"),
         )
         .select(F.col("w.start").cast("timestamp_ntz").alias("win_start"), "n", "sum_value")
     )
@@ -114,7 +115,7 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                min(ts)                          AS win_start,
                max(ts) + INTERVAL 30 MINUTE     AS win_end,
                count(*)                         AS n_events,
-               round(sum(value), 2)             AS sum_value
+               round(sum(round(value * 100)::bigint) / 100.0, 2)             AS sum_value
         FROM s GROUP BY user_id, sess
     """,
     category="event-time",
@@ -131,7 +132,7 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.sum(cents("value")) / F.lit(100.0), 2).alias("sum_value"),
         )
         .select(
             "user_id",
@@ -151,7 +152,9 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                    ORDER BY ts, event_id) AS nxt
                    FROM events)
         SELECT user_id,
-               round(sum(value * (nxt - us)) / sum(nxt - us), 6) AS tw_avg,
+               round(sum((round(value * 100)::bigint
+                          * (nxt - us))::decimal(38,0))::double
+                     / sum(nxt - us)::double / 100.0, 6) AS tw_avg,
                count(*)::bigint AS n_intervals
         FROM s WHERE nxt IS NOT NULL
         GROUP BY user_id
@@ -182,12 +185,19 @@ def time_weighted_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead(us).over(w).alias("nxt"),
     ).filter(F.col("nxt").isNotNull())
     dt = F.col("nxt") - F.col("us")
+    # exact integer weights AND values: cents x integer-us durations in
+    # decimal(38,0) (money.py), one deterministic division chain at the end.
     # try_divide: if every reading of a user shares one instant, sum(dt)=0;
     # DuckDB's 0/0 yields NULL, ANSI Spark raises (uniform-ts skew sweep).
+    cd = (cents("value") * dt).cast("decimal(38,0)")
     return s.groupBy("user_id").agg(
-        F.round(F.try_divide(F.sum(F.col("value") * dt), F.sum(dt)), 6).alias(
-            "tw_avg"
-        ),
+        F.round(
+            F.try_divide(
+                F.sum(cd).cast("double"), F.sum(dt).cast("double")
+            )
+            / F.lit(100.0),
+            6,
+        ).alias("tw_avg"),
         F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
     )
 
@@ -202,7 +212,7 @@ def time_weighted_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ORDER BY ts, event_id) AS rn
             FROM events)
         SELECT event_type, count(*) AS n_kept,
-               round(sum(value), 2) AS sum_value
+               round(sum(round(value * 100)::bigint) / 100.0, 2) AS sum_value
         FROM r WHERE rn = 1
         GROUP BY event_type
     """,
@@ -227,7 +237,7 @@ def window_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.sum(cents("value")) / F.lit(100.0), 2).alias("sum_value"),
         )
     )
 
@@ -238,7 +248,7 @@ def window_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT date_trunc('day', ts)  AS day_start,
                date_trunc('hour', ts) AS hour_start,
                count(*)               AS n,
-               round(sum(value), 2)   AS sum_value,
+               round(sum(round(value * 100)::bigint) / 100.0, 2)   AS sum_value,
                count(DISTINCT user_id)::bigint AS n_users
         FROM events
         GROUP BY GROUPING SETS ((date_trunc('day', ts), date_trunc('hour', ts)),
@@ -262,7 +272,7 @@ def hierarchical_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.rollup(day.alias("day_start"), hour.alias("hour_start"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.sum(cents("value")) / F.lit(100.0), 2).alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .filter(F.col("day_start").isNotNull())
@@ -312,8 +322,10 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH m AS (SELECT max(ts) AS t_max FROM events)
         SELECT user_id,
                count(*) AS n_events,
-               round(sum(value * exp(-(epoch_us(t_max) - epoch_us(ts))
-                                     / 86400000000.0)), 4) AS decayed_value
+               round(sum((round(value * exp(-(epoch_us(t_max) - epoch_us(ts))
+                                            / 86400000000.0)
+                                * 1000000)::bigint)::decimal(38,0))::double
+                     / 1000000.0, 4) AS decayed_value
         FROM events, m
         GROUP BY user_id
     """,
@@ -338,11 +350,22 @@ def decay_weighted_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
+            # per-row decayed value quantized to a 1e-6 grid, summed as
+            # exact integers (money.py: exp is per-row deterministic; only
+            # the double SUM order was the flake vector)
             F.round(
                 F.sum(
-                    F.col("value")
-                    * F.exp(-(F.col("tmax_us") - us) / F.lit(86400000000.0))
-                ),
+                    F.round(
+                        F.col("value")
+                        * F.exp(
+                            -(F.col("tmax_us") - us) / F.lit(86400000000.0)
+                        )
+                        * 1000000
+                    )
+                    .cast("bigint")
+                    .cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(1000000.0),
                 4,
             ).alias("decayed_value"),
         )

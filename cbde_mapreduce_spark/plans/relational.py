@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cbde_mapreduce_spark.plans.registry import query
+from cbde_mapreduce_spark.plans.money import cents
 from cbde_mapreduce_spark.sources import load_table
 
 
@@ -124,8 +125,10 @@ def string_funcs_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE 'big' END                                   AS bucket,
                coalesce(nullif(o_orderstatus, 'P'), 'PENDING')       AS status_norm,
                count(*)                                              AS n,
-               round(sum(greatest(o_totalprice, 10000.0)), 2)        AS sum_floored,
-               round(sum(least(o_totalprice, 400000.0)), 2)          AS sum_capped
+               round(sum(round(greatest(o_totalprice, 10000.0) * 100)::bigint)
+                     / 100.0, 2)                                     AS sum_floored,
+               round(sum(round(least(o_totalprice, 400000.0) * 100)::bigint)
+                     / 100.0, 2)                                     AS sum_capped
         FROM orders
         GROUP BY 1, 2
     """,
@@ -144,8 +147,16 @@ def conditional_case_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy(bucket.alias("bucket"), status_norm.alias("status_norm"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.greatest(F.col("o_totalprice"), F.lit(10000.0))), 2).alias("sum_floored"),
-            F.round(F.sum(F.least(F.col("o_totalprice"), F.lit(400000.0))), 2).alias("sum_capped"),
+            F.round(
+                F.sum(cents(F.greatest(F.col("o_totalprice"), F.lit(10000.0))))
+                / F.lit(100.0),
+                2,
+            ).alias("sum_floored"),
+            F.round(
+                F.sum(cents(F.least(F.col("o_totalprice"), F.lit(400000.0))))
+                / F.lit(100.0),
+                2,
+            ).alias("sum_capped"),
         )
     )
 
@@ -154,10 +165,15 @@ def conditional_case_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "math_funcs_lineitem",
     oracle="""
         SELECT l_returnflag,
-               round(sum(sqrt(l_quantity)), 4)            AS sum_sqrt_qty,
-               round(sum(abs(l_discount - 0.05)), 4)      AS sum_abs_disc,
-               round(sum(pow(1 + l_tax, 2)), 4)           AS sum_pow_tax,
-               round(sum(ln(l_extendedprice)), 4)         AS sum_ln_price,
+               round(sum(round(sqrt(l_quantity) * 1000000)::bigint)
+                     / 1000000.0, 4)                      AS sum_sqrt_qty,
+               round(sum(abs(round(l_discount * 100)::bigint - 5))
+                     / 100.0, 4)                          AS sum_abs_disc,
+               round(sum((100 + round(l_tax * 100)::bigint)
+                         * (100 + round(l_tax * 100)::bigint))
+                     / 10000.0, 4)                        AS sum_pow_tax,
+               round(sum(round(ln(l_extendedprice) * 1000000)::bigint)
+                     / 1000000.0, 4)                      AS sum_ln_price,
                round(sum(floor(l_quantity) + ceil(l_discount * 100)), 1) AS sum_floor_ceil
         FROM lineitem
         GROUP BY l_returnflag
@@ -167,11 +183,35 @@ def conditional_case_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def math_funcs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math scalar functions: sqrt/abs/pow/ln/floor/ceil under aggregation."""
     li = load_table(spark, sf_dir, "lineitem")
+    # Exact-sum discipline (money.py): abs-disc and pow-tax regroup into
+    # exact integer percent units; the two IRRATIONAL per-row transforms
+    # (sqrt, ln) quantize per row to a 1e-6 grid before the bigint sum —
+    # per-row values are run-deterministic on each engine (sqrt is IEEE
+    # correctly-rounded; ln agreement is sampled by parity + dup sweeps),
+    # so the order-dependent double SUM was the only flake vector and it
+    # is gone. Summed-then-rounded-at-4dp results differ from the old
+    # double path by at most n*5e-7 (invisible at the 4dp output grid for
+    # fixture group sizes, identical on both engines at any size).
+    tax_u = F.lit(100) + F.round(F.col("l_tax") * 100).cast("bigint")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.sum(F.sqrt("l_quantity")), 4).alias("sum_sqrt_qty"),
-        F.round(F.sum(F.abs(F.col("l_discount") - 0.05)), 4).alias("sum_abs_disc"),
-        F.round(F.sum(F.pow(1 + F.col("l_tax"), 2)), 4).alias("sum_pow_tax"),
-        F.round(F.sum(F.log(F.col("l_extendedprice"))), 4).alias("sum_ln_price"),
+        F.round(
+            F.sum(F.round(F.sqrt("l_quantity") * 1000000).cast("bigint"))
+            / F.lit(1000000.0),
+            4,
+        ).alias("sum_sqrt_qty"),
+        F.round(
+            F.sum(F.abs(F.round(F.col("l_discount") * 100).cast("bigint") - 5))
+            / F.lit(100.0),
+            4,
+        ).alias("sum_abs_disc"),
+        F.round(F.sum(tax_u * tax_u) / F.lit(10000.0), 4).alias("sum_pow_tax"),
+        F.round(
+            F.sum(
+                F.round(F.log(F.col("l_extendedprice")) * 1000000).cast("bigint")
+            )
+            / F.lit(1000000.0),
+            4,
+        ).alias("sum_ln_price"),
         F.round(
             F.sum((F.floor("l_quantity") + F.ceil(F.col("l_discount") * 100)).cast("double")), 1
         ).alias("sum_floor_ceil"),
@@ -219,7 +259,9 @@ def datetime_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipe_syntax_revenue",
     oracle="""
         SELECT l_returnflag,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(sum((round(l_extendedprice * 100)::bigint
+                          * (100 - round(l_discount * 100)::bigint)
+                         )::decimal(38,0))::double / 10000.0, 2) AS revenue,
                count(*) AS n
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -242,7 +284,10 @@ def pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         FROM {view}
         |> WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-        |> AGGREGATE round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |> AGGREGATE round(cast(sum(cast(cast(round(l_extendedprice * 100) AS bigint)
+                                     * (100 - cast(round(l_discount * 100) AS bigint))
+                                     AS decimal(38,0))) AS double)
+                           / double(10000), 2) AS revenue,
                      count(*) AS n
            GROUP BY l_returnflag
         """
