@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cbde_mapreduce_spark.operators.prefix import exclusive_prefix_min
+from cbde_mapreduce_spark.plans.money import cents
 from cbde_mapreduce_spark.plans.registry import query
 from cbde_mapreduce_spark.sources import load_table
 
@@ -88,8 +89,9 @@ def regr_aggs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*)                                 AS n_orders,
                CAST(count_if(o_totalprice > 250000.0) AS BIGINT) AS n_big,
                CAST(count_if(o_orderstatus = 'F') AS BIGINT)     AS n_finished,
-               round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice
-                              ELSE 0.0 END), 2)         AS finished_price
+               round(sum(CASE WHEN o_orderstatus = 'F'
+                              THEN round(o_totalprice * 100)::bigint
+                              ELSE 0 END) / 100.0, 2)   AS finished_price
         FROM orders
         GROUP BY o_orderpriority
     """,
@@ -104,10 +106,11 @@ def count_if_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
         F.round(
             F.sum(
-                F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(
-                    0.0
-                )
-            ),
+                F.when(
+                    F.col("o_orderstatus") == "F", cents("o_totalprice")
+                ).otherwise(F.lit(0))
+            )
+            / F.lit(100.0),
             2,
         ).alias("finished_price"),
     )
@@ -125,7 +128,8 @@ def count_if_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                count(*)                                              AS n_events,
                count(try_cast(raw AS DOUBLE))                        AS n_parsed,
-               round(sum(coalesce(try_cast(raw AS DOUBLE), 0.0)), 2) AS parsed_sum
+               round(sum(round(coalesce(try_cast(raw AS DOUBLE), 0.0)
+                               * 100)::bigint) / 100.0, 2)  AS parsed_sum
         FROM mixed
         GROUP BY event_type
     """,
@@ -151,7 +155,9 @@ def safe_cast_mixed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixed.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.count(parsed).alias("n_parsed"),
-        F.round(F.sum(F.coalesce(parsed, F.lit(0.0))), 2).alias("parsed_sum"),
+        F.round(
+            F.sum(cents(F.coalesce(parsed, F.lit(0.0)))) / F.lit(100.0), 2
+        ).alias("parsed_sum"),
     )
 
 
@@ -244,7 +250,7 @@ def listagg_priority_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "incremental_agg_merge",
     oracle="""
         SELECT o_orderstatus, count(*) AS n,
-               round(sum(o_totalprice), 2) AS total
+               round(sum(round(o_totalprice * 100)::bigint) / 100.0, 2) AS total
         FROM orders GROUP BY o_orderstatus
     """,
     category="aggregation",
@@ -264,8 +270,12 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = F.lit("1999-01-01 00:00:00").cast("timestamp_ntz")
 
     def partial(df: DataFrame) -> DataFrame:
+        # partial totals in exact integer cents (money.py): the merge then
+        # re-sums bigints, so base+delta is bit-equal to from-scratch at
+        # ANY partition boundary — the associativity the pattern claims
         return df.groupBy("o_orderstatus").agg(
-            F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total")
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("o_totalprice")).alias("total_c"),
         )
 
     base = partial(o.filter(F.col("o_orderdate") < cut))
@@ -273,7 +283,10 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         base.unionByName(delta)
         .groupBy("o_orderstatus")
-        .agg(F.sum("n").alias("n"), F.round(F.sum("total"), 2).alias("total"))
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("total_c") / F.lit(100.0), 2).alias("total"),
+        )
     )
 
 
@@ -282,7 +295,8 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_mktsegment,
                count(*)::bigint AS n_orders,
-               round(sum(o_totalprice), 2) AS revenue
+               round(sum(round(o_totalprice * 100)::bigint) / 100.0, 2)
+                 AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
     """,
@@ -326,7 +340,7 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         j = j.unionByName(p)
     return j.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.round(F.sum(cents("o_totalprice")) / F.lit(100.0), 2).alias("revenue"),
     )
 
 

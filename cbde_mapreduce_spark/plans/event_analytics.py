@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cbde_mapreduce_spark.plans.money import cents
 from cbde_mapreduce_spark.plans.registry import query
 from cbde_mapreduce_spark.sources import load_table
 
@@ -627,7 +628,7 @@ _ATTR_ORACLE = f"""
         FROM carry WHERE event_type = 'purchase')
     SELECT channel,
            count(*)::bigint AS n_purchases,
-           round(sum(value), 2) AS revenue
+           round(sum(round(value * 100)::bigint) / 100.0, 2) AS revenue
     FROM attr GROUP BY channel
 """
 
@@ -697,7 +698,7 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return attributed.groupBy("channel").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
-        F.round(F.sum("value"), 2).alias("revenue"),
+        F.round(F.sum(cents("value")) / F.lit(100.0), 2).alias("revenue"),
     )
 
 

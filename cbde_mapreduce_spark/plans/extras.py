@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cbde_mapreduce_spark.plans.money import cents
 from cbde_mapreduce_spark.plans.registry import query
 from cbde_mapreduce_spark.sources import load_table, load_tables
 
@@ -141,7 +142,7 @@ def date_format_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_entry_revenue_by_nation",
     oracle="""
         SELECT n.n_name, count(DISTINCT c.c_custkey) AS n_customers,
-               round(sum(o.o_totalprice), 2) AS total_revenue
+               round(sum(round(o.o_totalprice * 100)::bigint) / 100.0, 2) AS total_revenue
         FROM nation n
         JOIN customer c ON c.c_nationkey = n.n_nationkey
         JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -164,7 +165,8 @@ def sql_entry_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT n.n_name, count(DISTINCT c.c_custkey) AS n_customers,
-               round(sum(o.o_totalprice), 2) AS total_revenue
+               round(sum(cast(round(o.o_totalprice * 100) AS bigint))
+                     / double(100), 2) AS total_revenue
         FROM sqlq_nation_{tag} n
         JOIN sqlq_customer_{tag} c ON c.c_nationkey = n.n_nationkey
         JOIN sqlq_orders_{tag} o   ON o.o_custkey = c.c_custkey
@@ -195,7 +197,8 @@ def sql_entry_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE ch.op IS NULL OR ch.op <> 'D'
         )
         SELECT seg AS c_mktsegment, count(*)::bigint AS n_customers,
-               round(sum(acctbal), 2) AS total_acctbal
+               round(sum(round(acctbal * 100)::bigint) / 100.0, 2)
+                 AS total_acctbal
         FROM merged GROUP BY 1
     """,
     category="merge",
@@ -243,7 +246,9 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.groupBy(F.col("seg").alias("c_mktsegment")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-        F.round(F.sum("acctbal"), 2).alias("total_acctbal"),
+        F.round(F.sum(cents("acctbal")) / F.lit(100.0), 2).alias(
+            "total_acctbal"
+        ),
     )
 
 

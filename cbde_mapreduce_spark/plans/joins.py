@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cbde_mapreduce_spark.operators.asof import asof_join
+from cbde_mapreduce_spark.plans.money import avg_money, cents
 from cbde_mapreduce_spark.plans.registry import query
 from cbde_mapreduce_spark.sources import load_table
 
@@ -28,7 +29,8 @@ from cbde_mapreduce_spark.sources import load_table
     oracle="""
         SELECT c.c_custkey, c.c_mktsegment,
                count(o.o_orderkey)                       AS n_orders,
-               round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
+               round(coalesce(sum(round(o.o_totalprice * 100)::bigint), 0)
+                     / 100.0, 2) AS total_spent
         FROM customer c
         LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         GROUP BY c.c_custkey, c.c_mktsegment
@@ -44,7 +46,11 @@ def left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_mktsegment")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+            F.round(
+                F.coalesce(F.sum(cents("o_totalprice")), F.lit(0))
+                / F.lit(100.0),
+                2,
+            ).alias("total_spent"),
         )
     )
 
@@ -153,7 +159,9 @@ def cross_join_region_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ('budget',   0.0,   930.0),
             ('standard', 930.0, 960.0),
             ('premium',  960.0, 1000.0))
-        SELECT b.band, count(*) AS n_parts, round(avg(p.p_retailprice), 6) AS avg_price
+        SELECT b.band, count(*) AS n_parts,
+               round(sum(round(p.p_retailprice * 100)::bigint) / 100.0
+                     / count(p.p_retailprice), 6) AS avg_price
         FROM part p JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
         GROUP BY b.band
     """,
@@ -179,7 +187,7 @@ def theta_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+            avg_money("p_retailprice", 6).alias("avg_price"),
         )
     )
 
@@ -443,7 +451,7 @@ def point_in_time_status_join(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM events)
         SELECT label,
                count(*)::bigint AS n,
-               round(sum(l.value), 2) AS sum_value
+               round(sum(round(l.value * 100)::bigint) / 100.0, 2) AS sum_value
         FROM l JOIN d ON l.k IS NOT DISTINCT FROM d.k
         GROUP BY label
     """,
@@ -471,7 +479,7 @@ def null_safe_join_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = l.join(d, l["k"].eqNullSafe(d["k"]))
     return j.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.sum(cents("value")) / F.lit(100.0), 2).alias("sum_value"),
     )
 
 

@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cbde_mapreduce_spark.operators.skew import salted_aggregate
+from cbde_mapreduce_spark.plans.money import cents
 from cbde_mapreduce_spark.plans.registry import query
 from cbde_mapreduce_spark.sources import load_table
 
@@ -18,7 +19,7 @@ REGION_OF_NATION_GROUP = {0: "AFRICA", 1: "AMERICA", 2: "ASIA", 3: "EUROPE", 4: 
     oracle="""
         SELECT event_type,
                count(*)                 AS n,
-               round(sum(value), 2)     AS sum_value,
+               round(sum(round(value * 100)::bigint) / 100.0, 2) AS sum_value,
                round(max(value), 2)     AS max_value
         FROM events
         GROUP BY event_type
@@ -31,13 +32,15 @@ def salted_agg_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     Values are identical to the plain group-by (the salt only changes
     partitioning) — which is exactly why it can share the plain oracle.
     """
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "vc", cents("value")
+    )
     out = salted_aggregate(
         events,
         ["event_type"],
         {
             "n": ("count", F.count(F.lit(1))),
-            "sum_value_raw": ("sum", F.sum("value")),
+            "sum_vc": ("sum", F.sum("vc")),
             "max_value_raw": ("max", F.max("value")),
         },
         n_salts=16,
@@ -45,7 +48,7 @@ def salted_agg_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type",
         "n",
-        F.round("sum_value_raw", 2).alias("sum_value"),
+        F.round(F.col("sum_vc") / F.lit(100.0), 2).alias("sum_value"),
         F.round("max_value_raw", 2).alias("max_value"),
     )
 
@@ -147,12 +150,14 @@ def map_literal_region_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT 'l_extendedprice', count(*), count(l_extendedprice)::bigint,
                round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
-               round(avg(l_extendedprice), 6)
+               round(sum(round(l_extendedprice * 100)::bigint) / 100.0
+                     / count(l_extendedprice), 6)
         FROM lineitem
         UNION ALL
         SELECT 'l_discount', count(*), count(l_discount)::bigint,
                round(min(l_discount), 4), round(max(l_discount), 4),
-               round(avg(l_discount), 6)
+               round(sum(round(l_discount * 100)::bigint) / 100.0
+                     / count(l_discount), 6)
         FROM lineitem
     """,
     category="aggregation",
@@ -168,11 +173,18 @@ def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
+        # quantity is integer-valued (double sums exact, order-free);
+        # price/discount means ride exact cent/percent units (money.py)
+        mean = (
+            F.round(F.avg(c), 6)
+            if c == "l_quantity"
+            else F.round(F.sum(cents(c)) / F.lit(100.0) / F.count(c), 6)
+        )
         aggs += [
             F.count(c).alias(f"{c}__nonnull"),
             F.round(F.min(c), 4).alias(f"{c}__min"),
             F.round(F.max(c), 4).alias(f"{c}__max"),
-            F.round(F.avg(c), 6).alias(f"{c}__mean"),
+            mean.alias(f"{c}__mean"),
         ]
     wide = li.agg(*aggs)
     parts = [
@@ -197,7 +209,8 @@ def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderpriority,
                count(*)                          AS n_items,
-               round(sum(l_extendedprice), 2)    AS revenue
+               round(sum(round(l_extendedprice * 100)::bigint) / 100.0, 2)
+                                                 AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
@@ -223,7 +236,9 @@ def salted_join_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_broadcast_join(li, orders, "k", n_salts=16)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.round(F.sum(cents("l_extendedprice")) / F.lit(100.0), 2).alias(
+            "revenue"
+        ),
     )
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cbde_mapreduce_spark.operators.prefix import exclusive_prefix_sum
+from cbde_mapreduce_spark.plans.money import cents, disc_units
 from cbde_mapreduce_spark.plans.registry import query
 from cbde_mapreduce_spark.sources import load_table
 
@@ -97,9 +98,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_revenue_per_customer",
     oracle="""
         SELECT o_custkey, o_orderkey,
-               round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                                             ORDER BY o_orderdate, o_orderkey
-                                             ROWS UNBOUNDED PRECEDING), 2) AS running_total
+               round(sum(round(o_totalprice * 100)::bigint)
+                       OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey
+                             ROWS UNBOUNDED PRECEDING) / 100.0, 2) AS running_total
         FROM orders
     """,
     category="window",
@@ -115,7 +117,9 @@ def running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.round(
+            F.sum(cents("o_totalprice")).over(w) / F.lit(100.0), 2
+        ).alias("running_total"),
     )
 
 
@@ -257,8 +261,13 @@ def first_last_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "moving_avg_user_value",
     oracle="""
         SELECT event_id, user_id,
-               round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS mavg5
+               round(sum(round(value * 100)::bigint)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 100.0
+                     / count(value)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                     6) AS mavg5
         FROM events
     """,
     category="window",
@@ -272,7 +281,13 @@ def moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-4, Window.currentRow)
     )
     return events.select(
-        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("mavg5")
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(cents("value")).over(w) / F.lit(100.0)
+            / F.count("value").over(w),
+            6,
+        ).alias("mavg5"),
     )
 
 
@@ -280,8 +295,10 @@ def moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "range_frame_hourly_sum",
     oracle="""
         SELECT event_id, user_id,
-               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
-                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+               round(sum(round(value * 100)::bigint)
+                       OVER (PARTITION BY user_id ORDER BY ts
+                             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                   AND CURRENT ROW) / 100.0,
                      2) AS hour_sum
         FROM events
     """,
@@ -306,7 +323,9 @@ def range_frame_hourly_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(w), 2).alias("hour_sum"),
+        F.round(F.sum(cents("value")).over(w) / F.lit(100.0), 2).alias(
+            "hour_sum"
+        ),
     )
 
 
@@ -498,7 +517,7 @@ def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                count(*) AS n_rows,
                count(last_v) AS n_filled,
-               round(sum(last_v), 2) AS filled_sum
+               round(sum(round(last_v * 100)::bigint) / 100.0, 2) AS filled_sum
         FROM (SELECT user_id,
                      last_value(v IGNORE NULLS) OVER (
                          PARTITION BY user_id ORDER BY ts, event_id
@@ -533,7 +552,7 @@ def forward_fill_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("last_v").alias("n_filled"),
-        F.round(F.sum("last_v"), 2).alias("filled_sum"),
+        F.round(F.sum(cents("last_v")) / F.lit(100.0), 2).alias("filled_sum"),
     )
 
 
@@ -542,15 +561,17 @@ def forward_fill_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH rev AS (
             SELECT n.n_name AS nation,
-                   sum(l.l_extendedprice * (1 - l.l_discount)) AS r
+                   sum((round(l.l_extendedprice * 100)::bigint
+                        * (100 - round(l.l_discount * 100)::bigint)
+                       )::decimal(38,0)) AS u
             FROM lineitem l
             JOIN orders o   ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n   ON c.c_nationkey = n.n_nationkey
             GROUP BY 1)
-        SELECT nation, round(r, 2) AS revenue,
-               round(r / sum(r) OVER (), 6) AS share,
-               rank() OVER (ORDER BY round(r, 2) DESC, nation)::bigint AS rnk
+        SELECT nation, round(u::double / 10000.0, 2) AS revenue,
+               round(u::double / sum(u) OVER ()::double, 6) AS share,
+               rank() OVER (ORDER BY u DESC, nation)::bigint AS rnk
         FROM rev
     """,
     category="window",
@@ -571,17 +592,23 @@ def ratio_to_report_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))
+        .agg(F.sum(disc_units()).alias("u"))
     )
     w = Window.partitionBy()
     return rev.select(
         "nation",
-        F.round("r", 2).alias("revenue"),
+        F.round(F.col("u").cast("double") / F.lit(10000.0), 2).alias("revenue"),
         # try_divide: zero grand-total revenue is 0/0 — DuckDB yields NULL,
-        # ANSI Spark raises (numeric-extremes sweep).
-        F.round(F.try_divide(F.col("r"), F.sum("r").over(w)), 6).alias("share"),
+        # ANSI Spark raises (numeric-extremes sweep). Rank orders by the
+        # EXACT integer unit sum (money.py): deterministic on both engines.
+        F.round(
+            F.try_divide(
+                F.col("u").cast("double"), F.sum("u").over(w).cast("double")
+            ),
+            6,
+        ).alias("share"),
         F.rank()
-        .over(Window.orderBy(F.desc(F.round("r", 2)), F.asc("nation")))
+        .over(Window.orderBy(F.desc("u"), F.asc("nation")))
         .cast("bigint")
         .alias("rnk"),
     )
@@ -597,10 +624,12 @@ def ratio_to_report_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFram
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         t AS (SELECT user_id,
-                     sum(value * pow(0.9, n - rn)) AS num,
-                     sum(pow(0.9, n - rn))         AS den
+                     sum((round(value * pow(0.9, n - rn) * 1000000)::bigint
+                         )::decimal(38,0)) AS num,
+                     sum(round(pow(0.9, n - rn) * 1000000000)::bigint) AS den
               FROM s GROUP BY user_id)
-        SELECT user_id, round(num / den, 4) AS ewma
+        SELECT user_id,
+               round(num::double * 1000.0 / den::double, 4) AS ewma
         FROM t
     """,
     category="window",
@@ -613,8 +642,9 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan — the rewrite that makes EWMA distributable at all.
 
     Weights are exact powers of the same double on both engines (pow is
-    correctly rounded for these inputs); the ratio rounds at 4dp, far
-    above summation-order noise.
+    correctly rounded for these inputs); per-row weighted terms quantize
+    to fixed grids and sum as exact integers (money.py round-11), so the
+    4dp ratio is reproducible at any partition count.
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -626,10 +656,22 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wp).alias("n"),
     )
     decay = F.pow(F.lit(0.9), F.col("n") - F.col("rn"))
+    # per-row weighted values quantized to fixed grids (1e-6 for the
+    # numerator, 1e-9 for the weight mass), summed as exact integers
+    # (money.py): pow is per-row deterministic; the double SUM order was
+    # the only flake vector. num/den scales differ by 1e3, restored in
+    # the single final division.
+    num = F.round(F.col("value") * decay * 1000000).cast("bigint").cast(
+        "decimal(38,0)"
+    )
+    den = F.round(decay * 1000000000).cast("bigint")
     return (
         s.groupBy("user_id")
         .agg(
-            (F.sum(F.col("value") * decay) / F.sum(decay)).alias("__e"),
+            (
+                F.sum(num).cast("double") * F.lit(1000.0)
+                / F.sum(den).cast("double")
+            ).alias("__e"),
         )
         .select("user_id", F.round("__e", 4).alias("ewma"))
     )
@@ -661,7 +703,8 @@ _DECILE_EDGES = [i / 10.0 for i in range(1, 10)]
                count(*)::bigint AS n,
                round(min(o_totalprice), 2) AS lo,
                round(max(o_totalprice), 2) AS hi,
-               round(sum(o_totalprice), 2) AS revenue
+               round(sum(round(o_totalprice * 100)::bigint) / 100.0, 2)
+                 AS revenue
         FROM b GROUP BY decile
     """,
     category="window",
@@ -700,7 +743,9 @@ def decile_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.round(F.min("o_totalprice"), 2).alias("lo"),
             F.round(F.max("o_totalprice"), 2).alias("hi"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum(cents("o_totalprice")) / F.lit(100.0), 2).alias(
+                "revenue"
+            ),
         )
     )
 
@@ -717,7 +762,7 @@ _WCD_ORACLE = """
     SELECT c_nationkey,
            max(n_segments)::bigint AS n_segments,
            count(*)::bigint AS n_customers,
-           round(sum(c_acctbal), 2) AS balance
+           round(sum(round(c_acctbal * 100)::bigint) / 100.0, 2) AS balance
     FROM w GROUP BY c_nationkey
 """
 
@@ -754,7 +799,7 @@ def window_count_distinct_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame
     return w.groupBy("c_nationkey").agg(
         F.max("n_segments").cast("bigint").alias("n_segments"),
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-        F.round(F.sum("c_acctbal"), 2).alias("balance"),
+        F.round(F.sum(cents("c_acctbal")) / F.lit(100.0), 2).alias("balance"),
     )
 
 
@@ -765,13 +810,15 @@ _MOVERS_ORACLE = f"""
     WITH rev AS (
         SELECT l_partkey AS partkey,
                year(o_orderdate) AS y,
-               sum(l_extendedprice * (1 - l_discount)) AS revenue
+               sum((round(l_extendedprice * 100)::bigint
+                    * (100 - round(l_discount * 100)::bigint)
+                   )::decimal(38,0)) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE year(o_orderdate) IN ({_MOVERS_Y1}, {_MOVERS_Y2})
         GROUP BY 1, 2),
     rk AS (SELECT partkey, y,
                   row_number() OVER (PARTITION BY y
-                                     ORDER BY round(revenue, 2) DESC, partkey)
+                                     ORDER BY revenue DESC, partkey)
                     AS rnk
            FROM rev),
     j AS (SELECT a.partkey, a.rnk AS rank_{_MOVERS_Y1}, b.rnk AS rank_{_MOVERS_Y2},
@@ -808,11 +855,9 @@ def rank_movers_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("partkey"),
             F.year("o_orderdate").alias("y"),
         )
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(F.sum(disc_units()).alias("revenue"))
     )
-    wy = Window.partitionBy("y").orderBy(
-        F.desc(F.round("revenue", 2)), F.asc("partkey")
-    )
+    wy = Window.partitionBy("y").orderBy(F.desc("revenue"), F.asc("partkey"))
     rk = rev.select("partkey", "y", F.row_number().over(wy).alias("rnk"))
     a = rk.filter(F.col("y") == _MOVERS_Y1).select(
         "partkey", F.col("rnk").alias(f"rank_{_MOVERS_Y1}")
