@@ -54,31 +54,90 @@ def bool_bit_aggs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "regr_aggs_lineitem",
     oracle="""
+        WITH r AS (SELECT l_returnflag,
+                          round(l_quantity)::bigint AS x,
+                          round(l_extendedprice * 100)::bigint AS yc
+                   FROM lineitem
+                   WHERE l_quantity IS NOT NULL
+                     AND l_extendedprice IS NOT NULL),
+        m AS (SELECT l_returnflag,
+                     count(*)::bigint AS n,
+                     sum(x)::bigint AS sx, sum(yc)::bigint AS sy,
+                     sum(x * x)::bigint AS sxx,
+                     sum((x * yc)::decimal(38,0)) AS sxy,
+                     sum((yc * yc)::decimal(38,0)) AS syy
+              FROM r GROUP BY l_returnflag),
+        f AS (SELECT l_returnflag, n,
+                     n::double * sxx::double - sx::double * sx::double AS det,
+                     n::double * syy::double - sy::double * sy::double AS dety,
+                     n::double * sxy::double - sx::double * sy::double AS cov,
+                     sx::double AS dsx, sy::double AS dsy, n::double AS dn
+              FROM m)
         SELECT l_returnflag,
-               round(regr_slope(l_extendedprice, l_quantity), 4)     AS price_qty_slope,
-               round(regr_intercept(l_extendedprice, l_quantity), 2) AS price_qty_icept,
-               round(regr_r2(l_extendedprice, l_quantity), 6)        AS price_qty_r2,
-               regr_count(l_extendedprice, l_quantity)               AS n_pairs
-        FROM lineitem
-        GROUP BY l_returnflag
+               round(CASE WHEN det = 0 THEN NULL
+                          ELSE cov / det END / 100.0, 4)   AS price_qty_slope,
+               round((dsy - CASE WHEN det = 0 THEN NULL
+                                 ELSE cov / det END * dsx) / dn
+                     / 100.0, 2)                           AS price_qty_icept,
+               round(CASE WHEN det = 0 OR dety = 0 THEN NULL
+                          ELSE cov * cov / (det * dety) END, 6) AS price_qty_r2,
+               n AS n_pairs
+        FROM f
     """,
     category="aggregate",
 )
 def regr_aggs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group least-squares fit via the SQL-standard regr_* aggregates.
+    """Per-group least-squares fit from the six combinable moments.
 
-    One pass, one shuffle: the regr_* family decomposes into the six
-    combinable moments (n, Σx, Σy, Σxx, Σyy, Σxy), so Catalyst runs it as
-    an ordinary partial-agg → final-agg pipeline — a distributed linear
-    regression with no iteration and no driver math.
+    One pass, one shuffle: the regr_* family decomposes into (n, Σx, Σy,
+    Σxx, Σyy, Σxy) partial-agg moments — and since round 11 those moments
+    are EXACT integers (bigint quantities x bigint cents, decimal(38,0)
+    for the squared terms; money.py discipline): builtin regr_* aggs
+    accumulate double co-moments whose partial-merge order is scheduler-
+    dependent, the exact class that flipped conformal_interval_orders'
+    coverage in round 10. Slope/intercept/r² are ONE deterministic double
+    expression over identical exact operands on both engines; degenerate
+    fits (zero x- or y-variance) yield NULL via the same CASE both sides.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    y, x = F.col("l_extendedprice"), F.col("l_quantity")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.regr_slope(y, x), 4).alias("price_qty_slope"),
-        F.round(F.regr_intercept(y, x), 2).alias("price_qty_icept"),
-        F.round(F.regr_r2(y, x), 6).alias("price_qty_r2"),
-        F.regr_count(y, x).alias("n_pairs"),
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    )
+    x = F.round(F.col("l_quantity")).cast("bigint")
+    yc = cents("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(yc).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum((x * yc).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((yc * yc).cast("decimal(38,0)")).alias("syy"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731 — mirror ::double
+    f = m.select(
+        "l_returnflag",
+        F.col("n"),
+        (dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")).alias("det"),
+        (dbl("n") * dbl("syy") - dbl("sy") * dbl("sy")).alias("dety"),
+        (dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy")).alias("cov"),
+        dbl("sx").alias("dsx"),
+        dbl("sy").alias("dsy"),
+        dbl("n").alias("dn"),
+    )
+    m_c = F.when(F.col("det") == 0, F.lit(None)).otherwise(
+        F.col("cov") / F.col("det")
+    )
+    return f.select(
+        "l_returnflag",
+        F.round(m_c / F.lit(100.0), 4).alias("price_qty_slope"),
+        F.round(
+            (F.col("dsy") - m_c * F.col("dsx")) / F.col("dn") / F.lit(100.0), 2
+        ).alias("price_qty_icept"),
+        F.round(
+            F.when((F.col("det") == 0) | (F.col("dety") == 0), F.lit(None))
+            .otherwise(F.col("cov") * F.col("cov") / (F.col("det") * F.col("dety"))),
+            6,
+        ).alias("price_qty_r2"),
+        F.col("n").alias("n_pairs"),
     )
 
 

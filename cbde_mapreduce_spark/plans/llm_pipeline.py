@@ -288,7 +288,8 @@ def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN qual < th[3] THEN 2
                     ELSE 3 END        AS bucket,
                count(*)               AS n_docs,
-               round(avg(qual), 6)    AS avg_quality
+               round(sum(round(qual * 1000000000)::bigint) / 1000000000.0
+                     / count(qual), 6) AS avg_quality
         FROM s, t GROUP BY 1
     """,
     category="llm_pipeline",
@@ -325,7 +326,14 @@ def curriculum_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("qual"), 6).alias("avg_quality"),
+            # per-row qual (a ratio of two ints, engine-identical) quantized
+            # at 1e-9 and summed as exact integers (money.py discipline)
+            F.round(
+                F.sum(F.round(F.col("qual") * 1000000000).cast("bigint"))
+                / F.lit(1000000000.0)
+                / F.count("qual"),
+                6,
+            ).alias("avg_quality"),
         )
     )
 

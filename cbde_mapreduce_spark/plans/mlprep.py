@@ -406,14 +406,16 @@ def zipf_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "gini_customer_revenue",
     oracle="""
-        WITH rev AS (SELECT o_custkey, sum(o_totalprice) AS r
+        WITH rev AS (SELECT o_custkey,
+                            sum(round(o_totalprice * 100)::bigint) AS rc
                      FROM orders GROUP BY o_custkey),
-        ranked AS (SELECT r, row_number() OVER (ORDER BY r, o_custkey) AS i,
+        ranked AS (SELECT rc, row_number() OVER (ORDER BY rc, o_custkey) AS i,
                           count(*) OVER () AS n
                    FROM rev)
         SELECT max(n)::bigint AS n_customers,
-               round(sum(r), 2) AS total_revenue,
-               round(2.0 * sum(i * r) / (max(n) * sum(r))
+               round(sum(rc) / 100.0, 2) AS total_revenue,
+               round(2.0 * sum((i * rc)::decimal(38,0))::double
+                     / (max(n) * sum(rc)::double)
                      - (max(n) + 1.0) / max(n), 6) AS gini
         FROM ranked
     """,
@@ -436,10 +438,14 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count() moves O(partitions) partials).
     """
     orders = load_table(spark, sf_dir, "orders")
-    rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
+    # per-customer revenue in exact integer cents; the gini ratio cancels
+    # the scale and both of its sums are exact integers (money.py)
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rc")
+    )
     n = rev.count()
     ranked = exclusive_prefix_sum(
-        rev.withColumn("__one", F.lit(1)), ["r", "o_custkey"], "__one",
+        rev.withColumn("__one", F.lit(1)), ["rc", "o_custkey"], "__one",
         out_col="__r0",
     ).withColumn("i", F.col("__r0") + 1)
     # max(n, 1): sums are NULL on empty input so gini is NULL either way;
@@ -447,12 +453,16 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = max(n, 1)
     return ranked.agg(
         F.lit(n).cast("bigint").alias("n_customers"),
-        F.round(F.sum("r"), 2).alias("total_revenue"),
+        F.round(F.sum("rc") / F.lit(100.0), 2).alias("total_revenue"),
         # try_divide: zero total revenue (all totalprices 0) is 0/0 —
         # DuckDB yields NULL, ANSI Spark raises (numeric-extremes sweep).
         F.round(
             F.try_divide(
-                2.0 * F.sum(F.col("i") * F.col("r")), F.lit(nn) * F.sum("r")
+                2.0
+                * F.sum((F.col("i") * F.col("rc")).cast("decimal(38,0)")).cast(
+                    "double"
+                ),
+                F.lit(nn) * F.sum("rc").cast("double"),
             )
             - (F.lit(nn) + 1.0) / F.lit(nn),
             6,

@@ -13,7 +13,7 @@ from cbde_mapreduce_spark.streaming import run_streaming_tumbling
     oracle="""
         SELECT date_trunc('hour', ts)   AS hour_start,
                count(*)                 AS n,
-               round(sum(value), 2)     AS sum_value
+               round(sum(round(value * 100)::bigint) / 100.0, 2)     AS sum_value
         FROM events
         GROUP BY 1
     """,
@@ -51,7 +51,7 @@ def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                  - ((epoch_us(ts) % 900000000 + 900000000) % 900000000))
                  - INTERVAL 15 MINUTE * k.i AS win_start,
                count(*)             AS n,
-               round(sum(value), 2) AS sum_value
+               round(sum(round(value * 100)::bigint) / 100.0, 2) AS sum_value
         FROM events, (SELECT unnest(range(0, 4)) AS i) k
         GROUP BY 1
     """,
@@ -87,7 +87,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                min(ts)                          AS win_start,
                max(ts) + INTERVAL 30 MINUTE     AS win_end,
                count(*)                         AS n_events,
-               round(sum(value), 2)             AS sum_value
+               round(sum(round(value * 100)::bigint) / 100.0, 2)             AS sum_value
         FROM s GROUP BY user_id, sess
     """,
     category="streaming",
@@ -127,7 +127,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_stateful_profiles",
     oracle="""
         SELECT user_id, count(*) AS n_events,
-               round(sum(value), 2) AS sum_value
+               round(sum(round(value * 100)::bigint) / 100.0, 2) AS sum_value
         FROM events GROUP BY user_id
     """,
     category="streaming",
@@ -162,7 +162,7 @@ def streaming_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(min(value), 4)                              AS low,
                round(max(CASE WHEN ra = ntot THEN value END), 4) AS close,
                count(*)::bigint                                  AS n_events,
-               round(sum(value), 4)                              AS volume
+               round(sum(round(value * 100)::bigint) / 100.0, 4)                              AS volume
         FROM r
         GROUP BY event_type, hr
     """,

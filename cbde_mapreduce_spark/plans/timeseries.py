@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cbde_mapreduce_spark.plans.money import cents
 from cbde_mapreduce_spark.plans.registry import query
 from cbde_mapreduce_spark.sources import load_table
 
@@ -43,7 +44,7 @@ from cbde_mapreduce_spark.sources import load_table
                round(min(value), 4)                              AS low,
                round(max(CASE WHEN ra = ntot THEN value END), 4) AS close,
                count(*)::bigint                                  AS n_events,
-               round(sum(value), 4)                              AS volume
+               round(sum(round(value * 100)::bigint) / 100.0, 4)                              AS volume
         FROM r
         GROUP BY event_type, hr
     """,
@@ -80,7 +81,7 @@ def ohlc_bars_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("ra") == F.col("ntot"), F.col("value"))), 4
         ).alias("close"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.round(F.sum("value"), 4).alias("volume"),
+        F.round(F.sum(cents("value")) / F.lit(100.0), 4).alias("volume"),
     )
 
 
@@ -315,7 +316,7 @@ def rolling_corr_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
                           count(*)::bigint AS n_orders,
-                          round(sum(o_totalprice), 2) AS revenue
+                          round(sum(round(o_totalprice * 100)::bigint) / 100.0, 2) AS revenue
                    FROM orders GROUP BY 1)
         SELECT month, n_orders, revenue,
                round((revenue - lag(revenue) OVER (ORDER BY month))
@@ -340,7 +341,7 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum(cents("o_totalprice")) / F.lit(100.0), 2).alias("revenue"),
         )
     )
     w = Window.orderBy("month")

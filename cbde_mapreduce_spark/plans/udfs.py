@@ -24,7 +24,11 @@ from cbde_mapreduce_spark.sources import load_table
     "pandas_udf_net_revenue",
     oracle="""
         SELECT l_returnflag,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS net_revenue,
+               round(sum((round(l_extendedprice * 100)::bigint
+                          * (100 - round(l_discount * 100)::bigint)
+                          * (100 + round(l_tax * 100)::bigint)
+                         )::decimal(38,0))::double / 1000000.0, 2)
+                 AS net_revenue,
                count(*) AS n
         FROM lineitem
         GROUP BY l_returnflag
@@ -35,18 +39,29 @@ def pandas_udf_net_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar pandas_udf (vectorized 'Mapper') feeding a JVM aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
 
-    @pandas_udf("double")
-    def net_revenue(price: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
-        # vectorized per-record transform (the Mapper body), Arrow-batched
-        return price * (1.0 - discount) * (1.0 + tax)
+    @pandas_udf("long")
+    def net_units(price: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+        # vectorized per-record transform (the Mapper body), Arrow-batched —
+        # emits EXACT integer 1e-6-dollar units (money.py): cents x
+        # (100-disc%) x (100+tax%), so the downstream JVM sum is
+        # order-independent instead of a rounded double sum
+        return (
+            (price * 100).round().astype("int64")
+            * (100 - (discount * 100).round().astype("int64"))
+            * (100 + (tax * 100).round().astype("int64"))
+        )
 
     return (
         li.withColumn(
-            "net", net_revenue(F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax"))
+            "net", net_units(F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax"))
         )
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.sum("net"), 2).alias("net_revenue"),
+            F.round(
+                F.sum(F.col("net").cast("decimal(38,0)")).cast("double")
+                / F.lit(1000000.0),
+                2,
+            ).alias("net_revenue"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -57,10 +72,20 @@ def pandas_udf_net_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_id, user_id, zscore FROM (
             SELECT event_id, user_id,
-                   round((value - avg(value) OVER u)
-                         / stddev_samp(value) OVER u, 4) AS zscore
-            FROM events
-            WINDOW u AS (PARTITION BY user_id)
+                   CASE WHEN n > 1 AND sc2::double - sc::double * sc::double / n > 0
+                        THEN round((c - sc::double / n)
+                                   / sqrt((sc2::double
+                                           - sc::double * sc::double / n)
+                                          / (n - 1)), 4)
+                   END AS zscore
+            FROM (SELECT event_id, user_id,
+                         round(value * 100)::bigint AS c,
+                         sum(round(value * 100)::bigint) OVER u AS sc,
+                         sum(round(value * 100)::bigint
+                             * round(value * 100)::bigint) OVER u AS sc2,
+                         count(value) OVER u AS n
+                  FROM events
+                  WINDOW u AS (PARTITION BY user_id))
         ) WHERE zscore IS NOT NULL
     """,
     category="udf",
@@ -77,15 +102,26 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        # exact integer cents moments (money.py): pandas' float mean/std
+        # accumulate in group-arrival order, which varies run to run; the
+        # oracle computes the IDENTICAL closed form from the same integer
+        # moments, so both sides are bit-equal at any row order
         v = pdf["value"]
-        sd = v.std(ddof=1)
         out = pd.DataFrame(
             {"event_id": pdf["event_id"], "user_id": pdf["user_id"]}
         )
-        if sd and sd == sd:  # finite, non-zero sample stddev
-            out["zscore"] = ((v - v.mean()) / sd).round(4)
-            # NULL values carry no z-score (oracle: WHERE zscore IS NOT NULL)
-            return out[v.notna().to_numpy()]
+        c = (v * 100).round().astype("Int64")
+        n = int(c.notna().sum())
+        if n > 1:
+            sc = int(c.sum())
+            sc2 = int((c * c).sum())
+            var_num = float(sc2) - float(sc) * float(sc) / n
+            if var_num > 0:
+                sd = ((var_num) / (n - 1)) ** 0.5
+                z = (c.astype("float64") - float(sc) / n) / sd
+                out["zscore"] = z.round(4)
+                # NULL values carry no z-score (oracle: WHERE NOT NULL)
+                return out[v.notna().to_numpy()]
         return out.iloc[0:0].assign(zscore=pd.Series(dtype="float64"))
 
     return (
@@ -278,13 +314,15 @@ def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COGROUP_ORACLE = """
-    WITH ls AS (SELECT l_orderkey, round(sum(l_extendedprice), 2) AS line_sum,
+    WITH ls AS (SELECT l_orderkey,
+                       sum(round(l_extendedprice * 100)::bigint) AS line_c,
                        count(*)::bigint AS n_lines
                 FROM lineitem GROUP BY l_orderkey)
     SELECT o.o_orderkey, round(o.o_totalprice, 2) AS totalprice,
-           coalesce(ls.line_sum, 0.0) AS line_sum,
+           coalesce(ls.line_c, 0) / 100.0 AS line_sum,
            coalesce(ls.n_lines, 0) AS n_lines,
-           round(o.o_totalprice - coalesce(ls.line_sum, 0.0), 2) AS diff
+           (round(o.o_totalprice * 100)::bigint - coalesce(ls.line_c, 0))
+             / 100.0 AS diff
     FROM orders o LEFT JOIN ls ON o.o_orderkey = ls.l_orderkey
 """
 
@@ -318,14 +356,21 @@ def cogroup_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["o_orderkey", "totalprice", "line_sum", "n_lines", "diff"]
             )
         total = float(odf["o_totalprice"].iloc[0])
-        line_sum = round(float(ldf["l_extendedprice"].sum()), 2) if len(ldf) else 0.0
+        # exact integer cents (money.py): the pandas float sum over the
+        # group's arrival order was the run-nondeterministic flake class
+        total_c = int(round(total * 100))
+        line_c = (
+            int((ldf["l_extendedprice"] * 100).round().astype("int64").sum())
+            if len(ldf)
+            else 0
+        )
         return pd.DataFrame(
             {
                 "o_orderkey": [key[0]],
                 "totalprice": [round(total, 2)],
-                "line_sum": [line_sum],
+                "line_sum": [line_c / 100.0],
                 "n_lines": [len(ldf)],
-                "diff": [round(total - line_sum, 2)],
+                "diff": [(total_c - line_c) / 100.0],
             }
         )
 

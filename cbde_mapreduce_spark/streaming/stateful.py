@@ -39,6 +39,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from cbde_mapreduce_spark.streaming.streams import events_stream
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
+#: ``s`` carries EXACT INTEGER CENTS in the double slot (exact below 2^53
+#: — money.py discipline); the double type keeps checkpoint compatibility.
 STATE_SCHEMA = "n bigint, s double"
 
 
@@ -48,9 +50,16 @@ def _update_user_profile(
     n, s = state.get if state.exists else (0, 0.0)
     for pdf in pdfs:
         n += len(pdf)
-        s += float(pdf["value"].sum())
+        # exact integer cents (money.py discipline): the per-batch pandas
+        # float sum + cross-batch float carry was the same rounded-double
+        # flake class as the JVM plans
+        s += int(
+            (pdf["value"] * 100).round().astype("int64").sum()
+        )
     state.update((n, s))
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]})
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [s / 100.0]}
+    )
 
 
 def run_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,10 +137,12 @@ def run_tws_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             n, s = self.acc.get() if self.acc.exists() else (0, 0.0)
             for pdf in rows:
                 n += len(pdf)
-                s += float(pdf["value"].sum())
+                s += int(
+                    (pdf["value"] * 100).round().astype("int64").sum()
+                )
             self.acc.update((n, s))
             yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s / 100.0]}
             )
 
         def close(self) -> None:

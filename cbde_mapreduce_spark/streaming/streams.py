@@ -139,7 +139,11 @@ def run_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                / F.lit(100.0),
+                2,
+            ).alias("sum_value"),
         )
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
@@ -207,7 +211,11 @@ def run_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                / F.lit(100.0),
+                2,
+            ).alias("sum_value"),
         )
         .select(
             "user_id",
@@ -244,7 +252,11 @@ def run_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                / F.lit(100.0),
+                2,
+            ).alias("sum_value"),
         )
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("win_start"),
@@ -334,7 +346,11 @@ def run_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("value"), 4).alias("low"),
             F.round(F.max_by("value", key), 4).alias("close"),
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("volume"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                / F.lit(100.0),
+                4,
+            ).alias("volume"),
         )
         .select(
             "event_type",
