@@ -587,7 +587,9 @@ _BRIDGE_ORACLE = f"""
     WITH base AS (
         SELECT p.p_type AS ptype, year(o.o_orderdate) AS y,
                sum(l.l_quantity)::double AS vol,
-               sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+               sum((round(l.l_extendedprice * 100)::bigint
+                    * (100 - round(l.l_discount * 100)::bigint)
+                   )::decimal(38,0)) AS rev
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN part p ON l.l_partkey = p.p_partkey
@@ -596,8 +598,10 @@ _BRIDGE_ORACLE = f"""
     w AS (SELECT ptype,
                  max(CASE WHEN y = {_BR_Y1} THEN vol END) AS v1,
                  max(CASE WHEN y = {_BR_Y2} THEN vol END) AS v2,
-                 max(CASE WHEN y = {_BR_Y1} THEN rev END) AS r1,
-                 max(CASE WHEN y = {_BR_Y2} THEN rev END) AS r2
+                 max(CASE WHEN y = {_BR_Y1} THEN rev END)::double
+                   / 10000.0 AS r1,
+                 max(CASE WHEN y = {_BR_Y2} THEN rev END)::double
+                   / 10000.0 AS r2
           FROM base GROUP BY ptype),
     d AS (SELECT ptype, v1, v2, r1, r2,
                  r1 / v1 AS p1, r2 / v2 AS p2
@@ -633,15 +637,25 @@ def revenue_bridge_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p_type").alias("ptype"), F.year("o_orderdate").alias("y"))
         .agg(
             F.sum("l_quantity").cast("double").alias("vol"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+            # exact 1e-4-dollar units (money.py); converted to dollars
+            # once per (type, year) cell after the pivot
+            F.sum(
+                (
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                    * (
+                        F.lit(100)
+                        - F.round(F.col("l_discount") * 100).cast("bigint")
+                    )
+                ).cast("decimal(38,0)")
+            ).alias("rev"),
         )
     )
     cell = lambda y, c: F.max(F.when(F.col("y") == y, F.col(c)))
     w = base.groupBy("ptype").agg(
         cell(_BR_Y1, "vol").alias("v1"),
         cell(_BR_Y2, "vol").alias("v2"),
-        cell(_BR_Y1, "rev").alias("r1"),
-        cell(_BR_Y2, "rev").alias("r2"),
+        (cell(_BR_Y1, "rev").cast("double") / F.lit(10000.0)).alias("r1"),
+        (cell(_BR_Y2, "rev").cast("double") / F.lit(10000.0)).alias("r2"),
     )
     d = w.filter(F.col("v1").isNotNull() & F.col("v2").isNotNull()).select(
         "ptype",

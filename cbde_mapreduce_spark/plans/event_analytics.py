@@ -333,23 +333,31 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cusum_drift_users",
     oracle="""
         WITH s AS (
-            SELECT user_id, value, ts, event_id,
-                   avg(value) OVER (PARTITION BY user_id) AS mu,
-                   count(*)   OVER (PARTITION BY user_id) AS n,
-                   stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+            SELECT user_id, ts, event_id,
+                   round(value * 100)::bigint AS c,
+                   sum(round(value * 100)::bigint)
+                     OVER (PARTITION BY user_id) AS sc,
+                   sum((round(value * 100)::bigint
+                        * round(value * 100)::bigint)::decimal(38,0))
+                     OVER (PARTITION BY user_id) AS sc2,
+                   count(*) OVER (PARTITION BY user_id) AS n
             FROM events),
         c AS (
-            SELECT user_id, n, sd,
-                   sum(value - mu) OVER (PARTITION BY user_id
-                                         ORDER BY ts, event_id
-                                         ROWS UNBOUNDED PRECEDING) AS cusum
-            FROM s)
+            SELECT user_id, n,
+                   sqrt(greatest(sc2::double - sc::double * sc::double / n,
+                                 0) / (n - 1)) / 100.0 AS sd,
+                   (sum(c) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING)::double
+                    - row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                      * (sc::double / n)) / 100.0 AS cusum
+            FROM s WHERE n > 1)
         SELECT user_id,
                round(max(abs(cusum)), 4) AS max_abs_cusum,
                (max(abs(cusum)) > any_value(sd) * sqrt(any_value(n)))
                    AS drifted
         FROM c
-        WHERE n > 1 AND sd IS NOT NULL
         GROUP BY user_id
     """,
     category="event-analytics",
@@ -381,19 +389,46 @@ def cusum_drift_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    wr = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer cents (money.py): the running cusum unrolls to
+    # csum_k - k*mean, both exact-integer-derived; sd comes from exact
+    # moments (the running float sum and the stddev co-moments were both
+    # in the scheduler-order flake class). greatest(...,0): zero-variance
+    # cancellation may land an ulp below 0 in double.
+    cc = F.round(F.col("value") * 100).cast("bigint")
     s = ev.select(
         "user_id",
-        "value",
         "ts",
         "event_id",
-        F.avg("value").over(wp).alias("mu"),
+        cc.alias("c"),
+        F.sum(cc).over(wp).alias("sc"),
+        F.sum((cc * cc).cast("decimal(38,0)")).over(wp).alias("sc2"),
         F.count(F.lit(1)).over(wp).alias("n"),
-        F.stddev_samp("value").over(wp).alias("sd"),
     )
-    c = s.withColumn("cusum", F.sum(F.col("value") - F.col("mu")).over(wo))
+    dsc = F.col("sc").cast("double")
+    c = s.filter(F.col("n") > 1).select(
+        "user_id",
+        "n",
+        (
+            F.sqrt(
+                F.greatest(
+                    F.col("sc2").cast("double") - dsc * dsc / F.col("n"),
+                    F.lit(0.0),
+                )
+                / (F.col("n") - 1)
+            )
+            / F.lit(100.0)
+        ).alias("sd"),
+        (
+            (
+                F.sum("c").over(wo).cast("double")
+                - F.row_number().over(wr) * (dsc / F.col("n"))
+            )
+            / F.lit(100.0)
+        ).alias("cusum"),
+    )
     return (
-        c.filter((F.col("n") > 1) & F.col("sd").isNotNull())
-        .groupBy("user_id")
+        c.groupBy("user_id")
         .agg(
             F.round(F.max(F.abs("cusum")), 4).alias("max_abs_cusum"),
             (

@@ -167,25 +167,28 @@ def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the canonical "learning as aggregation" reduction: the only
     corpus-sized work is one map-side-combinable agg; the solve touches a
-    single row. Coefficients are rounded to 4 dp (their magnitude is ~10³;
-    cross-engine summation-order noise after the centered subtraction sits
-    around 1e-8 absolute).
+    single row. Since round 11 the nine moments are EXACT integers
+    (quantities x percent units x cents; decimal(38,0) for the y products
+    — money.py): double raw-moment sums merge in scheduler-dependent
+    order, the conformal/regr flake class. The solve runs in the integer
+    unit system and converts scales once at the end (b1, b0 /100; b2 and
+    r2 scale-invariant).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    x1 = F.col("l_quantity").cast("double")
-    x2 = F.col("l_discount").cast("double")
-    y = F.col("l_extendedprice").cast("double")
+    q = F.round(F.col("l_quantity")).cast("bigint")
+    dp = F.round(F.col("l_discount") * 100).cast("bigint")
+    yc = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     m = li.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(x1).alias("sx1"),
-        F.sum(x2).alias("sx2"),
-        F.sum(y).alias("sy"),
-        F.sum(x1 * x1).alias("sx1x1"),
-        F.sum(x2 * x2).alias("sx2x2"),
-        F.sum(x1 * x2).alias("sx1x2"),
-        F.sum(x1 * y).alias("sx1y"),
-        F.sum(x2 * y).alias("sx2y"),
-        F.sum(y * y).alias("syy"),
+        F.sum(q).cast("double").alias("sx1"),
+        F.sum(dp).cast("double").alias("sx2"),
+        F.sum(yc).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("sx1x1"),
+        F.sum(dp * dp).cast("double").alias("sx2x2"),
+        F.sum(q * dp).cast("double").alias("sx1x2"),
+        F.sum((q * yc).cast("decimal(38,0)")).cast("double").alias("sx1y"),
+        F.sum((dp * yc).cast("decimal(38,0)")).cast("double").alias("sx2y"),
+        F.sum((yc * yc).cast("decimal(38,0)")).cast("double").alias("syy"),
     )
     c = m.select(
         "n",
@@ -219,8 +222,16 @@ def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.select(
         F.col("n").cast("bigint").alias("n"),
-        F.round(F.col("my") - F.col("b1") * F.col("mx1") - F.col("b2") * F.col("mx2"), 4).alias("b0"),
-        F.round("b1", 4).alias("b1"),
+        F.round(
+            (
+                F.col("my")
+                - F.col("b1") * F.col("mx1")
+                - F.col("b2") * F.col("mx2")
+            )
+            / F.lit(100.0),
+            4,
+        ).alias("b0"),
+        F.round(F.col("b1") / F.lit(100.0), 4).alias("b1"),
         F.round("b2", 4).alias("b2"),
         F.round(
             F.try_divide(
@@ -351,15 +362,27 @@ _BOOT_ORACLE = f"""
                (ascii(substr(md5(o_orderkey::varchar || ':' || b::varchar), 1, 1)) * 256
                 + ascii(substr(md5(o_orderkey::varchar || ':' || b::varchar), 2, 1))) AS u
         FROM orders, generate_series(0, {_BOOT_B - 1}) t(b)),
-    w AS (SELECT b, x, ({_BOOT_LADDER_SQL}) AS w FROM reps),
-    means AS (SELECT b, sum(w * x) / sum(w) AS m FROM w GROUP BY b),
-    pt AS (SELECT avg(o_totalprice) AS mean FROM orders)
+    w AS (SELECT b, round(x * 100)::bigint AS xc,
+                 ({_BOOT_LADDER_SQL}) AS w FROM reps),
+    means AS (SELECT b,
+                     sum((w * xc)::decimal(38,0))::double
+                       / sum(w)::double / 100.0 AS m
+              FROM w GROUP BY b),
+    mq AS (SELECT m, round(m * 10000)::bigint AS q FROM means),
+    sq AS (SELECT count(*)::bigint AS nb,
+                  sum(q)::bigint AS s1, sum((q * q)::decimal(38,0)) AS s2,
+                  quantile_cont(m, 0.025) AS lo, quantile_cont(m, 0.975) AS hi
+           FROM mq),
+    pt AS (SELECT sum(round(o_totalprice * 100)::bigint) / 100.0
+                    / count(o_totalprice) AS mean
+           FROM orders)
     SELECT round(pt.mean, 4) AS mean,
-           round(quantile_cont(m, 0.025), 4) AS ci_lo,
-           round(quantile_cont(m, 0.975), 4) AS ci_hi,
-           round(stddev_samp(m), 4) AS se_boot
-    FROM means, pt
-    GROUP BY pt.mean
+           round(sq.lo, 4) AS ci_lo,
+           round(sq.hi, 4) AS ci_hi,
+           round(sqrt((nb::double * s2::double - s1::double * s1::double)
+                      / (nb::double * (nb::double - 1))) / 10000.0, 4)
+             AS se_boot
+    FROM sq, pt
 """
 
 
@@ -398,37 +421,77 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
     w = sum(F.when(u >= t, 1).otherwise(0) for t in _BOOT_T)
+    # exact integer arithmetic (money.py): replicate means ride integer
+    # weights x integer cents; the bootstrap SE derives from exact moments
+    # of the 1e-4-quantized means instead of a stddev_samp double
+    # co-moment merge (the conformal/regr flake class)
+    xc = F.round(F.col("x") * 100).cast("bigint")
     means = (
-        reps.select("b", "x", w.alias("w"))
+        reps.select("b", xc.alias("xc"), w.alias("w"))
         .groupBy("b")
         # try_divide: a tiny corpus can draw total weight 0 for a
         # replicate — NULL mean like DuckDB, not an ANSI error
-        .agg(F.try_divide(F.sum(F.col("w") * F.col("x")), F.sum("w")).alias("m"))
+        .agg(
+            (
+                F.try_divide(
+                    F.sum((F.col("w") * F.col("xc")).cast("decimal(38,0)")).cast(
+                        "double"
+                    ),
+                    F.sum("w").cast("double"),
+                )
+                / F.lit(100.0)
+            ).alias("m")
+        )
     )
-    pt = orders.agg(F.avg("o_totalprice").alias("mean"))
-    return means.crossJoin(F.broadcast(pt)).groupBy("mean").agg(
-        F.round(F.expr("percentile(m, 0.025)"), 4).alias("ci_lo"),
-        F.round(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi"),
-        F.round(F.stddev_samp("m"), 4).alias("se_boot"),
-    ).select(
-        F.round("mean", 4).alias("mean"), "ci_lo", "ci_hi", "se_boot"
+    mq = means.select("m", F.round(F.col("m") * 10000).cast("bigint").alias("q"))
+    sq = mq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum("q").alias("s1"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("s2"),
+        F.expr("percentile(m, 0.025)").alias("lo"),
+        F.expr("percentile(m, 0.975)").alias("hi"),
+    )
+    pt = orders.agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            / F.lit(100.0)
+            / F.count("o_totalprice")
+        ).alias("mean")
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731 — mirror ::double
+    return sq.crossJoin(F.broadcast(pt)).select(
+        F.round("mean", 4).alias("mean"),
+        F.round("lo", 4).alias("ci_lo"),
+        F.round("hi", 4).alias("ci_hi"),
+        F.round(
+            F.sqrt(
+                (dbl("nb") * dbl("s2") - dbl("s1") * dbl("s1"))
+                / (dbl("nb") * (dbl("nb") - 1))
+            )
+            / F.lit(10000.0),
+            4,
+        ).alias("se_boot"),
     )
 
 
 _ANOVA_ORACLE = """
     WITH g AS (SELECT c_mktsegment AS seg,
-                      count(*)::double AS n,
-                      sum(c_acctbal) AS s,
-                      sum(c_acctbal * c_acctbal) AS ss
+                      count(*)::bigint AS n,
+                      sum(round(c_acctbal * 100)::bigint) AS s,
+                      sum((round(c_acctbal * 100)::bigint
+                           * round(c_acctbal * 100)::bigint
+                          )::decimal(38,0)) AS ss
                FROM customer GROUP BY c_mktsegment),
-    tot AS (SELECT sum(n) AS n, sum(s) AS s, sum(ss) AS ss,
-                   count(*)::double AS k
+    tot AS (SELECT sum(n)::double AS n, sum(s)::double AS s,
+                   sum(ss)::double AS ss, count(*)::double AS k,
+                   sum(round(s::double * s::double / n)::decimal(38,0))::double
+                     AS sgs
             FROM g),
-    parts AS (SELECT tot.k, tot.n,
-                     sum(g.s * g.s / g.n) - tot.s * tot.s / tot.n AS ssb,
-                     tot.ss - sum(g.s * g.s / g.n) AS ssw,
-                     tot.ss - tot.s * tot.s / tot.n AS sst
-              FROM g, tot GROUP BY tot.k, tot.n, tot.s, tot.ss)
+    parts AS (SELECT k, n,
+                     sgs - s * s / n AS ssb,
+                     ss - sgs AS ssw,
+                     ss - s * s / n AS sst
+              FROM tot)
     SELECT k::bigint AS k, n::bigint AS n,
            round(ssb / (k - 1) / (ssw / (n - k)), 6) AS f_stat,
            round(ssb / sst, 6) AS eta_sq
@@ -449,18 +512,28 @@ def anova_f_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     categorical dependence; this is the categorical×continuous screen.
     """
     cust = load_table(spark, sf_dir, "customer")
-    y = F.col("c_acctbal")
+    # exact cents moments per segment (money.py); the five per-segment
+    # s^2/n rationals quantize to integer cents^2 before their sum so no
+    # double accumulation survives anywhere in the decomposition
+    yc = F.round(F.col("c_acctbal") * 100).cast("bigint")
     g = cust.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(y).alias("s"),
-        F.sum(y * y).alias("ss"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(yc).alias("s"),
+        F.sum((yc * yc).cast("decimal(38,0)")).alias("ss"),
     )
     tot = g.agg(
-        F.sum("n").alias("tn"),
-        F.sum("s").alias("ts"),
-        F.sum("ss").alias("tss"),
+        F.sum("n").cast("double").alias("tn"),
+        F.sum("s").cast("double").alias("ts"),
+        F.sum("ss").cast("double").alias("tss"),
         F.count(F.lit(1)).cast("double").alias("k"),
-        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sgs"),
+        F.sum(
+            F.round(
+                F.col("s").cast("double") * F.col("s").cast("double")
+                / F.col("n")
+            ).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("sgs"),
     )
     # k > 0: the oracle's parts CTE joins the (empty-on-empty-input) group
     # table, so an empty relation yields zero rows, not a NULL-stat row
@@ -773,9 +846,10 @@ _CLV_ORACLE = f"""
                  CASE WHEN max(o_orderdate)::date
                        <= (SELECT mend FROM mx) - INTERVAL 90 DAY
                       THEN 1 ELSE 0 END AS churned,
-                 sum(o_totalprice) AS rev
+                 sum(round(o_totalprice * 100)::bigint) AS rc
           FROM orders GROUP BY o_custkey),
-    rate AS (SELECT sum(rev) / sum(dur_m + 1) AS m_rev FROM u),
+    rate AS (SELECT sum(rc)::double / 100.0
+                      / sum(dur_m + 1)::double AS m_rev FROM u),
     lt AS (SELECT dur_m, sum(churned)::bigint AS d,
                   sum(1 - churned)::bigint AS c
            FROM u GROUP BY dur_m),
@@ -828,7 +902,9 @@ def expected_clv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min(F.to_date("o_orderdate")).alias("a"),
             F.max(F.to_date("o_orderdate")).alias("b"),
-            F.sum("o_totalprice").alias("rev"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "rc"
+            ),
         )
         .crossJoin(F.broadcast(mend))
         .select(
@@ -836,11 +912,19 @@ def expected_clv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("b") <= F.date_sub(F.col("mend"), 90), 1)
             .otherwise(0)
             .alias("churned"),
-            "rev",
+            "rc",
         )
     )
     u = u.cache()
-    rate = u.agg((F.sum("rev") / F.sum(F.col("dur_m") + 1)).alias("m_rev"))
+    # exact integer cents and integer month-counts; ONE deterministic
+    # division chain (money.py)
+    rate = u.agg(
+        (
+            F.sum("rc").cast("double")
+            / F.lit(100.0)
+            / F.sum(F.col("dur_m") + 1).cast("double")
+        ).alias("m_rev")
+    )
     total = u.agg(F.count(F.lit(1)).alias("n_users"))
     lt = (
         u.groupBy("dur_m")

@@ -445,7 +445,8 @@ def ks_binned_order_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEAS_ORACLE = """
     WITH daily AS (
-        SELECT date_trunc('day', ts) AS day, sum(value) AS revenue
+        SELECT date_trunc('day', ts) AS day,
+               sum(round(value * 100)::bigint) / 100.0 AS revenue
         FROM events GROUP BY 1),
     tr AS (
         SELECT day, revenue,
@@ -483,8 +484,10 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     isodow-1 to agree.
     """
     events = load_table(spark, sf_dir, "events")
+    # day-domain series from EXACT integer cents (money.py); downstream
+    # trend/seasonal arithmetic is deterministic given exact inputs
     daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.sum("value").alias("revenue")
+        (F.sum(cents("value")) / F.lit(100.0)).alias("revenue")
     )
     wtr = Window.orderBy("day").rowsBetween(-3, 3)  # day-domain series
     tr = daily.select(
@@ -515,7 +518,8 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TS_ORACLE = """
     WITH daily AS (
-        SELECT date_trunc('day', ts) AS day, sum(value) AS y
+        SELECT date_trunc('day', ts) AS day,
+               sum(round(value * 100)::bigint) / 100.0 AS y
         FROM events GROUP BY 1),
     xy AS (SELECT date_diff('day', (SELECT min(day) FROM daily), day) AS x, y
            FROM daily),
@@ -547,7 +551,7 @@ def theil_sen_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.sum("value").alias("y")
+        (F.sum(cents("value")) / F.lit(100.0)).alias("y")
     )
     mind = daily.agg(F.min("day").alias("d0"))
     xy = daily.crossJoin(F.broadcast(mind)).select(
