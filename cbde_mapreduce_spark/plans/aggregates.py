@@ -248,13 +248,34 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stats_agg_lineitem",
     oracle="""
+        WITH r AS (SELECT l_returnflag,
+                          round(l_quantity)::bigint AS q,
+                          round(l_extendedprice * 100)::bigint AS yc
+                   FROM lineitem),
+        m AS (SELECT l_returnflag,
+                     count(*)::double AS n,
+                     sum(q)::double AS sq, sum(yc)::double AS sy,
+                     sum(q * q)::double AS sqq,
+                     sum((q * yc)::decimal(38,0))::double AS sqy,
+                     sum((yc * yc)::decimal(38,0))::double AS syy
+              FROM r GROUP BY l_returnflag),
+        f AS (SELECT l_returnflag, n,
+                     n * sqy - sq * sy AS cov,
+                     n * sqq - sq * sq AS dx,
+                     n * syy - sy * sy AS dy
+              FROM m)
         SELECT l_returnflag,
-               round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
-               round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
-               round(stddev_samp(l_extendedprice), 4)            AS price_stddev,
-               round(var_samp(l_quantity), 4)                    AS qty_var
-        FROM lineitem
-        GROUP BY l_returnflag
+               round(CASE WHEN n < 2 OR dx <= 0 OR dy <= 0 THEN NULL
+                          ELSE cov / sqrt(dx * dy) END, 6)  AS qty_price_corr,
+               round(CASE WHEN n < 2 THEN NULL
+                          ELSE cov / (n * (n - 1)) / 100.0 END, 4)
+                 AS qty_price_covar,
+               round(CASE WHEN n < 2 THEN NULL
+                          ELSE sqrt(greatest(dy, 0) / (n * (n - 1))) / 100.0
+                     END, 4)                                AS price_stddev,
+               round(CASE WHEN n < 2 THEN NULL
+                          ELSE dx / (n * (n - 1)) END, 4)   AS qty_var
+        FROM f
     """,
     category="aggregation",
 )
@@ -268,17 +289,53 @@ def stats_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical) where DuckDB's corr yields NULL (numeric-extremes sweep).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    q = F.round(F.col("l_quantity")).cast("bigint")
+    yc = cents("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("sq"),
+        F.sum(yc).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("sqq"),
+        F.sum((q * yc).cast("decimal(38,0)")).cast("double").alias("sqy"),
+        F.sum((yc * yc).cast("decimal(38,0)")).cast("double").alias("syy"),
+    )
+    f = m.select(
+        "l_returnflag",
+        "n",
+        (F.col("n") * F.col("sqy") - F.col("sq") * F.col("sy")).alias("cov"),
+        (F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq")).alias("dx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("dy"),
+    )
+    small = F.col("n") < 2
+    return f.select(
+        "l_returnflag",
         F.round(
-            F.try_divide(
-                F.covar_samp("l_quantity", "l_extendedprice"),
-                F.stddev_samp("l_quantity") * F.stddev_samp("l_extendedprice"),
-            ),
+            F.when(small | (F.col("dx") <= 0) | (F.col("dy") <= 0), F.lit(None))
+            .otherwise(F.col("cov") / F.sqrt(F.col("dx") * F.col("dy"))),
             6,
         ).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
-        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
-        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(
+            F.when(small, F.lit(None)).otherwise(
+                F.col("cov") / (F.col("n") * (F.col("n") - 1)) / F.lit(100.0)
+            ),
+            4,
+        ).alias("qty_price_covar"),
+        F.round(
+            F.when(small, F.lit(None)).otherwise(
+                F.sqrt(
+                    F.greatest(F.col("dy"), F.lit(0.0))
+                    / (F.col("n") * (F.col("n") - 1))
+                )
+                / F.lit(100.0)
+            ),
+            4,
+        ).alias("price_stddev"),
+        F.round(
+            F.when(small, F.lit(None)).otherwise(
+                F.col("dx") / (F.col("n") * (F.col("n") - 1))
+            ),
+            4,
+        ).alias("qty_var"),
     )
 
 

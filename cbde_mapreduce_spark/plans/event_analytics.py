@@ -748,8 +748,12 @@ _BURST_ORACLE = f"""
         FROM events),
     s AS (SELECT user_id,
                  count(gap)::bigint AS n_gaps,
-                 avg(gap / 1e6) AS mu,
-                 stddev_samp(gap / 1e6) AS sd
+                 sum(gap)::double / count(gap) / 1e6 AS mu,
+                 sqrt(greatest(count(gap)::double
+                                 * sum(gap::decimal(19,0) * gap)::double
+                               - sum(gap)::double * sum(gap)::double, 0)
+                      / (count(gap)::double * (count(gap)::double - 1)))
+                   / 1e6 AS sd
           FROM g WHERE gap IS NOT NULL GROUP BY user_id
           HAVING count(gap) >= {_BURST_MIN_GAPS})
     SELECT user_id, n_gaps,
@@ -780,12 +784,30 @@ def interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = events.select(
         "user_id", (us - F.lag(us).over(w)).alias("gap")
     ).filter(F.col("gap").isNotNull())
+    # exact integer-microsecond moments (money.py discipline): avg and
+    # stddev_samp merged double partials in scheduler order; mean and sd
+    # now derive from bigint/decimal sums in one deterministic expression
+    nn = F.count("gap").cast("double")
+    sg = F.sum("gap").cast("double")
+    # decimal BEFORE the square: an hours-scale gap in microseconds
+    # squared exceeds int64
+    sg2 = F.sum(F.col("gap").cast("decimal(19,0)") * F.col("gap")).cast(
+        "double"
+    )
     s = (
         g.groupBy("user_id")
         .agg(
             F.count("gap").cast("bigint").alias("n_gaps"),
-            F.avg(F.col("gap") / 1e6).alias("mu"),
-            F.stddev_samp(F.col("gap") / 1e6).alias("sd"),
+            (F.sum("gap").cast("double") / F.count("gap") / F.lit(1e6)).alias(
+                "mu"
+            ),
+            (
+                F.sqrt(
+                    F.greatest(nn * sg2 - sg * sg, F.lit(0.0))
+                    / (nn * (nn - 1))
+                )
+                / F.lit(1e6)
+            ).alias("sd"),
         )
         .filter(F.col("n_gaps") >= _BURST_MIN_GAPS)
     )

@@ -152,8 +152,8 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                    ORDER BY ts, event_id) AS nxt
                    FROM events)
         SELECT user_id,
-               round(sum((round(value * 100)::bigint
-                          * (nxt - us))::decimal(38,0))::double
+               round(sum(round(value * 100)::bigint::decimal(19,0)
+                          * (nxt - us))::double
                      / sum(nxt - us)::double / 100.0, 6) AS tw_avg,
                count(*)::bigint AS n_intervals
         FROM s WHERE nxt IS NOT NULL
@@ -189,7 +189,9 @@ def time_weighted_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decimal(38,0) (money.py), one deterministic division chain at the end.
     # try_divide: if every reading of a user shares one instant, sum(dt)=0;
     # DuckDB's 0/0 yields NULL, ANSI Spark raises (uniform-ts skew sweep).
-    cd = (cents("value") * dt).cast("decimal(38,0)")
+    # decimal BEFORE the product: cents x a years-scale microsecond
+    # duration can exceed int64
+    cd = cents("value").cast("decimal(19,0)") * dt
     return s.groupBy("user_id").agg(
         F.round(
             F.try_divide(

@@ -685,11 +685,22 @@ _ASSORT_ORACLE = """
                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                 WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
     e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
-    deg AS (SELECT a AS v, count(*)::double AS d FROM e GROUP BY a)
-    SELECT (SELECT count(*) FROM e)::bigint AS n_directed_edges,
-           round(corr(da.d, db.d), 6) AS assortativity
-    FROM e JOIN deg da ON e.a = da.v
-           JOIN deg db ON e.b = db.v
+    deg AS (SELECT a AS v, count(*)::bigint AS d FROM e GROUP BY a),
+    m AS (SELECT count(*)::double AS n,
+                 sum(da.d)::double AS sa, sum(db.d)::double AS sb,
+                 sum((da.d * da.d)::decimal(38,0))::double AS saa,
+                 sum((db.d * db.d)::decimal(38,0))::double AS sbb,
+                 sum((da.d * db.d)::decimal(38,0))::double AS sab
+          FROM e JOIN deg da ON e.a = da.v
+                 JOIN deg db ON e.b = db.v)
+    SELECT n::bigint AS n_directed_edges,
+           round(CASE WHEN n < 2 OR n * saa - sa * sa <= 0
+                        OR n * sbb - sb * sb <= 0 THEN NULL
+                      ELSE (n * sab - sa * sb)
+                           / sqrt((n * saa - sa * sa)
+                                  * (n * sbb - sb * sb)) END, 6)
+             AS assortativity
+    FROM m
 """
 
 
@@ -729,17 +740,39 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
     deg = e.groupBy(F.col("a").alias("v")).agg(
-        F.count(F.lit(1)).cast("double").alias("d")
+        F.count(F.lit(1)).cast("bigint").alias("d")
     )
     da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
     j = e.join(da, "a").join(db, "b")
-    return j.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_directed_edges"),
+    # Newman's r from EXACT integer degree moments (money.py round-11):
+    # covar_samp/stddev_samp merged double co-moments in scheduler order;
+    # the closed form below is one deterministic expression over exact
+    # bigint/decimal sums, NULL on a degree-regular graph exactly like
+    # the old try_divide(0-variance) path.
+    m = j.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("da").cast("double").alias("sa"),
+        F.sum("db").cast("double").alias("sb"),
+        F.sum((F.col("da") * F.col("da")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("saa"),
+        F.sum((F.col("db") * F.col("db")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sbb"),
+        F.sum((F.col("da") * F.col("db")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sab"),
+    )
+    dx = F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
+    dy = F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_directed_edges"),
         F.round(
-            F.try_divide(
-                F.covar_samp("da", "db"),
-                F.stddev_samp("da") * F.stddev_samp("db"),
+            F.when((F.col("n") < 2) | (dx <= 0) | (dy <= 0), F.lit(None))
+            .otherwise(
+                (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb"))
+                / F.sqrt(dx * dy)
             ),
             6,
         ).alias("assortativity"),

@@ -447,8 +447,13 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                max(cnt)::bigint                         AS max_cnt,
                round(max(cnt) / max(total)::double, 6)  AS top1_share,
                round(quantile_cont(cnt, 0.99), 4)       AS p99_cnt,
-               round(stddev_samp(cnt) / avg(cnt), 6)    AS cv,
-               round(-sum(pr * ln(pr)), 6)              AS entropy
+               round(sqrt(greatest(count(*)::double
+                                     * sum(cnt::decimal(19,0) * cnt)::double
+                                   - sum(cnt)::double * sum(cnt)::double, 0)
+                          / (count(*)::double * (count(*)::double - 1)))
+                     / (sum(cnt)::double / count(*)), 6) AS cv,
+               round(-sum(round(pr * ln(pr) * 1e12)::bigint)::double
+                     / 1e12, 6)                         AS entropy
         FROM p
     """,
     category="scale",
@@ -471,14 +476,35 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = c.agg(F.sum("cnt").alias("total"))
     p = F.col("cnt") / F.col("total").cast("double")
+    # cv from exact integer count moments; entropy terms (per-key
+    # p*ln(p), deterministic doubles) quantize at 1e-12 before the sum
+    # (money.py round-11 — the double co-moment/entropy sums merged in
+    # scheduler order)
+    nk = F.count(F.lit(1)).cast("double")
+    sc = F.sum("cnt").cast("double")
+    # decimal BEFORE the square: a single hot key at fleet scale can
+    # push cnt^2 past int64
+    sc2 = F.sum(F.col("cnt").cast("decimal(19,0)") * F.col("cnt")).cast(
+        "double"
+    )
     return c.crossJoin(F.broadcast(t)).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
         F.max("total").cast("bigint").alias("n_rows"),
         F.max("cnt").cast("bigint").alias("max_cnt"),
         F.round(F.max("cnt") / F.max("total").cast("double"), 6).alias("top1_share"),
         F.round(F.expr("percentile(cnt, 0.99)"), 4).alias("p99_cnt"),
-        F.round(F.stddev_samp("cnt") / F.avg("cnt"), 6).alias("cv"),
-        F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        F.round(
+            F.sqrt(
+                F.greatest(nk * sc2 - sc * sc, F.lit(0.0)) / (nk * (nk - 1))
+            )
+            / (sc / nk),
+            6,
+        ).alias("cv"),
+        F.round(
+            -F.sum(F.round(p * F.log(p) * 1e12).cast("bigint")).cast("double")
+            / F.lit(1e12),
+            6,
+        ).alias("entropy"),
     )
 
 

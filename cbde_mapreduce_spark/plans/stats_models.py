@@ -124,18 +124,23 @@ def woe_iv_binning_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _OLS_ORACLE = """
-    WITH m AS (
-        SELECT count(*)::double AS n,
-               sum(l_quantity::double) AS sx1,
-               sum(l_discount::double) AS sx2,
-               sum(l_extendedprice::double) AS sy,
-               sum(l_quantity::double * l_quantity::double) AS sx1x1,
-               sum(l_discount::double * l_discount::double) AS sx2x2,
-               sum(l_quantity::double * l_discount::double) AS sx1x2,
-               sum(l_quantity::double * l_extendedprice::double) AS sx1y,
-               sum(l_discount::double * l_extendedprice::double) AS sx2y,
-               sum(l_extendedprice::double * l_extendedprice::double) AS syy
+    WITH r AS (
+        SELECT round(l_quantity)::bigint AS q,
+               round(l_discount * 100)::bigint AS dp,
+               round(l_extendedprice * 100)::bigint AS yc
         FROM lineitem),
+    m AS (
+        SELECT count(*)::double AS n,
+               sum(q)::double AS sx1,
+               sum(dp)::double AS sx2,
+               sum(yc)::double AS sy,
+               sum(q * q)::double AS sx1x1,
+               sum(dp * dp)::double AS sx2x2,
+               sum(q * dp)::double AS sx1x2,
+               sum((q * yc)::decimal(38,0))::double AS sx1y,
+               sum((dp * yc)::decimal(38,0))::double AS sx2y,
+               sum((yc * yc)::decimal(38,0))::double AS syy
+        FROM r),
     c AS (SELECT n,
                  sx1x1 - sx1 * sx1 / n AS s11,
                  sx2x2 - sx2 * sx2 / n AS s22,
@@ -150,8 +155,8 @@ _OLS_ORACLE = """
                  (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2
           FROM c)
     SELECT n::bigint AS n,
-           round(my - b1 * mx1 - b2 * mx2, 4) AS b0,
-           round(b1, 4) AS b1,
+           round((my - b1 * mx1 - b2 * mx2) / 100.0, 4) AS b0,
+           round(b1 / 100.0, 4) AS b1,
            round(b2, 4) AS b2,
            round((b1 * s1y + b2 * s2y) / syy_c, 6) AS r2
     FROM s
