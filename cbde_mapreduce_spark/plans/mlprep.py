@@ -360,16 +360,30 @@ _ZIPF_HEAD = 100
         r AS (SELECT freq,
                      row_number() OVER (ORDER BY freq DESC, w) AS rank
               FROM top),
-        fit AS (SELECT regr_slope(ln(freq::double), ln(rank::double)) AS slope,
-                       regr_intercept(ln(freq::double), ln(rank::double))
-                         AS intercept,
-                       regr_r2(ln(freq::double), ln(rank::double)) AS r2
-                FROM r)
+        q AS (SELECT round(ln(freq::double) * 1e9)::bigint AS qy,
+                     round(ln(rank::double) * 1e9)::bigint AS qx
+              FROM r),
+        m AS (SELECT count(*)::double AS n,
+                     sum(qx)::double AS sx, sum(qy)::double AS sy,
+                     sum(qx::decimal(19,0) * qx)::double AS sxx,
+                     sum(qx::decimal(19,0) * qy)::double AS sxy,
+                     sum(qy::decimal(19,0) * qy)::double AS syy
+              FROM q),
+        fit AS (SELECT n,
+                       n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy,
+                       n * sxy - sx * sy AS cov, sx, sy
+                FROM m),
+        o AS (SELECT CASE WHEN dx = 0 THEN NULL ELSE cov / dx END AS slope,
+                     (sy - CASE WHEN dx = 0 THEN NULL ELSE cov / dx END * sx)
+                       / n / 1e9 AS intercept,
+                     CASE WHEN dx <= 0 OR dy <= 0 THEN NULL
+                          ELSE cov * cov / (dx * dy) END AS r2
+              FROM fit)
         SELECT (SELECT count(*) FROM f)::bigint AS n_types,
                round(slope, 4)     AS zipf_slope,
                round(intercept, 4) AS zipf_intercept,
                round(r2, 4)        AS fit_r2
-        FROM fit
+        FROM o
     """,
     category="ml-prep",
 )
@@ -389,13 +403,53 @@ def zipf_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
     top = f.orderBy(F.desc("freq"), F.asc("w")).limit(_ZIPF_HEAD)
+    # ln values quantized at 1e-9, fit from EXACT integer moments
+    # (money.py round-11): regr_* built-ins merge double co-moments in
+    # scheduler order. The slope/r2 are scale-invariant in the quantized
+    # unit system; the intercept converts back once.
     r = top.withColumn(
         "rank", F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("w")))
-    ).selectExpr("ln(cast(freq as double)) AS lf", "ln(cast(rank as double)) AS lr")
-    fit = r.agg(
-        F.round(F.expr("regr_slope(lf, lr)"), 4).alias("zipf_slope"),
-        F.round(F.expr("regr_intercept(lf, lr)"), 4).alias("zipf_intercept"),
-        F.round(F.expr("regr_r2(lf, lr)"), 4).alias("fit_r2"),
+    ).selectExpr(
+        "cast(round(ln(cast(freq as double)) * 1e9) as bigint) AS qy",
+        "cast(round(ln(cast(rank as double)) * 1e9) as bigint) AS qx",
+    )
+    m = r.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("qx").cast("double").alias("sx"),
+        F.sum("qy").cast("double").alias("sy"),
+        F.sum(F.col("qx").cast("decimal(19,0)") * F.col("qx"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("qx").cast("decimal(19,0)") * F.col("qy"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("qy").cast("decimal(19,0)") * F.col("qy"))
+        .cast("double")
+        .alias("syy"),
+    )
+    c = m.select(
+        "n",
+        "sx",
+        "sy",
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("dx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("dy"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cov"),
+    )
+    slope = F.when(F.col("dx") == 0, F.lit(None)).otherwise(
+        F.col("cov") / F.col("dx")
+    )
+    fit = c.select(
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n") / F.lit(1e9), 4
+        ).alias("zipf_intercept"),
+        F.round(
+            F.when((F.col("dx") <= 0) | (F.col("dy") <= 0), F.lit(None))
+            .otherwise(
+                F.col("cov") * F.col("cov") / (F.col("dx") * F.col("dy"))
+            ),
+            4,
+        ).alias("fit_r2"),
     )
     n_types = f.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
     return n_types.crossJoin(F.broadcast(fit)).select(

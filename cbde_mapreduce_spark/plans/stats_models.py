@@ -643,15 +643,31 @@ def diff_in_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ELAST_ORACLE = """
     WITH lx AS (
         SELECT l_partkey,
-               CASE WHEN l_quantity > 0 THEN ln(l_quantity) END AS lq,
-               CASE WHEN l_extendedprice > 0 THEN ln(l_extendedprice) END AS lp
-        FROM lineitem)
-    SELECT p.p_type,
-           regr_count(l.lq, l.lp)::bigint AS n,
-           round(regr_slope(l.lq, l.lp), 6) AS elasticity,
-           round(regr_r2(l.lq, l.lp), 6) AS r2
-    FROM lx l JOIN part p ON l.l_partkey = p.p_partkey
-    GROUP BY p.p_type
+               CASE WHEN l_quantity > 0
+                    THEN round(ln(l_quantity) * 1e9)::bigint END AS qy,
+               CASE WHEN l_extendedprice > 0
+                    THEN round(ln(l_extendedprice) * 1e9)::bigint END AS qx
+        FROM lineitem),
+    m AS (SELECT p.p_type,
+                 count(*)::double AS n,
+                 sum(l.qx)::double AS sx, sum(l.qy)::double AS sy,
+                 sum(l.qx::decimal(19,0) * l.qx)::double AS sxx,
+                 sum(l.qx::decimal(19,0) * l.qy)::double AS sxy,
+                 sum(l.qy::decimal(19,0) * l.qy)::double AS syy
+          FROM lx l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE l.qx IS NOT NULL AND l.qy IS NOT NULL
+          GROUP BY p.p_type)
+    SELECT p_type,
+           n::bigint AS n,
+           round(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                      ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 END, 6) AS elasticity,
+           round(CASE WHEN n * sxx - sx * sx <= 0
+                        OR n * syy - sy * sy <= 0 THEN NULL
+                      ELSE (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 END, 6) AS r2
+    FROM m
 """
 
 
@@ -671,15 +687,54 @@ def grouped_elasticity_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL for <= 0 while DuckDB's ln RAISES on 0 (numeric-extremes sweep
     # — a zero-quantity row crashed only the oracle); the shared CASE
     # makes both engines drop those rows from the regression identically.
+    # Per-row ln values quantize at 1e-9 and the fit derives from EXACT
+    # integer moments (money.py round-11): regr_* merges double co-moments
+    # in scheduler order. Slope/r2 are invariant in the quantized units.
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    lq = "CASE WHEN l_quantity > 0 THEN ln(l_quantity) END"
-    lp = "CASE WHEN l_extendedprice > 0 THEN ln(l_extendedprice) END"
-    return j.groupBy("p_type").agg(
-        F.expr(f"regr_count({lq}, {lp})").cast("bigint").alias("n"),
-        F.round(F.expr(f"regr_slope({lq}, {lp})"), 6).alias("elasticity"),
-        F.round(F.expr(f"regr_r2({lq}, {lp})"), 6).alias("r2"),
+    qy = F.expr(
+        "CASE WHEN l_quantity > 0"
+        " THEN cast(round(ln(l_quantity) * 1e9) as bigint) END"
+    )
+    qx = F.expr(
+        "CASE WHEN l_extendedprice > 0"
+        " THEN cast(round(ln(l_extendedprice) * 1e9) as bigint) END"
+    )
+    m = (
+        j.select("p_type", qy.alias("qy"), qx.alias("qx"))
+        .filter(F.col("qx").isNotNull() & F.col("qy").isNotNull())
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("qx").cast("double").alias("sx"),
+            F.sum("qy").cast("double").alias("sy"),
+            F.sum(F.col("qx").cast("decimal(19,0)") * F.col("qx"))
+            .cast("double")
+            .alias("sxx"),
+            F.sum(F.col("qx").cast("decimal(19,0)") * F.col("qy"))
+            .cast("double")
+            .alias("sxy"),
+            F.sum(F.col("qy").cast("decimal(19,0)") * F.col("qy"))
+            .cast("double")
+            .alias("syy"),
+        )
+    )
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "p_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.when(dx == 0, F.lit(None)).otherwise(cov / dx), 6
+        ).alias("elasticity"),
+        F.round(
+            F.when((dx <= 0) | (dy <= 0), F.lit(None)).otherwise(
+                cov * cov / (dx * dy)
+            ),
+            6,
+        ).alias("r2"),
     )
 
 

@@ -355,7 +355,9 @@ def bpe_regex_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM tok GROUP BY doc_id, t)
         SELECT doc_id,
                sum(c)::bigint AS n_tokens,
-               round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS token_entropy
+               round(ln(sum(c))
+                     - sum(round(c * ln(c) * 1e9)::bigint)::double / 1e9
+                       / sum(c), 6) AS token_entropy
         FROM c GROUP BY doc_id
     """,
     category="text",
@@ -368,8 +370,10 @@ def token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Uses the algebraic identity  −Σ pᵢ·ln pᵢ = ln S − (Σ cᵢ·ln cᵢ)/S  with
     S = Σ cᵢ, so the whole thing is two chained map-side-combinable
     aggregations (token counts, then per-doc sums) — no per-doc total join,
-    no window. Both engines evaluate the identical formula on doubles and
-    round at 6 digits, far above the ~1e-15 summation-order noise.
+    no window. The per-term cᵢ·ln cᵢ values (deterministic doubles from
+    integer counts) quantize to a 1e-9 grid before the exact integer sum
+    (money.py round-11): the double Σ merged in scheduler order, the
+    run-nondeterministic flake class.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("t"))
@@ -378,11 +382,12 @@ def token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
     )
     s = F.sum("c")
+    q = F.round(F.col("c") * F.log("c") * 1e9).cast("bigint")
     return c.groupBy("doc_id").agg(
         s.cast("bigint").alias("n_tokens"),
-        F.round(F.log(s) - F.sum(F.col("c") * F.log("c")) / s, 6).alias(
-            "token_entropy"
-        ),
+        F.round(
+            F.log(s) - F.sum(q).cast("double") / F.lit(1e9) / s, 6
+        ).alias("token_entropy"),
     )
 
 
@@ -529,7 +534,8 @@ def pmi_bigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
         pc AS (SELECT w1, w2, c12, sum(c12) OVER (PARTITION BY w1) AS c1 FROM bc)
         SELECT big.doc_id, count(*) AS n_bigrams,
-               round(avg(ln(c12::double / c1)), 6) AS avg_logp
+               round(sum(round(ln(c12::double / c1) * 1e9)::bigint)::double
+                     / 1e9 / count(*), 6) AS avg_logp
         FROM big JOIN pc USING (w1, w2)
         GROUP BY big.doc_id
     """,
@@ -578,8 +584,17 @@ def bigram_lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
+            # per-row ln P (deterministic double from integer counts)
+            # quantized at 1e-9 before the exact integer mean (money.py)
             F.round(
-                F.avg(F.log(F.col("c12").cast("double") / F.col("c1"))), 6
+                F.sum(
+                    F.round(
+                        F.log(F.col("c12").cast("double") / F.col("c1")) * 1e9
+                    ).cast("bigint")
+                ).cast("double")
+                / F.lit(1e9)
+                / F.count(F.lit(1)),
+                6,
             ).alias("avg_logp"),
         )
     )
@@ -835,12 +850,27 @@ _HEAPS_ORACLE = """
     pts AS (SELECT cp.c,
                    (SELECT count(*) FROM fo WHERE fo.fd <= cp.c) AS v,
                    (SELECT sum(dt.ntri) FROM dt WHERE dt.doc_id <= cp.c) AS n
-            FROM cp)
-    SELECT count(*)::bigint AS n_points,
-           round(regr_slope(ln(v), ln(n)), 4) AS beta,
-           round(exp(regr_intercept(ln(v), ln(n))), 4) AS k,
-           round(regr_r2(ln(v), ln(n)), 4) AS r2
-    FROM pts WHERE v > 0 AND n > 0
+            FROM cp),
+    q AS (SELECT round(ln(v) * 1e9)::bigint AS qy,
+                 round(ln(n) * 1e9)::bigint AS qx
+          FROM pts WHERE v > 0 AND n > 0),
+    m AS (SELECT count(*)::double AS np,
+                 sum(qx)::double AS sx, sum(qy)::double AS sy,
+                 sum(qx::decimal(19,0) * qx)::double AS sxx,
+                 sum(qx::decimal(19,0) * qy)::double AS sxy,
+                 sum(qy::decimal(19,0) * qy)::double AS syy
+          FROM q),
+    c AS (SELECT np, sx, sy,
+                 np * sxx - sx * sx AS dx, np * syy - sy * sy AS dy,
+                 np * sxy - sx * sy AS cov
+          FROM m)
+    SELECT np::bigint AS n_points,
+           round(CASE WHEN dx = 0 THEN NULL ELSE cov / dx END, 4) AS beta,
+           round(exp((sy - CASE WHEN dx = 0 THEN NULL
+                             ELSE cov / dx END * sx) / np / 1e9), 4) AS k,
+           round(CASE WHEN dx <= 0 OR dy <= 0 THEN NULL
+                      ELSE cov * cov / (dx * dy) END, 4) AS r2
+    FROM c
 """
 
 
@@ -902,11 +932,53 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("ntri").alias("n"))
     )
     pts = v.join(n, ["i", "c"]).filter((F.col("v") > 0) & (F.col("n") > 0))
-    return pts.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_points"),
-        F.round(F.expr("regr_slope(ln(v), ln(n))"), 4).alias("beta"),
-        F.round(F.exp(F.expr("regr_intercept(ln(v), ln(n))")), 4).alias("k"),
-        F.round(F.expr("regr_r2(ln(v), ln(n))"), 4).alias("r2"),
+    # log-log fit from EXACT quantized-integer moments (money.py
+    # round-11; regr_* merges double co-moments in scheduler order)
+    q = pts.selectExpr(
+        "cast(round(ln(v) * 1e9) as bigint) AS qy",
+        "cast(round(ln(n) * 1e9) as bigint) AS qx",
+    )
+    m = q.agg(
+        F.count(F.lit(1)).cast("double").alias("np"),
+        F.sum("qx").cast("double").alias("sx"),
+        F.sum("qy").cast("double").alias("sy"),
+        F.sum(F.col("qx").cast("decimal(19,0)") * F.col("qx"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("qx").cast("decimal(19,0)") * F.col("qy"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("qy").cast("decimal(19,0)") * F.col("qy"))
+        .cast("double")
+        .alias("syy"),
+    )
+    c2 = m.select(
+        "np",
+        "sx",
+        "sy",
+        (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("dx"),
+        (F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")).alias("dy"),
+        (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cov"),
+    )
+    slope = F.when(F.col("dx") == 0, F.lit(None)).otherwise(
+        F.col("cov") / F.col("dx")
+    )
+    return c2.select(
+        F.col("np").cast("bigint").alias("n_points"),
+        F.round(slope, 4).alias("beta"),
+        F.round(
+            F.exp(
+                (F.col("sy") - slope * F.col("sx")) / F.col("np") / F.lit(1e9)
+            ),
+            4,
+        ).alias("k"),
+        F.round(
+            F.when((F.col("dx") <= 0) | (F.col("dy") <= 0), F.lit(None))
+            .otherwise(
+                F.col("cov") * F.col("cov") / (F.col("dx") * F.col("dy"))
+            ),
+            4,
+        ).alias("r2"),
     )
 
 
@@ -1131,9 +1203,12 @@ _KL_ORACLE = """
               FROM grid a JOIN grid b
                 ON a.w = b.w AND a.source < b.source)
     SELECT s1, s2,
-           round(sum(pa * ln(pa / pb)), 6) AS kl_ab,
-           round(sum(pb * ln(pb / pa)), 6) AS kl_ba,
-           round(sum(pa / 2 * ln(pa / m) + pb / 2 * ln(pb / m)), 6) AS jsd
+           round(sum(round(pa * ln(pa / pb) * 1e15)
+                       ::bigint::decimal(38,0))::double / 1e15, 6) AS kl_ab,
+           round(sum(round(pb * ln(pb / pa) * 1e15)
+                       ::bigint::decimal(38,0))::double / 1e15, 6) AS kl_ba,
+           round(sum(round((pa / 2 * ln(pa / m) + pb / 2 * ln(pb / m)) * 1e15)
+                       ::bigint::decimal(38,0))::double / 1e15, 6) AS jsd
     FROM pairs GROUP BY s1, s2
 """
 
@@ -1180,15 +1255,23 @@ def source_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = a.join(b, "w").filter(F.col("s1") < F.col("s2"))
     m = (F.col("pa") + F.col("pb")) / 2
+    # per-term divergence contributions (deterministic doubles) quantize
+    # at 1e-15 before exact decimal sums (money.py round-11): per-term
+    # error 5e-16 stays ~1e-9 below the 6dp grid even at 1e6-word vocabs
+    def _q15(term):
+        return F.sum(
+            F.round(term * 1e15).cast("bigint").cast("decimal(38,0)")
+        ).cast("double") / F.lit(1e15)
+
     return pairs.groupBy("s1", "s2").agg(
-        F.round(F.sum(F.col("pa") * F.log(F.col("pa") / F.col("pb"))), 6).alias(
-            "kl_ab"
-        ),
-        F.round(F.sum(F.col("pb") * F.log(F.col("pb") / F.col("pa"))), 6).alias(
-            "kl_ba"
-        ),
         F.round(
-            F.sum(
+            _q15(F.col("pa") * F.log(F.col("pa") / F.col("pb"))), 6
+        ).alias("kl_ab"),
+        F.round(
+            _q15(F.col("pb") * F.log(F.col("pb") / F.col("pa"))), 6
+        ).alias("kl_ba"),
+        F.round(
+            _q15(
                 F.col("pa") / 2 * F.log(F.col("pa") / m)
                 + F.col("pb") / 2 * F.log(F.col("pb") / m)
             ),
