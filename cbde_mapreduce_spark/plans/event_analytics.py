@@ -1017,12 +1017,12 @@ _MPX_ORACLE = """
            FROM s WHERE prev IS NOT NULL GROUP BY prev, next),
     tm AS (SELECT prev, next, n / sum(n) OVER (PARTITION BY prev) AS p
            FROM tr),
-    scored AS (SELECT s.user_id, ln(tm.p) AS lp
+    scored AS (SELECT s.user_id, round(ln(tm.p) * 1e9)::bigint AS q
                FROM s JOIN tm ON s.prev = tm.prev AND s.next = tm.next
                WHERE s.prev IS NOT NULL)
     SELECT user_id,
            count(*)::bigint AS n_transitions,
-           round(exp(-avg(lp)), 6) AS perplexity
+           round(exp(-(sum(q)::double / 1e9 / count(*))), 6) AS perplexity
     FROM scored GROUP BY user_id
 """
 
@@ -1054,12 +1054,23 @@ def markov_perplexity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "next",
         (F.col("n") / F.sum("n").over(Window.partitionBy("prev"))).alias("p"),
     )
+    # per-row ln P (deterministic double from exact count ratios)
+    # quantized at 1e-9; the mean is exact-integer-sum / count (money.py)
     scored = s.join(F.broadcast(tm), ["prev", "next"]).select(
-        "user_id", F.log("p").alias("lp")
+        "user_id", F.round(F.log("p") * 1e9).cast("bigint").alias("q")
     )
     return scored.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
-        F.round(F.exp(-F.avg("lp")), 6).alias("perplexity"),
+        F.round(
+            F.exp(
+                -(
+                    F.sum("q").cast("double")
+                    / F.lit(1e9)
+                    / F.count(F.lit(1))
+                )
+            ),
+            6,
+        ).alias("perplexity"),
     )
 
 
@@ -1069,9 +1080,13 @@ _NVR_ORACLE = """
                FROM orders),
     first AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY o_custkey)
     SELECT o.m::timestamp AS month,
-           round(sum(CASE WHEN o.m = first.m0 THEN o.rev ELSE 0 END), 2)
+           round(sum(CASE WHEN o.m = first.m0
+                          THEN round(o.rev * 100)::bigint
+                          ELSE 0 END) / 100.0, 2)
              AS new_revenue,
-           round(sum(CASE WHEN o.m > first.m0 THEN o.rev ELSE 0 END), 2)
+           round(sum(CASE WHEN o.m > first.m0
+                          THEN round(o.rev * 100)::bigint
+                          ELSE 0 END) / 100.0, 2)
              AS returning_revenue,
            count(DISTINCT CASE WHEN o.m = first.m0 THEN o.o_custkey END)::bigint
              AS new_customers,
@@ -1108,12 +1123,16 @@ def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.groupBy(F.col("m").cast("timestamp_ntz").alias("month"))
         .agg(
-            F.round(F.sum(F.when(is_new, F.col("rev")).otherwise(0.0)), 2).alias(
-                "new_revenue"
-            ),
-            F.round(F.sum(F.when(is_ret, F.col("rev")).otherwise(0.0)), 2).alias(
-                "returning_revenue"
-            ),
+            F.round(
+                F.sum(F.when(is_new, cents("rev")).otherwise(F.lit(0)))
+                / F.lit(100.0),
+                2,
+            ).alias("new_revenue"),
+            F.round(
+                F.sum(F.when(is_ret, cents("rev")).otherwise(F.lit(0)))
+                / F.lit(100.0),
+                2,
+            ).alias("returning_revenue"),
             F.count_distinct(F.when(is_new, F.col("o_custkey")))
             .cast("bigint")
             .alias("new_customers"),

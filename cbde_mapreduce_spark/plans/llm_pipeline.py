@@ -879,7 +879,9 @@ _STUDY_ORACLE = f"""
            sum(per.emitted)::bigint AS emitted_tokens,
            round(sum(per.emitted) / (SELECT sum(n) FROM t)::double, 6)
              AS amplification,
-           round(avg(per.emitted * 1.0 / (per.n_chunks * per.w)), 6)
+           round(sum(round(per.emitted * 1.0 / (per.n_chunks * per.w)
+                           * 1e9)::bigint::decimal(38,0))::double
+                 / 1e9 / count(*), 6)
              AS fill_ratio
     FROM per GROUP BY per.w
 """
@@ -934,8 +936,22 @@ def chunk_size_study(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chunks").cast("bigint").alias("n_chunks"),
             F.sum("emitted").cast("bigint").alias("emitted_tokens"),
             F.sum("emitted").alias("_emitted_raw"),
+            # per-doc fill ratios (exact-int ratios, engine-identical)
+            # quantize at 1e-9 before the exact mean (money.py round-11)
             F.round(
-                F.avg(F.col("emitted") * 1.0 / (F.col("n_chunks") * F.col("w"))), 6
+                F.sum(
+                    F.round(
+                        F.col("emitted")
+                        * 1.0
+                        / (F.col("n_chunks") * F.col("w"))
+                        * 1e9
+                    )
+                    .cast("bigint")
+                    .cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(1e9)
+                / F.count(F.lit(1)),
+                6,
             ).alias("fill_ratio"),
         )
         .crossJoin(F.broadcast(tot))

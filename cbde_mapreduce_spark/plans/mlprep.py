@@ -542,10 +542,12 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         d AS (SELECT count(DISTINCT x) AS cx, count(DISTINCT y) AS cy FROM f)
         SELECT max(n)::bigint AS n,
                ((max(cx) - 1) * (max(cy) - 1))::bigint AS dof,
-               round(sum(pow(o - nx * ny / n::double, 2)
-                         / (nx * ny / n::double)), 4) AS chi2,
-               round(sqrt(sum(pow(o - nx * ny / n::double, 2)
-                              / (nx * ny / n::double))
+               round(sum(round(pow(o - nx * ny / n::double, 2)
+                               / (nx * ny / n::double) * 1e9)
+                           ::bigint::decimal(38,0))::double / 1e9, 4) AS chi2,
+               round(sqrt(sum(round(pow(o - nx * ny / n::double, 2)
+                                    / (nx * ny / n::double) * 1e9)
+                                ::bigint::decimal(38,0))::double / 1e9
                           / (max(n) * least(max(cx) - 1, max(cy) - 1))), 6)
                  AS cramers_v
         FROM m, d
@@ -588,18 +590,27 @@ def chi2_event_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("x").alias("cx"), F.countDistinct("y").alias("cy")
     )
     e = F.col("nx") * F.col("ny") / F.col("n").cast("double")
-    cell = F.pow(F.col("o") - e, 2) / e
+    # per-cell chi2 contributions (deterministic doubles from exact
+    # integer marginals) quantize at 1e-9 before the exact sum (money.py)
+    cell = (
+        F.round((F.pow(F.col("o") - e, 2) / e) * 1e9)
+        .cast("bigint")
+        .cast("decimal(38,0)")
+    )
+    qsum = F.sum(cell).cast("double") / F.lit(1e9)
     return m.crossJoin(F.broadcast(d)).agg(
         F.max("n").cast("bigint").alias("n"),
         ((F.max("cx") - 1) * (F.max("cy") - 1)).cast("bigint").alias("dof"),
-        F.round(F.sum(cell), 4).alias("chi2"),
+        F.round(qsum, 4).alias("chi2"),
         # try_divide: a 1x1 contingency table has min(cx,cy)-1 = 0 and no
         # defined V — NULL like DuckDB, not an ANSI error
         F.round(
             F.sqrt(
                 F.try_divide(
-                    F.sum(cell),
-                    F.max("n") * F.least(F.max("cx") - 1, F.max("cy") - 1),
+                    qsum,
+                    (
+                        F.max("n") * F.least(F.max("cx") - 1, F.max("cy") - 1)
+                    ).cast("double"),
                 )
             ),
             6,

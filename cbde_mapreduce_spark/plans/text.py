@@ -119,7 +119,8 @@ def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH lex(word, cand, wt) AS (VALUES {_LEX_VALUES}),
         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-        sc AS (SELECT doc_id, cand, round(sum(wt), 4) AS score
+        sc AS (SELECT doc_id, cand,
+                      round(sum(round(wt * 10)::bigint) / 10.0, 4) AS score
                FROM tok JOIN lex USING (word) GROUP BY doc_id, cand),
         r AS (SELECT doc_id, cand, score,
                      row_number() OVER (PARTITION BY doc_id
@@ -138,7 +139,14 @@ def lang_id_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tok.join(F.broadcast(lex), "word")
         .groupBy("doc_id", "cand")
-        .agg(F.round(F.sum("wt"), 4).alias("score"))
+        # lexicon weights are tenth-quantized constants — exact integer
+        # tenths through the sum (money.py round-11)
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("wt") * 10).cast("bigint")) / F.lit(10.0),
+                4,
+            ).alias("score")
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand"))
     return (
