@@ -621,15 +621,15 @@ _HITS_TOP = 15
 _HITS_ORACLE = f"""
     WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-    a1 AS (SELECT s, count(*)::double AS a FROM e GROUP BY s),
-    a1n AS (SELECT s, a / (SELECT sum(a) FROM a1) AS a FROM a1),
-    h1 AS (SELECT c, sum(a1n.a) AS h FROM e JOIN a1n USING (s) GROUP BY c),
-    h1n AS (SELECT c, h / (SELECT sum(h) FROM h1) AS h FROM h1),
-    a2 AS (SELECT s, sum(h1n.h) AS a FROM e JOIN h1n USING (c) GROUP BY s)
+    a1 AS (SELECT s, count(*)::bigint AS a FROM e GROUP BY s),
+    h1 AS (SELECT c, sum(a1.a)::bigint AS h
+           FROM e JOIN a1 USING (s) GROUP BY c),
+    a2 AS (SELECT s, sum(h1.h::decimal(38,0)) AS a
+           FROM e JOIN h1 USING (c) GROUP BY s)
     SELECT s AS suppkey,
-           round(a / (SELECT sum(a) FROM a2), 6) AS authority
+           round(a::double / (SELECT sum(a) FROM a2)::double, 6) AS authority
     FROM a2
-    ORDER BY round(a / (SELECT sum(a) FROM a2), 6) DESC, s
+    ORDER BY round(a::double / (SELECT sum(a) FROM a2)::double, 6) DESC, s
     LIMIT {_HITS_TOP}
 """
 
@@ -657,23 +657,26 @@ def hits_authority_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     e = e.cache()
-    a1 = e.groupBy("s").agg(F.count(F.lit(1)).cast("double").alias("a"))
-    a1t = a1.agg(F.sum("a").alias("at"))
-    a1n = a1.crossJoin(F.broadcast(a1t)).select(
-        "s", (F.col("a") / F.col("at")).alias("a")
+    # The L1 normalizers CANCEL through the hub/authority alternation, so
+    # both half-steps ride EXACT integers (money.py round-11: the old
+    # per-row ratio sums were scheduler-order double accumulation):
+    # authority^2(s) proportional to sum over s's customers of their
+    # integer hub mass, normalized ONCE in the final deterministic
+    # division. decimal(38,0) on the last sum: hub masses are
+    # incidence-sized, their per-supplier sums square that.
+    a1 = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    h1 = e.join(a1, "s").groupBy("c").agg(F.sum("a").alias("h"))
+    a2 = e.join(h1, "c").groupBy("s").agg(
+        F.sum(F.col("h").cast("decimal(38,0)")).alias("a")
     )
-    h1 = e.join(a1n, "s").groupBy("c").agg(F.sum("a").alias("h"))
-    h1t = h1.agg(F.sum("h").alias("ht"))
-    h1n = h1.crossJoin(F.broadcast(h1t)).select(
-        "c", (F.col("h") / F.col("ht")).alias("h")
-    )
-    a2 = e.join(h1n, "c").groupBy("s").agg(F.sum("h").alias("a"))
     a2t = a2.agg(F.sum("a").alias("at"))
     return (
         a2.crossJoin(F.broadcast(a2t))
         .select(
             F.col("s").alias("suppkey"),
-            F.round(F.col("a") / F.col("at"), 6).alias("authority"),
+            F.round(
+                F.col("a").cast("double") / F.col("at").cast("double"), 6
+            ).alias("authority"),
         )
         .orderBy(F.desc("authority"), F.asc("suppkey"))
         .limit(_HITS_TOP)
