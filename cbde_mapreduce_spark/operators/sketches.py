@@ -2,10 +2,14 @@
 family, alongside HLL / MinHash / SimHash / PQ).
 
 The sketch is a depth × width counter matrix; each item increments one
-counter per row (row i uses hash_i = xxhash64(item, i) mod width), and the
-frequency estimate is the MIN across rows. Guarantees: estimates NEVER
-undercount (one-sided error), and overcount by <= e/width · N with
-probability 1 - e^-depth — both asserted in tests/test_aggregates.py.
+counter per row (row i buckets by an ENGINE-PORTABLE universal hash:
+a_i·(md5_60(item) mod p) + b_i mod p mod width — the same md5-affine
+family as MinHash, frozen constants in CM_AFFINE, reproducible in DuckDB
+SQL so the whole heavy-hitter pipeline is oracle-checkable; round 11,
+previously xxhash64 → rows-only), and the frequency estimate is the MIN
+across rows. Guarantees: estimates NEVER undercount (one-sided error),
+and overcount by <= e/width · N with probability 1 - e^-depth — both
+asserted in tests/test_aggregates.py.
 
 Distributed shape: counter updates are a plain groupBy(row, bucket) count —
 map-side combinable, mergeable across partitions/batches by cell-wise sum
@@ -18,11 +22,40 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from cbde_mapreduce_spark.operators.dedup import MH_PRIME
 
 DEPTH = 4
 WIDTH = 1024
+
+
+def _cm_affine_constants() -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(0xC0_5EED)
+    return [
+        (rng.randrange(1, MH_PRIME), rng.randrange(0, MH_PRIME))
+        for _ in range(DEPTH)
+    ]
+
+
+#: frozen per-row (a_i, b_i) — embedded verbatim in the DuckDB oracle
+CM_AFFINE = _cm_affine_constants()
+
+
+def cm_bucket(col: str, i: int, width: int) -> Column:
+    """Row-i bucket of an item: portable md5-60-bit hash -> universal
+    affine hash mod width (bit-identical in DuckDB — see the module
+    docstring)."""
+    h = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+    a, b = CM_AFFINE[i]
+    hm = h % F.lit(MH_PRIME).cast("bigint")
+    return (
+        (F.lit(a).cast("bigint") * hm + F.lit(b).cast("bigint"))
+        % F.lit(MH_PRIME).cast("bigint")
+    ) % F.lit(width)
 
 
 def cm_build(items: DataFrame, col: str, depth: int = DEPTH, width: int = WIDTH) -> DataFrame:
@@ -37,7 +70,7 @@ def cm_build(items: DataFrame, col: str, depth: int = DEPTH, width: int = WIDTH)
         *[
             F.struct(
                 F.lit(i).alias("row"),
-                F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(width)).alias("bucket"),
+                cm_bucket(col, i, width).alias("bucket"),
             )
             for i in range(depth)
         ]
@@ -55,7 +88,7 @@ def _cm_build_union(items: DataFrame, col: str, depth: int = DEPTH, width: int =
     rows = [
         items.select(
             F.lit(i).alias("row"),
-            F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(width)).alias("bucket"),
+            cm_bucket(col, i, width).alias("bucket"),
         )
         for i in range(depth)
     ]
@@ -77,7 +110,7 @@ def cm_estimate(
         q.select(
             F.col(col),
             F.lit(i).alias("row"),
-            F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(width)).alias("bucket"),
+            cm_bucket(col, i, width).alias("bucket"),
         )
         for i in range(depth)
     ]

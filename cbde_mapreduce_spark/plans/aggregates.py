@@ -457,17 +457,52 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("cm_sketch_heavy_hitters", oracle=None, category="aggregation")
+#: DuckDB twin of the FULL count-min pipeline: same md5-affine buckets
+#: (CM_AFFINE frozen constants in the VALUES list), same counter matrix,
+#: same min-over-rows estimate, same 0.5% threshold. Built lazily (needs
+#: the operators module's constants).
+def _cm_oracle() -> str:
+    from cbde_mapreduce_spark.operators.dedup import MH_PRIME
+    from cbde_mapreduce_spark.operators.sketches import CM_AFFINE, WIDTH
+
+    values = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(CM_AFFINE))
+    return f"""
+    WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS word
+                 FROM documents),
+    h AS (SELECT word,
+                 ('0x' || substr(md5(word), 1, 15))::bigint % {MH_PRIME} AS hm
+          FROM tok),
+    cells AS (SELECT r.i AS row,
+                     ((r.a * hm + r.b) % {MH_PRIME}) % {WIDTH} AS bucket
+              FROM h CROSS JOIN (VALUES {values}) r(i, a, b)),
+    sk AS (SELECT row, bucket, count(*)::bigint AS cnt
+           FROM cells GROUP BY 1, 2),
+    n AS (SELECT sum(cnt) AS n FROM sk WHERE row = 0),
+    q AS (SELECT DISTINCT word, hm FROM h),
+    probes AS (SELECT q.word, r.i AS row,
+                      ((r.a * hm + r.b) % {MH_PRIME}) % {WIDTH} AS bucket
+               FROM q CROSS JOIN (VALUES {values}) r(i, a, b)),
+    est AS (SELECT word, min(coalesce(sk.cnt, 0)) AS est
+            FROM probes LEFT JOIN sk USING (row, bucket)
+            GROUP BY word)
+    SELECT word, est FROM est, n WHERE est >= 0.005 * n.n
+    """
+
+
+@query("cm_sketch_heavy_hitters", oracle=_cm_oracle(), category="aggregation")
 def cm_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via a count-min sketch (operators/sketches.py): words
     whose ESTIMATED frequency is >= 0.5% of the token stream.
 
     Sketch counters are one map-side-combinable groupBy over (row, bucket) —
     depth·width cells total, independent of corpus size; estimation probes
-    the broadcast sketch. Rows-only by design (the sketch's one-sided
-    overcount is engine-specific); tests/test_aggregates.py asserts the
-    count-min guarantees against exact counts: est >= truth for every word,
-    and every true heavy hitter is returned.
+    the broadcast sketch. Fully oracled since round 11 (the rows-only
+    adjudication): bucketing rides the same engine-portable md5-affine
+    hash family as MinHash, so the DuckDB twin rebuilds the IDENTICAL
+    counter matrix and min-estimates — every overcount is reproduced
+    cell-exact, not merely bounded. tests/test_aggregates.py still asserts
+    the count-min guarantees against exact counts: est >= truth for every
+    word, and every true heavy hitter is returned.
     """
     from cbde_mapreduce_spark.operators.sketches import cm_build, cm_estimate
 

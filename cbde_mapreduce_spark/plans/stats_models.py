@@ -496,7 +496,11 @@ _ANOVA_ORACLE = """
                      sgs - s * s / n AS ssb,
                      ss - sgs AS ssw,
                      ss - s * s / n AS sst
-              FROM tot)
+              FROM tot
+              -- k = 0: empty input must yield ZERO rows, matching the
+              -- Spark side's k > 0 filter (the old g-join form vanished
+              -- on empty g implicitly)
+              WHERE k > 0)
     SELECT k::bigint AS k, n::bigint AS n,
            round(ssb / (k - 1) / (ssw / (n - k)), 6) AS f_stat,
            round(ssb / sst, 6) AS eta_sq

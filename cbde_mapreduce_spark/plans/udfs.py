@@ -260,9 +260,52 @@ def udtf_table_arg_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BAL_CAP = 500.0
+_BAL_CAP_C = 50000  # the cap in exact integer cents (money.py discipline)
+
+#: DuckDB twin of the clamped accumulator: the per-user event sequence is
+#: folded with list_reduce over a [balance, cap_hits, floor_hits] LIST
+#: accumulator — the SAME non-linear per-step clamp the pandas kernel
+#: runs, in the SAME (ts, event_id) order, over the SAME exact integer
+#: cents (round-11: the 19 rows-only adjudication found this one IS
+#: SQL-expressible after all — DuckDB's lambda fold is a sequential left
+#: reducer, exactly what the recursion needs). A LIST accumulator, not a
+#: struct: DuckDB 1.0.0's list_reduce mis-evaluates struct-typed
+#: accumulators on some value sequences (pinned repro in
+#: tests/test_advice_r11.py::test_duckdb_list_reduce_struct_quirk — the
+#: counter lags the identical list-form fold by one), while the
+#: list-typed fold matches the Python reference step for step.
+_CAPBAL_ORACLE = f"""
+    WITH e AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase'
+                    THEN round(value * 100)::bigint
+                    WHEN event_type = 'error'
+                    THEN -round(value * 100)::bigint
+                    ELSE 0::bigint END AS d
+        FROM events WHERE user_id IS NOT NULL),
+    r AS (
+        SELECT user_id,
+               list_reduce(
+                   list_prepend(
+                       [0::bigint, 0::bigint, 0::bigint],
+                       list([d, 0::bigint, 0::bigint]
+                            ORDER BY ts, event_id)),
+                   (a, x) -> [
+                       greatest(least(a[1] + x[1], {_BAL_CAP_C}), 0),
+                       a[2] + CASE WHEN a[1] + x[1] > {_BAL_CAP_C}
+                                   THEN 1 ELSE 0 END,
+                       a[3] + CASE WHEN a[1] + x[1] < 0
+                                   THEN 1 ELSE 0 END]) AS acc
+        FROM e GROUP BY user_id)
+    SELECT user_id,
+           acc[1] / 100.0 AS final_balance,
+           acc[2] AS n_cap_hits,
+           acc[3] AS n_floor_hits
+    FROM r
+"""
 
 
-@query("capped_running_balance", oracle=None, category="udf")
+@query("capped_running_balance", oracle=_CAPBAL_ORACLE, category="udf")
 def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clamped accumulator per user: purchases add value, errors subtract,
     and the balance saturates at [0, 500] after EVERY step — a credit-line
@@ -271,8 +314,11 @@ def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group imperative escape hatch (applyInPandas over each user's
     time-ordered events), kept off any hot path.
 
-    Rows-only by design (not SQL-expressible); verified in
-    tests/test_operators.py against an independent pure-pandas reference.
+    Fully oracled since round 11: the accumulator runs in EXACT integer
+    cents (money.py — the float carry was also group-arrival-order
+    sensitive through the clamp), and the DuckDB twin folds the identical
+    recursion with list_reduce over a struct accumulator. The independent
+    pure-pandas reference check in tests/test_operators.py is retained.
     Output: final balance, how often each bound clipped.
     """
     import pandas as pd
@@ -288,20 +334,20 @@ def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def run_balance(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
-        bal, hi, lo = 0.0, 0, 0
+        bal, hi, lo = 0, 0, 0  # exact integer cents
         for etype, v in zip(pdf["event_type"], pdf["value"]):
             if etype == "purchase":
-                bal += float(v)
+                bal += int(round(float(v) * 100))
             elif etype == "error":
-                bal -= float(v)
-            if bal > _BAL_CAP:
-                bal, hi = _BAL_CAP, hi + 1
-            elif bal < 0.0:
-                bal, lo = 0.0, lo + 1
+                bal -= int(round(float(v) * 100))
+            if bal > _BAL_CAP_C:
+                bal, hi = _BAL_CAP_C, hi + 1
+            elif bal < 0:
+                bal, lo = 0, lo + 1
         return pd.DataFrame(
             {
                 "user_id": [int(pdf["user_id"].iat[0])],
-                "final_balance": [round(bal, 2)],
+                "final_balance": [bal / 100.0],
                 "n_cap_hits": [hi],
                 "n_floor_hits": [lo],
             }

@@ -172,3 +172,69 @@ def test_conformal_sf001_parity_unchanged(spark, sf_oracle):
         name="conformal_interval_orders",
     )
 
+
+
+def test_duckdb_list_reduce_struct_quirk():
+    """Round-11 rows-only adjudication artifact: DuckDB 1.0.0's
+    list_reduce mis-evaluates STRUCT-typed accumulators on some value
+    sequences — on the 43-delta sequence below (extracted from the sf0.01
+    events fixture, user 0) the struct fold reports one MORE floor hit
+    than the identical list-typed fold and the Python left-fold reference.
+    capped_running_balance's oracle therefore folds a [bal, caps, floors]
+    LIST accumulator. If this test ever fails on the struct assertion, the
+    installed DuckDB fixed the quirk and the struct form may be used again.
+    """
+    import duckdb
+
+    ds = [0, 0, 0, 0, 5337, -8961, -3045, 0, 0, 512, 0, 0, -4283, -1580,
+          0, 0, -13338, 0, 0, 0, 0, 0, 0, 259, 977, 0, 0, 3049, 64, 1298,
+          0, -9846, -2331, 0, -659, 0, 0, 697, 7091, 0, 0, 978, -7819]
+    bal = hi = lo = 0
+    for d in ds:
+        pre = bal + d
+        if pre > 50000:
+            bal, hi = 50000, hi + 1
+        elif pre < 0:
+            bal, lo = 0, lo + 1
+        else:
+            bal = pre
+    con = duckdb.connect()
+    try:
+        lst = ",".join(f"[{d}::bigint, 0::bigint, 0::bigint]" for d in ds)
+        got_list = con.sql(
+            f"""SELECT list_reduce(
+                  list_prepend([0::bigint, 0::bigint, 0::bigint], [{lst}]),
+                  (a, x) -> [greatest(least(a[1] + x[1], 50000), 0),
+                             a[2] + CASE WHEN a[1] + x[1] > 50000
+                                         THEN 1 ELSE 0 END,
+                             a[3] + CASE WHEN a[1] + x[1] < 0
+                                         THEN 1 ELSE 0 END])"""
+        ).fetchone()[0]
+        # the form the oracle relies on MUST match the reference fold
+        assert got_list == [bal, hi, lo], (got_list, [bal, hi, lo])
+
+        slst = ",".join(
+            f"{{'b': {d}::bigint, 'h': 0::bigint, 'l': 0::bigint}}"
+            for d in ds
+        )
+        got_struct = con.sql(
+            f"""SELECT list_reduce(
+                  list_prepend(
+                      {{'b': 0::bigint, 'h': 0::bigint, 'l': 0::bigint}},
+                      [{slst}]),
+                  (a, x) -> {{
+                      'b': greatest(least(a.b + x.b, 50000), 0),
+                      'h': a.h + CASE WHEN a.b + x.b > 50000
+                                      THEN 1 ELSE 0 END,
+                      'l': a.l + CASE WHEN a.b + x.b < 0
+                                      THEN 1 ELSE 0 END}})"""
+        ).fetchone()[0]
+        # the pinned quirk: one extra floor hit from the struct fold
+        assert got_struct["b"] == bal
+        assert got_struct["l"] == lo + 1, (
+            "DuckDB fixed the struct-accumulator list_reduce quirk — the "
+            "struct form may be used in oracles again",
+            got_struct,
+        )
+    finally:
+        con.close()
