@@ -29,88 +29,124 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #: query earns a driver-green row across rounds; ROTATION.md records which
 #: names sat in each round's window.
 #:
-#: Round-10 window: the two CONVERTED names first (minhash_lsh_neardup and
-#: simhash_fingerprints graduated from rows-only to md5-portable oracled
-#: queries this round — changed-oracled-name rule: new oracle evidence
-#: lands immediately), then the 10 stalest r1-vintage names (the head of
-#: the staleness tail, VERDICT r9 item 1), then the round-4 window names
-#: by staleness. The round-9 window moves to the back of the tail as the
-#: freshest evidence. ROTATION.md "Round 10".
+#: Round-11 window: the integer-exactness sweep (plans/money.py — VERDICT
+#: r10 ask #1) rewrote the oracle text of 92 names, and the
+#: changed-oracled-name rule puts new oracle evidence first. The two
+#: rows-only CONVERSIONS lead (capped_running_balance via the list_reduce
+#: fold, cm_sketch_heavy_hitters via md5-affine buckets — the round-11
+#: adjudication), then the 48 STALEST of the remaining changed names in
+#: evidence order (the round-6-vintage tail head leads, VERDICT r10 ask
+#: #3). The other 42 changed names head the tail so round 12 refreshes
+#: them next. ROTATION.md "Round 11".
 _PRIORITY = [
-    "minhash_lsh_neardup",
-    "simhash_fingerprints",
-    "tfidf_top_terms",
+    "capped_running_balance",
+    "cm_sketch_heavy_hitters",
+    "streaming_sliding_counts",
+    "time_weighted_avg_user",
+    "token_entropy_docs",
+    "heaps_law_fit",
+    "lang_id_lexicon",
+    "attribution_last_touch",
+    "expected_clv_curve",
+    "count_if_priority_orders",
+    "ohlc_bars_events",
+    "zipf_tail_index",
+    "streaming_ohlc_bars",
+    "gini_customer_revenue",
+    "key_skew_profile",
+    "chi2_event_weekday",
+    "incremental_join_maintenance",
+    "abc_analysis_parts",
+    "null_safe_join_types",
+    "decile_histogram_orders",
+    "streaming_session_counts",
+    "monthly_revenue_growth",
+    "anova_f_segments",
+    "bigram_lm_score_docs",
+    "bootstrap_ci_order_value",
+    "chunk_size_study",
+    "cogroup_order_reconciliation",
+    "conformal_interval_orders",
+    "cr10_concentration_by_year",
+    "cusum_drift_users",
+    "decay_weighted_user_value",
+    "degree_assortativity",
+    "ewma_user_value",
+    "forward_fill_user_values",
+    "grouped_elasticity_slopes",
+    "hierarchical_time_rollup",
+    "hits_authority_suppliers",
+    "incremental_agg_merge",
+    "interevent_burstiness",
+    "markov_perplexity_users",
+    "new_vs_returning_revenue",
+    "ols_normal_equations",
+    "pipe_syntax_revenue",
+    "rank_movers_parts",
+    "ratio_to_report_nation_revenue",
+    "revenue_bridge_decomposition",
+    "seasonal_decompose_daily",
+    "source_divergence_matrix",
+    "streaming_stateful_profiles",
+    "theil_sen_trend_daily",
+]
+
+#: Everything outside the window, ordered by evidence staleness with the
+#: round-11 rule applied: the 42 remaining CHANGED-ORACLE names first
+#: (their cents-discipline oracle text is new — freshest-priority for the
+#: round-12 window), then the unchanged names oldest-evidence-first (the
+#: round-7/8 windows), and finally the round-9/10 windows (the freshest
+#: rows, moved to the back).
+_STALENESS_TAIL = [
+    "window_count_distinct_rewrite",
+    "window_dedup_events",
+    "conditional_case_orders",
+    "cube_orders_status_priority",
+    "global_agg_lineitem",
+    "grouped_map_zscore",
+    "item_item_cf_topk",
+    "left_outer_order_counts",
+    "math_funcs_lineitem",
+    "moving_avg_user_value",
+    "pandas_udf_net_revenue",
+    "profile_lineitem_columns",
+    "q10_returned_revenue",
+    "q14_promo_share",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "running_revenue_per_customer",
+    "salted_agg_event_types",
+    "session_window_events",
+    "sliding_window_events",
+    "sql_entry_revenue_by_nation",
+    "stats_agg_lineitem",
+    "streaming_tumbling_counts",
     "theta_join_price_bands",
-    "token_stats_per_doc",
-    "top50_parts_ranked",
-    "topk_window_per_user",
     "tumbling_hourly_events",
-    "union_all_parties",
-    "union_distinct_nations",
-    "unpivot_event_matrix",
-    "wordcount_documents",
-    "bpe_regex_token_counts",
-    "chunk_dedup_docs",
-    "cohort_retention_purchases",
     "curriculum_buckets_docs",
-    "data_quality_checks",
-    "decontaminate_docs",
-    "domain_mix_sample",
-    "event_transition_matrix",
-    "frame_sample_stats",
-    "funnel_user_day",
-    "global_rank_prefix_orders",
     "grouping_sets_orders",
-    "incremental_dedup_docs",
-    "inverted_index_terms",
-    "mad_outlier_orders",
     "merge_upsert_customers",
-    "pack_sequences_chunked",
-    "pmi_bigrams_top",
     "q11_important_stock",
-    "q12_shipmode_priority",
-    "q13_order_distribution",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
-    "q20_excess_stock_suppliers",
-    "q21_waiting_supplier",
     "q22_global_sales_opportunity",
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_type_profit",
     "range_frame_hourly_sum",
     "regr_aggs_lineitem",
-    "repetition_ratio_docs",
     "safe_cast_mixed_events",
     "salted_join_order_priority",
-    "scd2_customer_status",
-    "seq_len_histogram",
-    "skyline_orders",
-    "sliding_distinct_users",
-]
-
-#: Everything outside the window, ordered by evidence staleness (round of
-#: last driver row, oldest first): the remaining round-4/6-checked names,
-#: then the round-7/8 windows, and finally the round-9 window (the
-#: freshest evidence, moved to the back after its 48+2-green
-#: CORRECTNESS_r09 rows).
-_STALENESS_TAIL = [
     "source_cap_sample",
     "stopword_array_ops_docs",
     "streaming_dedup_users",
-    "streaming_sliding_counts",
     "table_fingerprint_orders",
-    "time_weighted_avg_user",
-    "token_entropy_docs",
     "triangle_count_cosupplier",
-    "heaps_law_fit",
-    "lang_id_lexicon",
-    "attribution_last_touch",
-    "expected_clv_curve",
     "bool_bit_aggs_lineitem",
-    "count_if_priority_orders",
     "intersect_all_priorities",
-    "ohlc_bars_events",
     "psi_order_value_drift",
     "concurrent_sessions_peak",
     "rolling_corr_value",
@@ -118,71 +154,42 @@ _STALENESS_TAIL = [
     "largest_remainder_quota",
     "winsorize_order_value",
     "mutual_information_events",
-    "zipf_tail_index",
     "chunk_overlap_docs",
-    "streaming_ohlc_bars",
     "event_trigram_paths",
-    "gini_customer_revenue",
-    "key_skew_profile",
-    "chi2_event_weekday",
     "boilerplate_prefixes_docs",
     "funnel_ttc_percentiles",
-    "incremental_join_maintenance",
     "cep_pattern_matches",
     "sample_k_per_group",
     "weighted_median_price",
     "decimal_exact_revenue",
     "ab_test_conversion",
-    "abc_analysis_parts",
     "stratified_split_quota",
-    "null_safe_join_types",
     "bm25_topk_docs",
     "ks_binned_order_drift",
     "clustering_coeff_cosupplier",
-    "decile_histogram_orders",
     "ntile_percentile_orders",
-    "cm_sketch_heavy_hitters",
     "hll_rollup_daily_users",
-    "streaming_session_counts",
     "kmv_distinct_customers",
-    "monthly_revenue_growth",
     "activity_bitmask_users",
-    "anova_f_segments",
     "asof_forward_next_click",
     "assoc_rules_event_pairs",
     "audience_overlap_matrix",
     "benford_digit_audit",
     "bfs_hops_trade_graph",
-    "bigram_lm_score_docs",
-    "bootstrap_ci_order_value",
     "business_days_to_ship",
-    "chunk_size_study",
-    "cogroup_order_reconciliation",
     "collation_distinct_segments",
-    "conformal_interval_orders",
     "corpus_prep_pipeline",
-    "cr10_concentration_by_year",
     "cumulative_distinct_users",
-    "cusum_drift_users",
     "daily_value_envelope",
-    "decay_weighted_user_value",
-    "degree_assortativity",
     "degree_histogram_trade_graph",
     "diff_in_diff_orders",
     "dp_laplace_counts",
-    "ewma_user_value",
     "exact_median_selection",
     "feature_hash_docs",
-    "forward_fill_user_values",
     "gapfill_weekly_orders",
-    "grouped_elasticity_slopes",
     "hard_negative_mining",
-    "hierarchical_time_rollup",
-    "hits_authority_suppliers",
     "hybrid_rrf_retrieval",
-    "incremental_agg_merge",
     "int8_quantization_stats",
-    "interevent_burstiness",
     "jl_projection_distortion",
     "k_anonymity_audit",
     "kaplan_meier_customers",
@@ -190,38 +197,24 @@ _STALENESS_TAIL = [
     "kwic_concordance",
     "lateral_top_customers_per_nation",
     "listagg_priority_profile",
-    "markov_perplexity_users",
     "mode_event_type_per_user",
     "monthly_seasonality_index",
-    "new_vs_returning_revenue",
-    "ols_normal_equations",
     "pack_sequences_split",
-    "pipe_syntax_revenue",
     "point_in_time_status_join",
     "postings_delta_stats",
     "ppr_trade_recommendations",
     "range_fingerprint_orders",
-    "rank_movers_parts",
-    "ratio_to_report_nation_revenue",
     "referential_integrity_audit",
-    "revenue_bridge_decomposition",
     "rfm_segmentation",
     "rle_event_runs",
-    "seasonal_decompose_daily",
     "segment_ttests_bonferroni",
-    "source_divergence_matrix",
     "streaming_attribution",
     "streaming_interval_join",
-    "streaming_stateful_profiles",
     "table_diff_cdc",
     "temperature_mix_sample",
-    "theil_sen_trend_daily",
     "udtf_table_arg_lang_stats",
     "variant_props_extract",
-    "window_count_distinct_rewrite",
-    "window_dedup_events",
     "woe_iv_binning_orders",
-    "capped_running_balance",
     "embedding_isotropy",
     "hll_intersect_estimate",
     "mg_heavy_hitter_words",
@@ -256,10 +249,8 @@ _STALENESS_TAIL = [
     "approx_percentile_values",
     "argmax_order_per_customer",
     "array_funcs_embeddings",
-    "conditional_case_orders",
     "count_distinct_by_status",
     "cross_join_region_segments",
-    "cube_orders_status_priority",
     "dataset_split_assignment",
     "date_format_buckets",
     "datetime_funcs_orders",
@@ -273,9 +264,7 @@ _STALENESS_TAIL = [
     "first_last_event_per_user",
     "freq_items_words",
     "full_outer_nation_activity",
-    "global_agg_lineitem",
     "grouped_agg_pandas_median",
-    "grouped_map_zscore",
     "hash_functions_docs",
     "having_busy_suppliers",
     "histogram_event_types",
@@ -287,51 +276,65 @@ _STALENESS_TAIL = [
     "arrow_grouped_minmax_norm",
     "arrow_map_doc_stats",
     "udtf_analyze_ngrams",
-    "item_item_cf_topk",
-    "left_outer_order_counts",
     "like_rlike_filter",
     "map_literal_region_lookup",
-    "math_funcs_lineitem",
-    "moving_avg_user_value",
     "multimodal_binary_features",
     "anti_join_inactive_customers",
     "asof_join_purchase_click",
     "collect_set_priorities",
     "except_nation_keys",
     "null_predicates_unmatched",
-    "pandas_udf_net_revenue",
     "percentiles_order_value",
     "pivot_user_event_matrix",
-    "profile_lineitem_columns",
     "python_udtf_tokenize",
-    "q10_returned_revenue",
-    "q14_promo_share",
     "q16_supplier_part_counts",
     "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
     "q2_cheapest_part_per_type",
-    "q3_shipping_priority",
     "q4_priority_late_ship",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
     "quality_score_docs",
     "range_join_ship_lag",
     "rank_customers_in_nation",
     "regexp_json_extract_events",
     "right_outer_supplier_items",
     "rollup_lineitem_flags",
-    "running_revenue_per_customer",
-    "salted_agg_event_types",
     "semi_join_active_customers",
-    "session_window_events",
     "sessionize_events",
-    "sliding_window_events",
-    "sql_entry_revenue_by_nation",
-    "stats_agg_lineitem",
-    "streaming_tumbling_counts",
     "string_funcs_customer",
     "contrastive_negatives_ring",
+    "minhash_lsh_neardup",
+    "simhash_fingerprints",
+    "tfidf_top_terms",
+    "token_stats_per_doc",
+    "top50_parts_ranked",
+    "topk_window_per_user",
+    "union_all_parties",
+    "union_distinct_nations",
+    "unpivot_event_matrix",
+    "wordcount_documents",
+    "bpe_regex_token_counts",
+    "chunk_dedup_docs",
+    "cohort_retention_purchases",
+    "data_quality_checks",
+    "decontaminate_docs",
+    "domain_mix_sample",
+    "event_transition_matrix",
+    "frame_sample_stats",
+    "funnel_user_day",
+    "global_rank_prefix_orders",
+    "incremental_dedup_docs",
+    "inverted_index_terms",
+    "mad_outlier_orders",
+    "pack_sequences_chunked",
+    "pmi_bigrams_top",
+    "q12_shipmode_priority",
+    "q13_order_distribution",
+    "q20_excess_stock_suppliers",
+    "q21_waiting_supplier",
+    "repetition_ratio_docs",
+    "scd2_customer_status",
+    "seq_len_histogram",
+    "skyline_orders",
+    "sliding_distinct_users",
 ]
 
 def _ordered_names() -> list[str]:
