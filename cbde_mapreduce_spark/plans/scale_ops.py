@@ -447,11 +447,12 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                max(cnt)::bigint                         AS max_cnt,
                round(max(cnt) / max(total)::double, 6)  AS top1_share,
                round(quantile_cont(cnt, 0.99), 4)       AS p99_cnt,
-               round(sqrt(greatest(count(*)::double
+               round(CASE WHEN count(*) < 2 THEN NULL
+                          ELSE sqrt(greatest(count(*)::double
                                      * sum(cnt::decimal(19,0) * cnt)::double
                                    - sum(cnt)::double * sum(cnt)::double, 0)
                           / (count(*)::double * (count(*)::double - 1)))
-                     / (sum(cnt)::double / count(*)), 6) AS cv,
+                     / (sum(cnt)::double / count(*)) END, 6) AS cv,
                round(-sum(round(pr * ln(pr) * 1e12)::bigint)::double
                      / 1e12, 6)                         AS entropy
         FROM p
@@ -493,11 +494,16 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cnt").cast("bigint").alias("max_cnt"),
         F.round(F.max("cnt") / F.max("total").cast("double"), 6).alias("top1_share"),
         F.round(F.expr("percentile(cnt, 0.99)"), 4).alias("p99_cnt"),
+        # n < 2 guard: ANSI Spark raises DIVIDE_BY_ZERO even on double /
+        # (one-row sweep); DuckDB's 0/0 would yield NULL — CASE both sides
         F.round(
-            F.sqrt(
-                F.greatest(nk * sc2 - sc * sc, F.lit(0.0)) / (nk * (nk - 1))
-            )
-            / (sc / nk),
+            F.when(nk < 2, F.lit(None)).otherwise(
+                F.sqrt(
+                    F.greatest(nk * sc2 - sc * sc, F.lit(0.0))
+                    / (nk * (nk - 1))
+                )
+                / (sc / nk)
+            ),
             6,
         ).alias("cv"),
         F.round(

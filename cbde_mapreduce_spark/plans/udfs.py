@@ -336,18 +336,26 @@ def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
         bal, hi, lo = 0, 0, 0  # exact integer cents
         for etype, v in zip(pdf["event_type"], pdf["value"]):
-            if etype == "purchase":
-                bal += int(round(float(v) * 100))
-            elif etype == "error":
-                bal -= int(round(float(v) * 100))
-            if bal > _BAL_CAP_C:
-                bal, hi = _BAL_CAP_C, hi + 1
-            elif bal < 0:
-                bal, lo = 0, lo + 1
+            if etype == "purchase" or etype == "error":
+                # a NULL value on a balance-touching event poisons the
+                # balance permanently and freezes the counters — EXACTLY
+                # the oracle's NULL propagation through the fold (NULL
+                # never satisfies a comparison); non-touching events are
+                # 0-deltas either way (all-NULL value sweep)
+                if pd.isna(v):
+                    bal = None
+                elif bal is not None:
+                    d = int(round(float(v) * 100))
+                    bal = bal + d if etype == "purchase" else bal - d
+            if bal is not None:
+                if bal > _BAL_CAP_C:
+                    bal, hi = _BAL_CAP_C, hi + 1
+                elif bal < 0:
+                    bal, lo = 0, lo + 1
         return pd.DataFrame(
             {
                 "user_id": [int(pdf["user_id"].iat[0])],
-                "final_balance": [bal / 100.0],
+                "final_balance": [None if bal is None else bal / 100.0],
                 "n_cap_hits": [hi],
                 "n_floor_hits": [lo],
             }

@@ -53,9 +53,10 @@ def _update_user_profile(
         # exact integer cents (money.py discipline): the per-batch pandas
         # float sum + cross-batch float carry was the same rounded-double
         # flake class as the JVM plans
-        s += int(
-            (pdf["value"] * 100).round().astype("int64").sum()
-        )
+        # dropna mirrors SQL sum's NULL skipping (all-NULL value sweep:
+        # astype(int64) of NaN raises)
+        v = pdf["value"].dropna()
+        s += int((v * 100).round().astype("int64").sum())
     state.update((n, s))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "sum_value": [s / 100.0]}
@@ -137,9 +138,8 @@ def run_tws_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             n, s = self.acc.get() if self.acc.exists() else (0, 0.0)
             for pdf in rows:
                 n += len(pdf)
-                s += int(
-                    (pdf["value"] * 100).round().astype("int64").sum()
-                )
+                v = pdf["value"].dropna()
+                s += int((v * 100).round().astype("int64").sum())
             self.acc.update((n, s))
             yield pd.DataFrame(
                 {"user_id": [key[0]], "n_events": [n], "sum_value": [s / 100.0]}
