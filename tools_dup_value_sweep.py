@@ -36,6 +36,9 @@ def main() -> int:
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
+        # replicated corpora grow the heaviest collect/build sides with the
+        # replica count; the 1g default driver heap OOMed at r23 (round 11)
+        .config("spark.driver.memory", "12g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
