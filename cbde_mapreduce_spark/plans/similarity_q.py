@@ -413,7 +413,12 @@ _Q8_ORACLE = """
                  least(255, greatest(0, floor((d.v - sc.lo) / sc.scale + 0.5)))
                    AS code
           FROM dims d JOIN sc ON d.i = sc.i),
-    err AS (SELECT i, avg(pow(v - (lo + code * scale), 2)) AS mse FROM q GROUP BY i)
+    err AS (SELECT i,
+                   CASE WHEN count(code) = 0 THEN NULL
+                        ELSE sum(round(pow(v - (lo + code * scale), 2) * 1e16)
+                                   ::bigint::decimal(38,0))::double
+                             / 1e16 / count(code) END AS mse
+            FROM q GROUP BY i)
     SELECT sc.i AS dim, round(sc.lo, 6) AS lo, round(sc.hi, 6) AS hi,
            round(sc.scale, 8) AS scale,
            round(err.mse, 10) AS mse
@@ -460,8 +465,20 @@ def int8_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("code"),
     )
+    # per-row squared residuals are pure IEEE arithmetic over identical
+    # operands (no transcendentals) — engine-identical — so they quantize
+    # at 1e-16 into an exact integer mean (money.py round-11); the count
+    # guard mirrors avg's all-NULL behavior without an ANSI NULL/0 raise
+    sq = F.round(
+        F.pow(F.col("v") - (F.col("lo") + F.col("code") * F.col("scale")), 2)
+        * 1e16
+    ).cast("bigint").cast("decimal(38,0)")
     err = q.groupBy("i").agg(
-        F.avg(F.pow(F.col("v") - (F.col("lo") + F.col("code") * F.col("scale")), 2)).alias("mse")
+        F.when(F.count("code") == 0, F.lit(None))
+        .otherwise(
+            F.sum(sq).cast("double") / F.lit(1e16) / F.count("code")
+        )
+        .alias("mse")
     )
     return (
         sc.join(err, "i")
