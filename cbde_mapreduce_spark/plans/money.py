@@ -31,9 +31,18 @@ Per-row TRANSCENDENTAL transforms of money (ln, exp-decay weights) are
 deterministic per row on each engine run-to-run; only their double SUM
 is order-dependent. Those sites quantize the per-row double to a fixed
 fine grid (bigint units) before summing, which removes the
-run-nondeterminism by construction and leaves the cross-engine per-row
-identity where it always was: sampled by the parity suite and the
-rolling dup-value sweeps.
+run-nondeterminism by construction. The residual cross-engine risk is a
+last-ulp libm (JVM Math vs C libm) disagreement landing exactly at a
+half-grid boundary: for a value of magnitude m on grid g the per-row
+flip window is ~2 ulp wide, probability ≈ 4.4e-16·m/g per row IF the
+engines' libm differ at that argument at all — ln @1e9 (m≈10) ≈ 4e-6,
+exp-decay @1e6 (m≈500) ≈ 2e-7, pow residual @1e16 essentially 0 (a
+single IEEE multiply, exactly reproducible). Since round 12 this is
+asserted at the ROW level, not just sampled through aggregates:
+plans/rowlevel.py compares the quantized integers row by row for one
+site per family on every fixture (tests/test_money_rowlevel.py) and on
+every rolled dup corpus (tools_dup_value_sweep.py), so a libm
+divergence is caught at the exact row it occurs on (ADVICE r11).
 """
 
 from __future__ import annotations

@@ -291,7 +291,9 @@ _CAPBAL_ORACLE = f"""
                        list([d, 0::bigint, 0::bigint]
                             ORDER BY ts, event_id)),
                    (a, x) -> [
-                       greatest(least(a[1] + x[1], {_BAL_CAP_C}), 0),
+                       CASE WHEN a[1] IS NULL OR x[1] IS NULL THEN NULL
+                            ELSE greatest(least(a[1] + x[1],
+                                                {_BAL_CAP_C}), 0) END,
                        a[2] + CASE WHEN a[1] + x[1] > {_BAL_CAP_C}
                                    THEN 1 ELSE 0 END,
                        a[3] + CASE WHEN a[1] + x[1] < 0
@@ -317,7 +319,9 @@ def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fully oracled since round 11: the accumulator runs in EXACT integer
     cents (money.py — the float carry was also group-arrival-order
     sensitive through the clamp), and the DuckDB twin folds the identical
-    recursion with list_reduce over a struct accumulator. The independent
+    recursion with list_reduce over a list accumulator (NOT a struct —
+    the pinned 1.0.0 quirk in test_duckdb_list_reduce_struct_quirk), with
+    NULL deltas propagated explicitly in the balance slot. The independent
     pure-pandas reference check in tests/test_operators.py is retained.
     Output: final balance, how often each bound clipped.
     """
@@ -338,10 +342,14 @@ def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         for etype, v in zip(pdf["event_type"], pdf["value"]):
             if etype == "purchase" or etype == "error":
                 # a NULL value on a balance-touching event poisons the
-                # balance permanently and freezes the counters — EXACTLY
-                # the oracle's NULL propagation through the fold (NULL
-                # never satisfies a comparison); non-touching events are
-                # 0-deltas either way (all-NULL value sweep)
+                # balance permanently and freezes the counters — the
+                # oracle propagates it EXPLICITLY (CASE WHEN a[1] IS NULL
+                # OR x[1] IS NULL THEN NULL in the balance slot; DuckDB's
+                # least/greatest IGNORE NULLs, so the bare clamp would
+                # collapse a NULL step to the cap — ADVICE r11 high);
+                # counter slots freeze on their own, since a NULL sum
+                # never satisfies either CASE comparison. Non-touching
+                # events are 0-deltas either way (all-NULL value sweep)
                 if pd.isna(v):
                     bal = None
                 elif bal is not None:

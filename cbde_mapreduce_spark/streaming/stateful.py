@@ -40,7 +40,14 @@ from cbde_mapreduce_spark.streaming.streams import events_stream
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
 #: ``s`` carries EXACT INTEGER CENTS in the double slot (exact below 2^53
-#: — money.py discipline); the double type keeps checkpoint compatibility.
+#: — money.py discipline). The double TYPE is unchanged from the
+#: pre-round-11 dollar-valued state, so a schema check would pass on an
+#: old checkpoint while reading dollars as cents (100x-wrong sums) —
+#: compatibility is TYPE-level only; pre-round-11 checkpoints must be
+#: discarded (ADVICE r11). In this repo every run gets a fresh
+#: tempfile.mkdtemp checkpoint (no cross-version resume exists), but any
+#: deployment with durable checkpoints must start a new location when
+#: adopting the cents unit.
 STATE_SCHEMA = "n bigint, s double"
 
 

@@ -238,3 +238,72 @@ def test_duckdb_list_reduce_struct_quirk():
         )
     finally:
         con.close()
+
+
+def test_capbal_fold_null_delta_propagates():
+    """ADVICE r12 (high): DuckDB's least/greatest IGNORE NULLs
+    (least(NULL, 5) = 5 on the pinned 1.0.0), so the bare clamp
+    greatest(least(a[1]+x[1], cap), 0) COLLAPSES a NULL-delta step to the
+    cap and keeps accumulating, while the pandas kernel permanently
+    poisons the balance to NULL and freezes the counters. The oracle's
+    balance slot therefore propagates NULL explicitly via CASE. This test
+    folds [+100, NULL, +200] (the advice's repro) plus a cap/floor-hitting
+    tail through BOTH forms: the fixed form must match the Python kernel
+    (NULL balance, counters frozen at their pre-NULL values); the bare
+    form must still exhibit the collapse (if it stops doing so, DuckDB
+    changed least/greatest NULL semantics and this pin should be
+    revisited).
+    """
+    import duckdb
+
+    from cbde_mapreduce_spark.plans.udfs import _BAL_CAP_C
+
+    # +100.00, NULL, +200.00, then deltas that would hit cap and floor if
+    # the fold kept accumulating
+    ds = ["10000", "NULL", "20000", "90000", "-999999"]
+    # Python kernel reference: NULL poisons, counters freeze
+    bal, hi, lo = 0, 0, 0
+    for d in ds:
+        if d == "NULL":
+            bal = None
+        elif bal is not None:
+            bal = bal + int(d)
+        if bal is not None:
+            if bal > _BAL_CAP_C:
+                bal, hi = _BAL_CAP_C, hi + 1
+            elif bal < 0:
+                bal, lo = 0, lo + 1
+    assert bal is None and hi == 0 and lo == 0
+
+    lst = ",".join(f"[{d}::bigint, 0::bigint, 0::bigint]" for d in ds)
+    con = duckdb.connect()
+    try:
+        fixed = con.sql(
+            f"""SELECT list_reduce(
+                  list_prepend([0::bigint, 0::bigint, 0::bigint], [{lst}]),
+                  (a, x) -> [
+                      CASE WHEN a[1] IS NULL OR x[1] IS NULL THEN NULL
+                           ELSE greatest(least(a[1] + x[1],
+                                               {_BAL_CAP_C}), 0) END,
+                      a[2] + CASE WHEN a[1] + x[1] > {_BAL_CAP_C}
+                                  THEN 1 ELSE 0 END,
+                      a[3] + CASE WHEN a[1] + x[1] < 0
+                                  THEN 1 ELSE 0 END])"""
+        ).fetchone()[0]
+        assert fixed == [None, 0, 0], fixed
+
+        bare = con.sql(
+            f"""SELECT list_reduce(
+                  list_prepend([0::bigint, 0::bigint, 0::bigint], [{lst}]),
+                  (a, x) -> [
+                      greatest(least(a[1] + x[1], {_BAL_CAP_C}), 0),
+                      a[2] + CASE WHEN a[1] + x[1] > {_BAL_CAP_C}
+                                  THEN 1 ELSE 0 END,
+                      a[3] + CASE WHEN a[1] + x[1] < 0
+                                  THEN 1 ELSE 0 END])"""
+        ).fetchone()[0]
+        # the pinned wrong behavior of the bare form: NULL step collapses
+        # to the cap (least IGNORE NULLs) and the fold keeps going
+        assert bare[0] is not None and bare != [None, 0, 0], bare
+    finally:
+        con.close()

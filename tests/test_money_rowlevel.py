@@ -1,0 +1,23 @@
+"""ADVICE r11 (money.py): per-row quantized-integer cross-engine equality
+for one transcendental site per family (ln, c·ln c, exp, pow).
+
+Aggregate parity can mask a lone libm-divergent row (flips can cancel in
+a sum); these tests compare the quantized integers ROW BY ROW through
+the same assert_parity harness, so a last-ulp ln/exp/pow disagreement at
+a half-grid boundary is caught at the exact row it happens on. The same
+probes run against every rolled dup corpus in tools_dup_value_sweep.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cbde_mapreduce_spark.plans.rowlevel import ROWLEVEL_PROBES
+from tests.parity import assert_parity
+
+
+@pytest.mark.parametrize(
+    "name,fn,sql", ROWLEVEL_PROBES, ids=[p[0] for p in ROWLEVEL_PROBES]
+)
+def test_rowlevel_transcendental_grid(name, fn, sql, spark, sf_oracle):
+    assert_parity(fn(spark, sf_oracle), sql, sf_oracle, name=name)

@@ -59,6 +59,22 @@ def main() -> int:
             fails[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:160]}"
             status = "FAIL " + fails[name]
         print(f"{name} {status} {time.time() - t1:.1f}s", flush=True)
+
+    # ADVICE r11 (money.py): per-row quantized-integer equality for one
+    # transcendental site per family — a lone libm-divergent row can hide
+    # inside (or cancel out of) an aggregate sum, so the sweep also
+    # asserts the quantized integers row by row on this corpus.
+    from cbde_mapreduce_spark.plans.rowlevel import ROWLEVEL_PROBES
+
+    for name, fn, sql in ROWLEVEL_PROBES:
+        t1 = time.time()
+        try:
+            assert_parity(fn(spark, sf), sql, sf, name)
+            status = "OK"
+        except Exception as e:  # noqa: BLE001 — collecting a full report
+            fails[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:160]}"
+            status = "FAIL " + fails[name]
+        print(f"{name} {status} {time.time() - t1:.1f}s", flush=True)
     print(f"DONE {len(fails)} failures in {time.time() - t0:.0f}s")
     for k, v in fails.items():
         print("FAILURE", k, v)
