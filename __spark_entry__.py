@@ -29,75 +29,17 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #: query earns a driver-green row across rounds; ROTATION.md records which
 #: names sat in each round's window.
 #:
-#: Round-11 window: the integer-exactness sweep (plans/money.py — VERDICT
-#: r10 ask #1) rewrote the oracle text of 92 names, and the
-#: changed-oracled-name rule puts new oracle evidence first. The two
-#: rows-only CONVERSIONS lead (capped_running_balance via the list_reduce
-#: fold, cm_sketch_heavy_hitters via md5-affine buckets — the round-11
-#: adjudication), then the 48 STALEST of the remaining changed names in
-#: evidence order (the round-6-vintage tail head leads, VERDICT r10 ask
-#: #3). The other 42 changed names head the tail so round 12 refreshes
-#: them next. ROTATION.md "Round 11".
+#: Round-12 window (VERDICT r11 ask #1): capped_running_balance leads —
+#: its oracle text changed AGAIN this round (explicit NULL propagation in
+#: the list_reduce balance slot, ADVICE r11 high), so the
+#: changed-oracled-name rule re-stages it. Then the 42 remaining
+#: money-sweep changed-oracle names (the round-11 tail head,
+#: window_count_distinct_rewrite .. salted_join_order_priority) — after
+#: this round every oracle the round-11 exactness sweep rewrote has a
+#: driver-green row on its NEW text. The last 7 slots take the stalest
+#: unchanged names (round-7-vintage evidence). ROTATION.md "Round 12".
 _PRIORITY = [
     "capped_running_balance",
-    "cm_sketch_heavy_hitters",
-    "streaming_sliding_counts",
-    "time_weighted_avg_user",
-    "token_entropy_docs",
-    "heaps_law_fit",
-    "lang_id_lexicon",
-    "attribution_last_touch",
-    "expected_clv_curve",
-    "count_if_priority_orders",
-    "ohlc_bars_events",
-    "zipf_tail_index",
-    "streaming_ohlc_bars",
-    "gini_customer_revenue",
-    "key_skew_profile",
-    "chi2_event_weekday",
-    "incremental_join_maintenance",
-    "abc_analysis_parts",
-    "null_safe_join_types",
-    "decile_histogram_orders",
-    "streaming_session_counts",
-    "monthly_revenue_growth",
-    "anova_f_segments",
-    "bigram_lm_score_docs",
-    "bootstrap_ci_order_value",
-    "chunk_size_study",
-    "cogroup_order_reconciliation",
-    "conformal_interval_orders",
-    "cr10_concentration_by_year",
-    "cusum_drift_users",
-    "decay_weighted_user_value",
-    "degree_assortativity",
-    "ewma_user_value",
-    "forward_fill_user_values",
-    "grouped_elasticity_slopes",
-    "hierarchical_time_rollup",
-    "hits_authority_suppliers",
-    "incremental_agg_merge",
-    "interevent_burstiness",
-    "markov_perplexity_users",
-    "new_vs_returning_revenue",
-    "ols_normal_equations",
-    "pipe_syntax_revenue",
-    "rank_movers_parts",
-    "ratio_to_report_nation_revenue",
-    "revenue_bridge_decomposition",
-    "seasonal_decompose_daily",
-    "source_divergence_matrix",
-    "streaming_stateful_profiles",
-    "theil_sen_trend_daily",
-]
-
-#: Everything outside the window, ordered by evidence staleness with the
-#: round-11 rule applied: the 42 remaining CHANGED-ORACLE names first
-#: (their cents-discipline oracle text is new — freshest-priority for the
-#: round-12 window), then the unchanged names oldest-evidence-first (the
-#: round-7/8 windows), and finally the round-9/10 windows (the freshest
-#: rows, moved to the back).
-_STALENESS_TAIL = [
     "window_count_distinct_rewrite",
     "window_dedup_events",
     "conditional_case_orders",
@@ -147,6 +89,14 @@ _STALENESS_TAIL = [
     "triangle_count_cosupplier",
     "bool_bit_aggs_lineitem",
     "intersect_all_priorities",
+]
+
+#: Everything outside the window, ordered by evidence staleness:
+#: unchanged names oldest-evidence-first (round-7/8-vintage head:
+#: psi_order_value_drift ..), then the round-9/10 windows, and finally
+#: the round-11 window (the freshest rows, moved to the back). The
+#: round-13 window draws from the head of this list.
+_STALENESS_TAIL = [
     "psi_order_value_drift",
     "concurrent_sessions_peak",
     "rolling_corr_value",
@@ -335,6 +285,55 @@ _STALENESS_TAIL = [
     "seq_len_histogram",
     "skyline_orders",
     "sliding_distinct_users",
+    "cm_sketch_heavy_hitters",
+    "streaming_sliding_counts",
+    "time_weighted_avg_user",
+    "token_entropy_docs",
+    "heaps_law_fit",
+    "lang_id_lexicon",
+    "attribution_last_touch",
+    "expected_clv_curve",
+    "count_if_priority_orders",
+    "ohlc_bars_events",
+    "zipf_tail_index",
+    "streaming_ohlc_bars",
+    "gini_customer_revenue",
+    "key_skew_profile",
+    "chi2_event_weekday",
+    "incremental_join_maintenance",
+    "abc_analysis_parts",
+    "null_safe_join_types",
+    "decile_histogram_orders",
+    "streaming_session_counts",
+    "monthly_revenue_growth",
+    "anova_f_segments",
+    "bigram_lm_score_docs",
+    "bootstrap_ci_order_value",
+    "chunk_size_study",
+    "cogroup_order_reconciliation",
+    "conformal_interval_orders",
+    "cr10_concentration_by_year",
+    "cusum_drift_users",
+    "decay_weighted_user_value",
+    "degree_assortativity",
+    "ewma_user_value",
+    "forward_fill_user_values",
+    "grouped_elasticity_slopes",
+    "hierarchical_time_rollup",
+    "hits_authority_suppliers",
+    "incremental_agg_merge",
+    "interevent_burstiness",
+    "markov_perplexity_users",
+    "new_vs_returning_revenue",
+    "ols_normal_equations",
+    "pipe_syntax_revenue",
+    "rank_movers_parts",
+    "ratio_to_report_nation_revenue",
+    "revenue_bridge_decomposition",
+    "seasonal_decompose_daily",
+    "source_divergence_matrix",
+    "streaming_stateful_profiles",
+    "theil_sen_trend_daily",
 ]
 
 def _ordered_names() -> list[str]:

@@ -65,3 +65,8 @@ def test_staleness_tail_covers_registry():
     assert set(listed) == set(REGISTRY), (
         set(REGISTRY) ^ set(listed)
     )
+    # VERDICT r11 ask #9: _ordered_names() has a sorted-order fallback for
+    # names the frozen lists miss; pin that the fallback NEVER engages —
+    # the emitted order must be exactly the frozen lists, so a rename or
+    # late registration can't silently reshuffle the driver window.
+    assert E._ordered_names() == listed
