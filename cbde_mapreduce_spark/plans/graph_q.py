@@ -100,21 +100,39 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edges drive every round: materialize once, reuse three times
     e = e.cache()
     verts = e.select(F.col("a").alias("v")).distinct()
-    n = verts.count()
+    # vertex count as a broadcast one-row scalar, NOT a driver-side
+    # .count(): the eager count executed the whole edge build at
+    # plan-construction time (~5 s of the bench's planning_sec at sf0.1,
+    # and a blocking driver round-trip before the plan even exists at
+    # cluster scale); as a scalar it rides the cached edge set inside the
+    # executed plan. greatest(n, 1) keeps the constants finite on an
+    # empty graph (every frame is empty anyway). Same IEEE doubles as the
+    # old driver-side literals: both paths divide the identical operands.
+    nn = F.broadcast(
+        verts.agg(F.greatest(F.count(F.lit(1)), F.lit(1)).alias("nv"))
+    )
     deg = e.groupBy("a").agg(F.count(F.lit(1)).cast("double").alias("d"))
-    # max(n, 1): with zero vertices every frame below is empty anyway;
-    # the guard only keeps the driver-side constants finite
-    base = (1.0 - DAMPING) / max(n, 1)
 
-    ranks = verts.withColumn("r", F.lit(1.0 / max(n, 1)))
+    ranks = verts.crossJoin(nn).select(
+        "v", (F.lit(1.0) / F.col("nv")).alias("r")
+    )
     for _ in range(N_ITERS):
         contrib = (
             e.join(ranks.withColumnRenamed("v", "a"), "a")
             .join(deg, "a")
             .select(F.col("b").alias("v"), (F.col("r") / F.col("d")).alias("c"))
         )
-        ranks = contrib.groupBy("v").agg(
-            (F.lit(base) + F.lit(DAMPING) * F.sum("c")).alias("r")
+        ranks = (
+            contrib.groupBy("v")
+            .agg(F.sum("c").alias("sc"))
+            .crossJoin(nn)
+            .select(
+                "v",
+                (
+                    F.lit(1.0 - DAMPING) / F.col("nv")
+                    + F.lit(DAMPING) * F.col("sc")
+                ).alias("r"),
+            )
         )
     return (
         ranks.select("v", F.round("r", 6).alias("pr"))

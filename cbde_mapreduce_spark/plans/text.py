@@ -1090,9 +1090,16 @@ def sparse_cosine_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfg = tf.join(gsz, "gid")
     # df counts DOCS (all copies), not distinct texts: sum the group sizes
     df = tfg.groupBy("term").agg(F.sum("gsz").cast("double").alias("df"))
-    nd = float(
-        tfg.select("gid", "gsz").distinct().agg(F.sum("gsz")).collect()[0][0] or 0
-    )
+    # nd = docs with >= 1 nonempty token (the oracle's count(DISTINCT
+    # doc_id) FROM tf). A doc yields a nonempty token iff its text has a
+    # non-space char, so this is a filtered scan count — NOT the old
+    # tokenize + two-shuffle pipeline, which re-ran the whole postings
+    # build eagerly at plan-construction time (~4.5 s of the bench's
+    # planning_sec at sf0.1, and a pointless extra corpus pass at 100 TB).
+    # Group members share identical text, so group-has-a-token == every-
+    # member-has-a-token; NULL text tokenizes to nothing and rlike is
+    # NULL-false, matching.
+    nd = float(docs.where(F.col("text").rlike("[^ ]")).count())
     wall = tf.join(df.filter(F.col("df") <= _SPARSE_DF_FRAC * nd), "term").select(
         "gid",
         "term",
