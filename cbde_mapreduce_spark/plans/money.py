@@ -42,7 +42,15 @@ asserted at the ROW level, not just sampled through aggregates:
 plans/rowlevel.py compares the quantized integers row by row for one
 site per family on every fixture (tests/test_money_rowlevel.py) and on
 every rolled dup corpus (tools_dup_value_sweep.py), so a libm
-divergence is caught at the exact row it occurs on (ADVICE r11).
+divergence is caught at the exact row it occurs on (ADVICE r11). The
+probes' first run PROVED the class is real: the KL@1e15 ratio family
+(p·ln(p/q) with ln arguments near 1 — the densest grid relative to
+value) hit the boundary once at sf0.01 (one cell, exactly 1 grid unit).
+That family's production aggregate is insulated by construction — the
+final round(Σ/1e15, 6) has a 0.5e-6 margin against ±1e-15 unit flips,
+and each engine's own integer sum stays order-exact — so its probe is a
+BOUNDED monitor (|diff| <= 1 unit, few cells) rather than exact; the
+ln/entropy/exp/pow families remain row-exact-asserted.
 """
 
 from __future__ import annotations

@@ -64,17 +64,31 @@ def main() -> int:
     # transcendental site per family — a lone libm-divergent row can hide
     # inside (or cancel out of) an aggregate sum, so the sweep also
     # asserts the quantized integers row by row on this corpus.
-    from cbde_mapreduce_spark.plans.rowlevel import ROWLEVEL_PROBES
+    from cbde_mapreduce_spark.plans.rowlevel import (
+        ROWLEVEL_BOUNDED,
+        ROWLEVEL_PROBES,
+        assert_bounded_rowlevel,
+    )
 
-    for name, fn, sql in ROWLEVEL_PROBES:
+    def _probe(name, check):
         t1 = time.time()
         try:
-            assert_parity(fn(spark, sf), sql, sf, name)
+            check()
             status = "OK"
         except Exception as e:  # noqa: BLE001 — collecting a full report
             fails[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:160]}"
             status = "FAIL " + fails[name]
         print(f"{name} {status} {time.time() - t1:.1f}s", flush=True)
+
+    for name, fn, sql in ROWLEVEL_PROBES:
+        _probe(name, lambda: assert_parity(fn(spark, sf), sql, sf, name))
+    for name, fn, sql, keys, max_abs, max_cells in ROWLEVEL_BOUNDED:
+        _probe(
+            name,
+            lambda: assert_bounded_rowlevel(
+                fn(spark, sf), sql, sf, keys, max_abs, max_cells, name
+            ),
+        )
     print(f"DONE {len(fails)} failures in {time.time() - t0:.0f}s")
     for k, v in fails.items():
         print("FAILURE", k, v)
