@@ -51,6 +51,28 @@ def local_checkpoint_disk(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
 
 
+def persist_disk(df: DataFrame) -> DataFrame:
+    """``persist(DISK_ONLY)`` — for DATA-SIZED state whose physical LAYOUT
+    (partitioning + in-partition order) later operators must reuse.
+
+    The round-12 optimization measurement: under AQE (the production session
+    default) ``localCheckpoint`` records ``UnknownPartitioning`` in its
+    LogicalRDD, so an edge set repartitioned on the round join key still
+    re-shuffles in every round's join. An ``InMemoryRelation`` keeps its
+    cached plan's outputPartitioning/outputOrdering regardless of AQE
+    (``spark.sql.optimizer.canChangeCachedPlanOutputPartitioning`` defaults
+    false), so ``repartition(key).sortWithinPartitions(...).persist`` makes
+    every later same-key join/groupBy exchange-free AND sort-free — pinned
+    by tests/test_optimization_r12.py.
+
+    Trade-offs vs ``local_checkpoint_disk``: lineage is kept (fine for a
+    built-once edge set; it is the GROWING per-round state that needs
+    truncation), materialization is lazy (first round's action fills it),
+    eviction recomputes instead of failing hard, and release is the plain
+    ``df.unpersist()`` rather than ``release_local_checkpoint``."""
+    return df.persist(StorageLevel.DISK_ONLY)
+
+
 def release_local_checkpoint(df: DataFrame | None) -> None:
     """Free the storage blocks behind a superseded ``localCheckpoint`` df.
 

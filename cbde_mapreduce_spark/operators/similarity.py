@@ -342,7 +342,18 @@ def cosine_topk_pairs(
     driver. All paths produce identical output.
     """
     m, reps = embedding_dup_tables(emb)
-    if reps.count() > broadcast_threshold_rows:
+    # Dispatch on a cheap upper bound first: |reps| <= |emb| always, and
+    # counting the INPUT relation is one scan (+ the caller's row filter) —
+    # no dup-collapse md5/groupBy/join execution. Only when the whole input
+    # exceeds the gate can the rep count matter, and only then is the exact
+    # |reps| (a full dup-collapse pipeline pass at plan-build time, ~0.75 s
+    # of bench planning_sec at sf0.1, a blocking driver round-trip at
+    # cluster scale) worth paying. The dispatch DECISION is identical in
+    # every case: below the shortcut, reps.count() <= emb.count() <= gate.
+    if (
+        emb.count() > broadcast_threshold_rows
+        and reps.count() > broadcast_threshold_rows
+    ):
         rep_top = _sharded_rep_topk(reps, k=k, digits=digits)
     else:
         rep_top = _broadcast_rep_topk(reps, k, digits, parallelism)

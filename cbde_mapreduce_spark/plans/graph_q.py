@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cbde_mapreduce_spark.operators.ckpt import (
-    local_checkpoint_disk,
+    persist_disk,
     release_local_checkpoint,
 )
 from cbde_mapreduce_spark.operators.gates import BCAST_MAX_ROWS as _BCAST_MAX_ROWS
@@ -94,11 +94,19 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
-    e = e0.unionByName(
-        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
-    # edges drive every round: materialize once, reuse three times
-    e = e.cache()
+    # No .distinct() after symmetrizing: customer vertices are even (2k) and
+    # supplier vertices odd (2k+1), so e0 (even→odd) and its reversal
+    # (odd→even) can never collide and each half is already distinct — the
+    # old symmetrize-distinct shuffled and re-hashed 2|E| rows to remove
+    # zero duplicates (r12 A/B: identical row count, one Exchange + two
+    # HashAggregate passes gone).
+    e = e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # edges drive every round: materialize once, reuse three times — laid
+    # out partitioned+sorted on the round join key, so deg's groupBy, the
+    # vertex distinct and every round's rank join read the cache with no
+    # exchange and no per-round sort (the one shuffle left per round is the
+    # irreducible contribution groupBy(v))
+    e = e.repartition("a").sortWithinPartitions("a", "b").cache()
     verts = e.select(F.col("a").alias("v")).distinct()
     # vertex count as a broadcast one-row scalar, NOT a driver-side
     # .count(): the eager count executed the whole edge build at
@@ -258,12 +266,20 @@ def bfs_hops_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     e = (
+        # no symmetrize-distinct: even/odd vertex encoding keeps the two
+        # union halves disjoint and each is already distinct (see
+        # pagerank_trade_graph) — the old .distinct() here shuffled 2|E|
+        # rows for zero duplicates
         e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        # materialize once (DISK_ONLY: an edge set is data-sized and must
-        # not pin the unified memory pool); every round re-reads, never
-        # re-derives
-        .transform(local_checkpoint_disk)
+        # partition+sort on the frontier-join key BEFORE materializing:
+        # persist (NOT localCheckpoint, which records UnknownPartitioning
+        # under AQE — operators/ckpt.py::persist_disk) keeps the layout, so
+        # each round past the broadcast gate joins the edge set with no
+        # exchange and no sort (r12 plan A/B); DISK_ONLY keeps the
+        # data-sized edge set off the unified memory pool
+        .repartition("a")
+        .sortWithinPartitions("a", "b")
+        .transform(persist_disk)
     )
     visited = spark.range(1).select(
         F.lit(_BFS_SOURCE).cast("long").alias("v"), F.lit(0).alias("hop")
@@ -286,7 +302,7 @@ def bfs_hops_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         # recursive per-round join chain; its count (cheap) drives the gate
         frontier = visited.filter(F.col("hop") == k).select("v")
         n_frontier = frontier.count()
-    release_local_checkpoint(e)  # the returned plan reads only the final visited
+    e.unpersist()  # the returned plan reads only the final visited
     return visited.groupBy("hop").agg(
         F.count(F.lit(1)).alias("n_vertices"),
         F.min("v").alias("min_v"),
@@ -326,9 +342,12 @@ def degree_histogram_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
-    e = e0.unionByName(
-        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    # no symmetrize-distinct: the even/odd vertex encoding keeps the two
+    # union halves disjoint and each is already distinct (see
+    # pagerank_trade_graph) — one Exchange + two HashAggregate passes over
+    # 2|E| rows removed; the degree groupBy's partial aggregation is the
+    # only shuffle the union feeds
+    e = e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
     d = e.groupBy(F.col("a").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
     return d.groupBy("deg").agg(
         F.count(F.lit(1)).alias("n_vertices"),
@@ -391,12 +410,20 @@ def ppr_trade_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     e = (
+        # no symmetrize-distinct: even/odd vertex encoding keeps the two
+        # union halves disjoint and each already distinct (see
+        # pagerank_trade_graph) — 2|E| rows no longer shuffle for zero dups
         e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        # DISK_ONLY: the edge set is data-sized; at the default storage
-        # level its blocks pin the memory pool and starve every later
-        # aggregation that scans it (measured at 100×, SCALING.md r7)
-        .transform(local_checkpoint_disk)
+        # partition+sort on the round join key before materializing: persist
+        # (NOT localCheckpoint — UnknownPartitioning under AQE, see
+        # operators/ckpt.py::persist_disk) keeps the layout, so deg's groupBy
+        # and every past-the-gate round join read the blocks with no
+        # exchange and no sort. DISK_ONLY: the edge set is data-sized; at
+        # the default storage level its blocks pin the memory pool and
+        # starve every later aggregation that scans it (SCALING.md r7)
+        .repartition("a")
+        .sortWithinPartitions("a", "b")
+        .transform(persist_disk)
     )
     deg = (
         e.groupBy("a")
@@ -447,7 +474,7 @@ def ppr_trade_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_ckpt = ranks
         n_ranks = ranks.count()
     # the returned plan reads only the final ranks checkpoint
-    release_local_checkpoint(e)
+    e.unpersist()
     release_local_checkpoint(deg)
     return (
         ranks.select("v", F.round("r", 6).alias("ppr"))
@@ -509,8 +536,9 @@ def sssp_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative algorithm gets a full value-hash check; the
     converge-to-fixpoint variant adds only a scalar delta check per round
     (operators/iterative.py::connected_components pattern). Edges are
-    materialized once and reused by every round (localCheckpoint — same
-    rationale as BFS); dist tables stay vertex-sized.
+    materialized once, partitioned+sorted on the relaxation key, and reused
+    by every round (persist_disk — same rationale as BFS); dist tables stay
+    vertex-sized.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -523,9 +551,17 @@ def sssp_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
     w0 = l.select("a", "b", F.expr("(100 + cnt - 1) div cnt").alias("w"))
-    e = w0.unionByName(
-        w0.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
-    ).transform(local_checkpoint_disk)  # data-sized: keep off the memory pool
+    e = (
+        w0.unionByName(w0.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+        # partition+sort on the relaxation join key before materializing:
+        # persist (NOT localCheckpoint — UnknownPartitioning under AQE, see
+        # operators/ckpt.py::persist_disk) keeps the layout, so each of the
+        # 4 rounds joins the edge set with no exchange and no sort — the old
+        # layout re-shuffled all |E| rows every round (r12 plan A/B)
+        .repartition("a")
+        .sortWithinPartitions("a", "b")
+        .transform(persist_disk)  # DISK_ONLY: data-sized, keep off the memory pool
+    )
     dist = spark.range(1).select(
         F.lit(SSSP_SOURCE).cast("bigint").alias("v"),
         F.lit(0).cast("bigint").alias("dist"),
@@ -545,7 +581,7 @@ def sssp_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         release_local_checkpoint(prev_ckpt)
         prev_ckpt = dist
-    release_local_checkpoint(e)  # the returned plan reads only the final dist
+    e.unpersist()  # the returned plan reads only the final dist
     return dist.orderBy(F.asc("dist"), F.asc("v")).limit(SSSP_TOP)
 
 
@@ -674,7 +710,11 @@ def hits_authority_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    e = e.cache()
+    # cache laid out on the authority-side join key: a1's groupBy("s") and
+    # the e ⋈ a1 join read it with no exchange (the hub-side join on "c"
+    # still pays its one shuffle — a bipartite alternation cannot be
+    # co-partitioned on both vertex classes at once)
+    e = e.repartition("s").sortWithinPartitions("s", "c").cache()
     # The L1 normalizers CANCEL through the hub/authority alternation, so
     # both half-steps ride EXACT integers (money.py round-11: the old
     # per-row ratio sums were scheduler-order double accumulation):
@@ -757,9 +797,11 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
-    e = e0.unionByName(
-        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    # no symmetrize-distinct: even/odd vertex encoding keeps the two union
+    # halves disjoint and each already distinct (see pagerank_trade_graph) —
+    # the widest shuffle of this plan (2|E| rows de-duplicating nothing)
+    # removed; deg's partial aggregation is the only shuffle the union feeds
+    e = e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = e.groupBy(F.col("a").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     )
