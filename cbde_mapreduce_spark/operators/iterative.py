@@ -25,7 +25,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cbde_mapreduce_spark.operators.ckpt import release_local_checkpoint
+from cbde_mapreduce_spark.operators.ckpt import (
+    persist_disk,
+    release_local_checkpoint,
+)
 
 ASSIGN_SCHEMA = "vec_id bigint, cluster int, dist double"
 
@@ -219,6 +222,16 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     ).distinct()
+    # Materialize the symmetrized edge set ONCE, laid out on the
+    # propagation join key (r12 optimization): every fixpoint round is its
+    # own ACTION, so the un-materialized sym re-derived the caller's ENTIRE
+    # upstream pair pipeline (LSH banding, candidate verification, rep
+    # expansion — the expensive part of dedup_canonical/neardup_components)
+    # per round, then re-shuffled it for the join. persist_disk keeps the
+    # partitioning+ordering under AQE (see operators/ckpt.py), so each
+    # round's neighbor join is also exchange-free and sort-free on the |E|
+    # side — the per-round cost drops to the vertex-sized label shuffle.
+    sym = persist_disk(sym.repartition("b").sortWithinPartitions("b", "a"))
     labels = sym.select(F.col("a").alias("v")).distinct().withColumn(
         "label", F.col("v")
     )
@@ -249,7 +262,10 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
         n_changed = updated.filter(F.col("changed")).count()
         labels = updated.select("v", "label")
         if n_changed == 0:
-            # the FINAL checkpoint backs the returned plan: keep it live
+            # the FINAL checkpoint backs the returned plan: keep it live;
+            # the edge blocks have no reader anymore (unpersist recomputes
+            # rather than failing if that ever changes)
+            sym.unpersist()
             return labels.select("v", F.col("label").alias("component"))
 
 
