@@ -29,74 +29,26 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #: query earns a driver-green row across rounds; ROTATION.md records which
 #: names sat in each round's window.
 #:
-#: Round-12 window (VERDICT r11 ask #1): capped_running_balance leads —
-#: its oracle text changed AGAIN this round (explicit NULL propagation in
-#: the list_reduce balance slot, ADVICE r11 high), so the
-#: changed-oracled-name rule re-stages it. Then the 42 remaining
-#: money-sweep changed-oracle names (the round-11 tail head,
-#: window_count_distinct_rewrite .. salted_join_order_priority) — after
-#: this round every oracle the round-11 exactness sweep rewrote has a
-#: driver-green row on its NEW text. The last 7 slots take the stalest
-#: unchanged names (round-7-vintage evidence). ROTATION.md "Round 12".
+#: Round-13 window (VERDICT r12 ask #1): the 10 queries whose PLANS changed
+#: in the round-12 optimization pass lead — the driver's oracle has never
+#: seen the new symmetrize-free / persisted-layout / gated-dispatch plans,
+#: and the changed-name rule now covers changed plans, not just changed
+#: oracle texts. The remaining 40 slots take the head of the planned r13
+#: window from ROTATION.md (the stalest round-8/9-vintage evidence),
+#: skipping the two graph names already staged by the plan-change rule and
+#: the one rows-only name (hll_rollup_daily_users — a hash row beats a
+#: rows-only row; it heads the r14 tail instead). ROTATION.md "Round 13".
 _PRIORITY = [
-    "capped_running_balance",
-    "window_count_distinct_rewrite",
-    "window_dedup_events",
-    "conditional_case_orders",
-    "cube_orders_status_priority",
-    "global_agg_lineitem",
-    "grouped_map_zscore",
-    "item_item_cf_topk",
-    "left_outer_order_counts",
-    "math_funcs_lineitem",
-    "moving_avg_user_value",
-    "pandas_udf_net_revenue",
-    "profile_lineitem_columns",
-    "q10_returned_revenue",
-    "q14_promo_share",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "running_revenue_per_customer",
-    "salted_agg_event_types",
-    "session_window_events",
-    "sliding_window_events",
-    "sql_entry_revenue_by_nation",
-    "stats_agg_lineitem",
-    "streaming_tumbling_counts",
-    "theta_join_price_bands",
-    "tumbling_hourly_events",
-    "curriculum_buckets_docs",
-    "grouping_sets_orders",
-    "merge_upsert_customers",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q22_global_sales_opportunity",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "range_frame_hourly_sum",
-    "regr_aggs_lineitem",
-    "safe_cast_mixed_events",
-    "salted_join_order_priority",
-    "source_cap_sample",
-    "stopword_array_ops_docs",
-    "streaming_dedup_users",
-    "table_fingerprint_orders",
-    "triangle_count_cosupplier",
-    "bool_bit_aggs_lineitem",
-    "intersect_all_priorities",
-]
-
-#: Everything outside the window, ordered by evidence staleness:
-#: unchanged names oldest-evidence-first (round-7/8-vintage head:
-#: psi_order_value_drift ..), then the round-9/10 windows, and finally
-#: the round-11 window (the freshest rows, moved to the back). The
-#: round-13 window draws from the head of this list.
-_STALENESS_TAIL = [
+    "pagerank_trade_graph",
+    "bfs_hops_trade_graph",
+    "ppr_trade_recommendations",
+    "sssp_trade_graph",
+    "hits_authority_suppliers",
+    "degree_histogram_trade_graph",
+    "degree_assortativity",
+    "dedup_canonical_docs",
+    "neardup_components",
+    "cosine_topk_similarity",
     "psi_order_value_drift",
     "concurrent_sessions_peak",
     "rolling_corr_value",
@@ -118,20 +70,17 @@ _STALENESS_TAIL = [
     "ks_binned_order_drift",
     "clustering_coeff_cosupplier",
     "ntile_percentile_orders",
-    "hll_rollup_daily_users",
     "kmv_distinct_customers",
     "activity_bitmask_users",
     "asof_forward_next_click",
     "assoc_rules_event_pairs",
     "audience_overlap_matrix",
     "benford_digit_audit",
-    "bfs_hops_trade_graph",
     "business_days_to_ship",
     "collation_distinct_segments",
     "corpus_prep_pipeline",
     "cumulative_distinct_users",
     "daily_value_envelope",
-    "degree_histogram_trade_graph",
     "diff_in_diff_orders",
     "dp_laplace_counts",
     "exact_median_selection",
@@ -140,6 +89,15 @@ _STALENESS_TAIL = [
     "hard_negative_mining",
     "hybrid_rrf_retrieval",
     "int8_quantization_stats",
+]
+
+#: Everything outside the window, ordered by evidence staleness: the
+#: planned-r13 names displaced by the plan-change rule plus the rows-only
+#: hll_rollup_daily_users first (they head the r14 window), then the
+#: remaining unchanged names oldest-evidence-first, and finally the
+#: round-12 window (the freshest rows, moved to the back).
+_STALENESS_TAIL = [
+    "hll_rollup_daily_users",
     "jl_projection_distortion",
     "k_anonymity_audit",
     "kaplan_meier_customers",
@@ -152,7 +110,6 @@ _STALENESS_TAIL = [
     "pack_sequences_split",
     "point_in_time_status_join",
     "postings_delta_stats",
-    "ppr_trade_recommendations",
     "range_fingerprint_orders",
     "referential_integrity_audit",
     "rfm_segmentation",
@@ -174,14 +131,9 @@ _STALENESS_TAIL = [
     "binned_range_join_orders",
     "edit_distance_neardup",
     "ngram_jaccard_pairs",
-    "neardup_components",
     "neardup_components_star",
-    "dedup_canonical_docs",
-    "pagerank_trade_graph",
     "sorted_neighborhood_neardup",
-    "sssp_trade_graph",
     "bpe_merges_vocab",
-    "cosine_topk_similarity",
     "cosine_topk_sharded",
     "cosine_topk_hof",
     "maxsim_label_topk",
@@ -315,12 +267,10 @@ _STALENESS_TAIL = [
     "cr10_concentration_by_year",
     "cusum_drift_users",
     "decay_weighted_user_value",
-    "degree_assortativity",
     "ewma_user_value",
     "forward_fill_user_values",
     "grouped_elasticity_slopes",
     "hierarchical_time_rollup",
-    "hits_authority_suppliers",
     "incremental_agg_merge",
     "interevent_burstiness",
     "markov_perplexity_users",
@@ -334,6 +284,56 @@ _STALENESS_TAIL = [
     "source_divergence_matrix",
     "streaming_stateful_profiles",
     "theil_sen_trend_daily",
+    "capped_running_balance",
+    "window_count_distinct_rewrite",
+    "window_dedup_events",
+    "conditional_case_orders",
+    "cube_orders_status_priority",
+    "global_agg_lineitem",
+    "grouped_map_zscore",
+    "item_item_cf_topk",
+    "left_outer_order_counts",
+    "math_funcs_lineitem",
+    "moving_avg_user_value",
+    "pandas_udf_net_revenue",
+    "profile_lineitem_columns",
+    "q10_returned_revenue",
+    "q14_promo_share",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "running_revenue_per_customer",
+    "salted_agg_event_types",
+    "session_window_events",
+    "sliding_window_events",
+    "sql_entry_revenue_by_nation",
+    "stats_agg_lineitem",
+    "streaming_tumbling_counts",
+    "theta_join_price_bands",
+    "tumbling_hourly_events",
+    "curriculum_buckets_docs",
+    "grouping_sets_orders",
+    "merge_upsert_customers",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q22_global_sales_opportunity",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "range_frame_hourly_sum",
+    "regr_aggs_lineitem",
+    "safe_cast_mixed_events",
+    "salted_join_order_priority",
+    "source_cap_sample",
+    "stopword_array_ops_docs",
+    "streaming_dedup_users",
+    "table_fingerprint_orders",
+    "triangle_count_cosupplier",
+    "bool_bit_aggs_lineitem",
+    "intersect_all_priorities",
 ]
 
 def _ordered_names() -> list[str]:

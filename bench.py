@@ -84,8 +84,21 @@ ROUNDS = 3
 #: interleaved round so the median has more time-separated windows to vote
 #: with. A reader of BENCH_r{N}.json no longer needs BENCHNOTES archaeology
 #: to know whether the number was taken on a quiet box.
-CONTENTION_LOADAVG = 2.0
+#: Round-13 (VERDICT r12 "What's wrong" #5): the absolute 2.0 threshold is
+#: mis-calibrated at low core counts — the driver's 8-CPU scaling run
+#: labeled its FASTER first attempt (0.55 s, loadavg ~2-4 on a box with 32
+#: hardware threads mostly idle) contended and recorded the 3x slower
+#: "settled" retry, skewing the scaling ratios pessimistic. Contention is
+#: relative to compute width: a loadavg of 2 on an 8-core allocation is a
+#: quarter-busy box, not a hot one. Threshold = max(2.0, 0.25 * cpus), so
+#: the 32-CPU headline run keeps an effective bar of 8 (the r12 headline
+#: run measured at loadavg 1.96 — far under either bar) and low-core runs
+#: stop inverting settled/contended ordering.
 CONTENTION_SETTLE_SEC = 20
+
+
+def _contention_loadavg(cpus: int) -> float:
+    return max(2.0, 0.25 * cpus)
 
 #: Round-11 (VERDICT r10 "Next round" #2): self-labeling was not enough —
 #: BENCH_r10.json still RECORDED the hot number (uniform 1.6-3.6x ambient
@@ -161,13 +174,15 @@ def main() -> None:
         planning[name] = round(time.perf_counter() - t0, 4)
         dfs[name] = df
 
+    threshold = _contention_loadavg(cpus)
+
     def check_contention() -> tuple[tuple[float, float, float], bool]:
         load = os.getloadavg()
-        if load[0] > CONTENTION_LOADAVG:
+        if load[0] > threshold:
             # transient spike? settle once, re-read, only then label
             time.sleep(CONTENTION_SETTLE_SEC)
             load = os.getloadavg()
-        return load, load[0] > CONTENTION_LOADAVG
+        return load, load[0] > threshold
 
     def measure(rounds: int) -> dict[str, list[float]]:
         medians: dict[str, list[float]] = {n: [] for n in HEADLINE + TRACKED}
