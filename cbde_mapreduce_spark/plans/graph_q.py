@@ -42,6 +42,37 @@ TOP_N = 20
 # BCAST_MAX_ROWS, else fall back to a shuffle join. The count is read off
 # the round's checkpoint blocks, so the gate costs one trivial job per round.
 
+def _encoded_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The symmetrized bipartite trade graph, shared by every builder that
+    uses the 2k/2k+1 vertex encoding (pagerank, BFS, PPR, degree histogram,
+    assortativity) — ADVICE r12: one home for the encoding AND the
+    symmetrize-without-distinct invariant, so an encoding edit cannot
+    silently desynchronize from the removed dedup.
+
+    Customer vertices are even (o_custkey * 2), supplier vertices odd
+    (l_suppkey * 2 + 1), so e0 (even→odd) and its reversal (odd→even) can
+    never collide and each half is already distinct — the union IS a set
+    and needs no ``.distinct()`` (the pre-r12 symmetrize-distinct shuffled
+    and re-hashed 2|E| rows to remove zero duplicates). Pinned by
+    tests/test_optimization_r12.py::test_trade_graph_symmetrize_halves_disjoint,
+    which exercises THIS function.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        # a graph edge needs both endpoints: NULL FKs (dirty data) must not
+        # mint a NULL vertex (NULL-FK value-parity sweep)
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    return e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+
 _PR_ORACLE = f"""
     WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -81,26 +112,7 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranks are rounded BEFORE the final sort so cross-engine float noise
     (~1e-15 from summation order) cannot reorder near-ties at the cutoff.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    e0 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("a"),
-            (F.col("l_suppkey") * 2 + 1).alias("b"),
-        )
-        # a graph edge needs both endpoints: NULL FKs (dirty data) must not
-        # mint a NULL vertex (NULL-FK value-parity sweep)
-        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .distinct()
-    )
-    # No .distinct() after symmetrizing: customer vertices are even (2k) and
-    # supplier vertices odd (2k+1), so e0 (even→odd) and its reversal
-    # (odd→even) can never collide and each half is already distinct — the
-    # old symmetrize-distinct shuffled and re-hashed 2|E| rows to remove
-    # zero duplicates (r12 A/B: identical row count, one Exchange + two
-    # HashAggregate passes gone).
-    e = e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    e = _encoded_sym_edges(spark, sf_dir)
     # edges drive every round: materialize once, reuse three times — laid
     # out partitioned+sorted on the round join key, so deg's groupBy, the
     # vertex distinct and every round's rank join read the cache with no
@@ -252,25 +264,8 @@ def bfs_hops_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     soon as the next one materializes (operators/ckpt.py), bounding a long
     session to one round of state per query.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    e0 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("a"),
-            (F.col("l_suppkey") * 2 + 1).alias("b"),
-        )
-        # a graph edge needs both endpoints: NULL FKs (dirty data) must not
-        # mint a NULL vertex (NULL-FK value-parity sweep)
-        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .distinct()
-    )
     e = (
-        # no symmetrize-distinct: even/odd vertex encoding keeps the two
-        # union halves disjoint and each is already distinct (see
-        # pagerank_trade_graph) — the old .distinct() here shuffled 2|E|
-        # rows for zero duplicates
-        e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        _encoded_sym_edges(spark, sf_dir)
         # partition+sort on the frontier-join key BEFORE materializing:
         # persist (NOT localCheckpoint, which records UnknownPartitioning
         # under AQE — operators/ckpt.py::persist_disk) keeps the layout, so
@@ -329,25 +324,9 @@ def degree_histogram_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     decides whether pagerank/triangle joins need salting). Two combinable
     aggregations riding one shuffle each over the edge list; completes the
     graph family (pagerank, triangles, BFS, components, degrees)."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    e0 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("a"),
-            (F.col("l_suppkey") * 2 + 1).alias("b"),
-        )
-        # a graph edge needs both endpoints: NULL FKs (dirty data) must not
-        # mint a NULL vertex (NULL-FK value-parity sweep)
-        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .distinct()
-    )
-    # no symmetrize-distinct: the even/odd vertex encoding keeps the two
-    # union halves disjoint and each is already distinct (see
-    # pagerank_trade_graph) — one Exchange + two HashAggregate passes over
-    # 2|E| rows removed; the degree groupBy's partial aggregation is the
-    # only shuffle the union feeds
-    e = e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # the degree groupBy's partial aggregation is the only shuffle the
+    # symmetrized union feeds (shared build: _encoded_sym_edges)
+    e = _encoded_sym_edges(spark, sf_dir)
     d = e.groupBy(F.col("a").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
     return d.groupBy("deg").agg(
         F.count(F.lit(1)).alias("n_vertices"),
@@ -396,24 +375,8 @@ def ppr_trade_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     + combinable sum); the rank table is only the reached neighborhood,
     SMALLER than global PageRank's — personalization is cheaper, not
     dearer, at scale."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    e0 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("a"),
-            (F.col("l_suppkey") * 2 + 1).alias("b"),
-        )
-        # a graph edge needs both endpoints: NULL FKs (dirty data) must not
-        # mint a NULL vertex (NULL-FK value-parity sweep)
-        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .distinct()
-    )
     e = (
-        # no symmetrize-distinct: even/odd vertex encoding keeps the two
-        # union halves disjoint and each already distinct (see
-        # pagerank_trade_graph) — 2|E| rows no longer shuffle for zero dups
-        e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        _encoded_sym_edges(spark, sf_dir)
         # partition+sort on the round join key before materializing: persist
         # (NOT localCheckpoint — UnknownPartitioning under AQE, see
         # operators/ckpt.py::persist_disk) keeps the layout, so deg's groupBy
@@ -425,14 +388,17 @@ def ppr_trade_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions("a", "b")
         .transform(persist_disk)
     )
-    deg = (
-        e.groupBy("a")
-        .agg(F.count(F.lit(1)).cast("double").alias("d"))
-        # vertex-sized; checkpointed so the |E|-row aggregation runs ONCE,
-        # not inside every round's broadcast build (the single-evaluation
-        # plan got this for free from exchange reuse)
-        .localCheckpoint()
+    deg = persist_disk(
+        e.groupBy("a").agg(F.count(F.lit(1)).cast("double").alias("d"))
+        # vertex-sized; materialized so the |E|-row aggregation runs ONCE,
+        # not inside every round's broadcast build. persist, NOT
+        # localCheckpoint (r13): the groupBy lays deg out on the round join
+        # key a, and the persisted relation KEEPS that layout under AQE, so
+        # the past-the-gate rank⋈deg join is exchange-free on the deg side
+        # (a checkpoint came back UnknownPartitioning and re-shuffled it
+        # every round).
     )
+    deg.count()  # materialize (was: eager checkpoint)
     ranks = spark.range(1).select(
         F.lit(_PPR_SOURCE).cast("long").alias("v"), F.lit(1.0).alias("r")
     )
@@ -440,8 +406,8 @@ def ppr_trade_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0)
     )
     n_ranks = 1
-    prev_ckpt = None
-    for _ in range(N_ITERS):
+    prev_state = None
+    for i in range(N_ITERS):
         # the reached rank table starts neighborhood-sized, so while it is
         # MEASURED small (<= _BCAST_MAX_ROWS, counted off the previous
         # round's checkpoint blocks) it BROADCASTS into both the degree
@@ -463,19 +429,34 @@ def ppr_trade_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib = e.join(F.broadcast(rd) if small else rd, "a").select(
             F.col("b").alias("v"), F.col("c0").alias("c")
         )
-        ranks = (
-            contrib.groupBy("v")
-            .agg((teleport + F.lit(DAMPING) * F.sum("c")).alias("r"))
-            # one materialized round of state; also what makes the per-round
-            # size measurement a block read instead of a recompute
-            .localCheckpoint()
+        agg = contrib.groupBy("v").agg(
+            (teleport + F.lit(DAMPING) * F.sum("c")).alias("r")
         )
-        release_local_checkpoint(prev_ckpt)  # superseded round: unreferenced
-        prev_ckpt = ranks
-        n_ranks = ranks.count()
+        if i < N_ITERS - 1:
+            # INTERMEDIATE rounds persist, NOT localCheckpoint (r13, VERDICT
+            # r12 ask #2): the contribution groupBy lays each round's ranks
+            # out on the join key, and the persisted state KEEPS hash(v)
+            # under AQE, so the past-the-gate round joins (ranks⋈deg on a,
+            # e⋈rd on a) are exchange-free on every side — one irreducible
+            # vertex-sized exchange per round (the contribution groupBy
+            # itself). A checkpoint recorded UnknownPartitioning and
+            # re-shuffled the rank table every round.
+            ranks = persist_disk(agg)
+            n_ranks = ranks.count()  # gate measurement; materializes
+        else:
+            # the FINAL round truncates: the consumer is a filter+TakeOrdered
+            # (layout-indifferent), the returned plan stays one
+            # self-contained block scan, the eager checkpoint is the
+            # materializing action, and the gate has no next round to feed
+            ranks = agg.localCheckpoint()
+        if prev_state is not None:
+            prev_state.unpersist()  # superseded round: no live reader
+            prev_state = None
+        if i < N_ITERS - 1:
+            prev_state = ranks
     # the returned plan reads only the final ranks checkpoint
     e.unpersist()
-    release_local_checkpoint(deg)
+    deg.unpersist()
     return (
         ranks.select("v", F.round("r", 6).alias("ppr"))
         .filter(F.col("ppr") > 0)
@@ -566,21 +547,40 @@ def sssp_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(SSSP_SOURCE).cast("bigint").alias("v"),
         F.lit(0).cast("bigint").alias("dist"),
     )
-    prev_ckpt = None
-    for _ in range(SSSP_ROUNDS):
+    prev_state = None
+    for i in range(SSSP_ROUNDS):
         relaxed = e.join(dist.withColumnRenamed("v", "a"), "a").select(
             F.col("b").alias("v"), (F.col("dist") + F.col("w")).alias("dist")
         )
-        dist = (
+        agg = (
             dist.unionByName(relaxed)
             .groupBy("v")
             .agg(F.min("dist").cast("bigint").alias("dist"))
-            # one round of materialized state per query (operators/ckpt.py
-            # hygiene, same as BFS/PPR/CC); also truncates the union chain
-            .localCheckpoint()
         )
-        release_local_checkpoint(prev_ckpt)
-        prev_ckpt = dist
+        if i < SSSP_ROUNDS - 1:
+            # INTERMEDIATE rounds persist, NOT localCheckpoint (r13, VERDICT
+            # r12 ask #2): the relaxation groupBy already lays each round's
+            # dist out on the join key, but a checkpoint records
+            # UnknownPartitioning under AQE, so the next round re-shuffled
+            # the vertex table into the edge join. The persisted state keeps
+            # hash(v), making the round's only exchange the irreducible
+            # relaxation groupBy (r13 probe: 2 exchanges/round -> 1 under
+            # production AQE; identical plan under the bench's AQE-off).
+            # Lineage grows one cached-plan layer per round, bounded by the
+            # fixed rounds; an evicted block recomputes, not fails.
+            dist = persist_disk(agg)
+            dist.count()  # materialize this round's blocks
+        else:
+            # the FINAL round truncates: nothing joins the result again (the
+            # consumer is a TakeOrdered, layout-indifferent), the returned
+            # plan stays one self-contained block scan, and the eager
+            # checkpoint is itself the materializing action
+            dist = agg.localCheckpoint()
+        if prev_state is not None:
+            prev_state.unpersist()  # superseded round: no live reader
+            prev_state = None
+        if i < SSSP_ROUNDS - 1:
+            prev_state = dist
     e.unpersist()  # the returned plan reads only the final dist
     return dist.orderBy(F.asc("dist"), F.asc("v")).limit(SSSP_TOP)
 
@@ -705,16 +705,26 @@ def hits_authority_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # Cache laid out on the HUB key c, with the incidence dedup riding the
+    # layout exchange: hashpartitioning(c) satisfies the (c, s) clustering
+    # requirement of dropDuplicates, so |E| crosses the network exactly ONCE
+    # to both dedup and lay out the cache (r13 probe; the r12 s-layout paid
+    # distinct + repartition = two |E| moves and its target — a1's groupBy
+    # and the e ⋈ a1 join — was already cheap because a1 is a broadcast-
+    # sized supplier dimension at every scale). On the c-layout, h1's
+    # groupBy("c") is exchange-free (partial+final aggregate adjacent over
+    # the cache — verified in plans/r13/hits_authority_suppliers_after.txt)
+    # and the remaining exchanges are the two vertex-sized, map-side-
+    # combined score shuffles (a1's and a2's groupBy) — the alternation
+    # itself. No sortWithinPartitions: every join here is broadcast-hash,
+    # so an in-partition order would cost a build sort and buy nothing.
     e = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
+        .repartition("c")
+        .dropDuplicates(["c", "s"])
+        .cache()
     )
-    # cache laid out on the authority-side join key: a1's groupBy("s") and
-    # the e ⋈ a1 join read it with no exchange (the hub-side join on "c"
-    # still pays its one shuffle — a bipartite alternation cannot be
-    # co-partitioned on both vertex classes at once)
-    e = e.repartition("s").sortWithinPartitions("s", "c").cache()
     # The L1 normalizers CANCEL through the hub/authority alternation, so
     # both half-steps ride EXACT integers (money.py round-11: the old
     # per-row ratio sums were scheduler-order double accumulation):
@@ -784,24 +794,9 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL. Completes the graph-statistics
     set beside degree_distribution, clustering coefficient, and triangles.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    e0 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("a"),
-            (F.col("l_suppkey") * 2 + 1).alias("b"),
-        )
-        # a graph edge needs both endpoints: NULL FKs (dirty data) must not
-        # mint a NULL vertex (NULL-FK value-parity sweep)
-        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .distinct()
-    )
-    # no symmetrize-distinct: even/odd vertex encoding keeps the two union
-    # halves disjoint and each already distinct (see pagerank_trade_graph) —
-    # the widest shuffle of this plan (2|E| rows de-duplicating nothing)
-    # removed; deg's partial aggregation is the only shuffle the union feeds
-    e = e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # deg's partial aggregation is the only shuffle the symmetrized union
+    # feeds (shared build: _encoded_sym_edges)
+    e = _encoded_sym_edges(spark, sf_dir)
     deg = e.groupBy(F.col("a").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     )

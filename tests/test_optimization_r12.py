@@ -32,19 +32,13 @@ def _fmt_plan(df) -> str:
 
 
 def _trade_edges_symmetrized(spark, sf_dir):
-    """The shared trade-graph build (same expressions as graph_q.py)."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    e0 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("a"),
-            (F.col("l_suppkey") * 2 + 1).alias("b"),
-        )
-        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .distinct()
-    )
-    return e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    """The shared trade-graph build — since r13 (ADVICE r12) the PRODUCTION
+    helper itself, so the disjoint-halves invariant below exercises exactly
+    the code the five graph builders run, and an encoding edit cannot
+    desynchronize from the removed symmetrize-distinct."""
+    from cbde_mapreduce_spark.plans.graph_q import _encoded_sym_edges
+
+    return _encoded_sym_edges(spark, sf_dir)
 
 
 def test_trade_graph_symmetrize_halves_disjoint(spark, sf_smoke):
