@@ -73,6 +73,25 @@ def persist_disk(df: DataFrame) -> DataFrame:
     return df.persist(StorageLevel.DISK_ONLY)
 
 
+def persist_mem(df: DataFrame) -> DataFrame:
+    """``persist(MEMORY_AND_DISK)`` — for VERTEX-SIZED per-round state whose
+    physical layout later rounds must reuse.
+
+    Same partitioning/ordering-preservation rationale as ``persist_disk``
+    (InMemoryRelation keeps its cached plan's layout under AQE, a
+    localCheckpoint does not), but at the storage level the ckpt doctrine
+    assigns to per-round vertex state: it is small, read once or twice, and
+    released as soon as it is superseded — DISK_ONLY would pay a
+    serialize+write+read round trip every round for blocks that fit in
+    memory trivially (measured r13: sssp_trade_graph at sf10 read ~15%
+    slower with DISK_ONLY round-state than with the old memory-level
+    checkpoint; MEMORY_AND_DISK spills gracefully if a giant vertex table
+    ever does not fit). Data-sized EDGE sets keep ``persist_disk``: their
+    blocks pinned in the memory pool starve later aggregations
+    (SCALING.md round 7)."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def release_local_checkpoint(df: DataFrame | None) -> None:
     """Free the storage blocks behind a superseded ``localCheckpoint`` df.
 

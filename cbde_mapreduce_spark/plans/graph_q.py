@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from cbde_mapreduce_spark.operators.ckpt import (
     persist_disk,
+    persist_mem,
     release_local_checkpoint,
 )
 from cbde_mapreduce_spark.operators.gates import BCAST_MAX_ROWS as _BCAST_MAX_ROWS
@@ -388,7 +389,7 @@ def ppr_trade_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions("a", "b")
         .transform(persist_disk)
     )
-    deg = persist_disk(
+    deg = persist_mem(
         e.groupBy("a").agg(F.count(F.lit(1)).cast("double").alias("d"))
         # vertex-sized; materialized so the |E|-row aggregation runs ONCE,
         # not inside every round's broadcast build. persist, NOT
@@ -441,7 +442,7 @@ def ppr_trade_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
             # vertex-sized exchange per round (the contribution groupBy
             # itself). A checkpoint recorded UnknownPartitioning and
             # re-shuffled the rank table every round.
-            ranks = persist_disk(agg)
+            ranks = persist_mem(agg)
             n_ranks = ranks.count()  # gate measurement; materializes
         else:
             # the FINAL round truncates: the consumer is a filter+TakeOrdered
@@ -568,7 +569,7 @@ def sssp_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             # production AQE; identical plan under the bench's AQE-off).
             # Lineage grows one cached-plan layer per round, bounded by the
             # fixed rounds; an evicted block recomputes, not fails.
-            dist = persist_disk(agg)
+            dist = persist_mem(agg)
             dist.count()  # materialize this round's blocks
         else:
             # the FINAL round truncates: nothing joins the result again (the

@@ -1,14 +1,20 @@
 """Round-13 optimization invariants (OPTIMIZATION_r13.md).
 
-1. The iterative loops' PER-ROUND vertex state (SSSP dist, PPR ranks, CC
-   labels) moved from ``localCheckpoint`` to ``persist_disk``: the
-   groupBy/join that produces each round's state already lays it out on the
-   next round's join key, and the persisted relation KEEPS that layout under
-   AQE where a checkpoint records UnknownPartitioning — removing one
-   vertex-sized Exchange per round past the broadcast gate. Pinned here: a
-   persisted round-state joined against the pre-laid edge cache plans with
-   ZERO exchanges on either side (the only shuffle of a full round is the
-   propagation groupBy itself).
+1. The iterative loops' PER-ROUND vertex state (SSSP dist, PPR ranks)
+   moved from ``localCheckpoint`` to ``persist_mem`` (MEMORY_AND_DISK —
+   the vertex-state storage level of the ckpt doctrine; the edge sets stay
+   DISK_ONLY): the groupBy that produces each round's state already lays
+   it out on the next round's join key, and the persisted relation KEEPS
+   that layout under AQE where a checkpoint records UnknownPartitioning —
+   removing one vertex-sized Exchange per round past the broadcast gate.
+   (connected_components was MEASURED with the same mechanism and kept on
+   per-round localCheckpoint instead: each CC round references the label
+   table twice, so a lineage-keeping persist embeds the caller's upstream
+   pipeline plan 2^r times in driver analysis, and CC's label table is
+   broadcast-small in every dedup regime — OPTIMIZATION_r13.md.) Pinned
+   here: a persisted round-state joined against the pre-laid edge cache
+   plans with ZERO exchanges on either side (the only shuffle of a full
+   round is the propagation groupBy itself).
 2. hits_authority_suppliers' edge cache moved from the r12 s-layout (a
    distinct + a repartition = two |E| moves; target already broadcast-sized)
    to the c-layout with the incidence dedup RIDING the layout exchange:
@@ -23,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from cbde_mapreduce_spark.operators.ckpt import persist_disk
+from cbde_mapreduce_spark.operators.ckpt import persist_disk, persist_mem
 
 
 def _node_names(plan) -> list[str]:
@@ -80,7 +86,7 @@ def test_per_round_state_persist_keeps_layout(spark):
     # AQE ON: the production regime where localCheckpoint loses the layout
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     try:
-        state = persist_disk(sssp_round(seed))
+        state = persist_mem(sssp_round(seed))
         state.count()
         nxt = sssp_round(state)
         # execute so the adaptive plan finalizes, then walk the final plan
