@@ -8,9 +8,14 @@ the evidence)."""
 
 from __future__ import annotations
 
+
 from concurrent.futures import ThreadPoolExecutor
 
 from cbde_mapreduce_spark.plans import REGISTRY
+
+import pytest
+
+pytestmark = pytest.mark.slow  # value-parity/property/scale tier: excluded from the driver-visible default run (pytest.ini)
 
 QUERIES = [
     "q1_pricing_summary",

@@ -18,12 +18,15 @@ Spark engine behavior, not a plan defect.
 
 from __future__ import annotations
 
+
 import duckdb
 import pyarrow.parquet as pq
 import pytest
 
 from cbde_mapreduce_spark.plans import REGISTRY
 from cbde_mapreduce_spark.sources import TABLES
+
+pytestmark = pytest.mark.slow  # value-parity/property/scale tier: excluded from the driver-visible default run (pytest.ini)
 
 #: Spark emits 0 rows for CUBE/ROLLUP over empty input; DuckDB emits the
 #: standard () grouping-set row. Engine semantics, disclosed above.

@@ -10,6 +10,7 @@ probes run against every rolled dup corpus in tools_dup_value_sweep.py.
 
 from __future__ import annotations
 
+
 import pytest
 
 from cbde_mapreduce_spark.plans.rowlevel import (
@@ -18,6 +19,8 @@ from cbde_mapreduce_spark.plans.rowlevel import (
     assert_bounded_rowlevel,
 )
 from tests.parity import assert_parity
+
+pytestmark = pytest.mark.slow  # value-parity/property/scale tier: excluded from the driver-visible default run (pytest.ini)
 
 
 @pytest.mark.parametrize(

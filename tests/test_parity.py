@@ -7,10 +7,13 @@ scale factor and engine the verification driver uses, with a stricter
 
 from __future__ import annotations
 
+
 import pytest
 
 from cbde_mapreduce_spark.plans import REGISTRY
 from tests.parity import assert_parity
+
+pytestmark = pytest.mark.slow  # value-parity/property/scale tier: excluded from the driver-visible default run (pytest.ini)
 
 ORACLED = sorted(n for n, s in REGISTRY.items() if s.oracle)
 ROWS_ONLY = sorted(n for n, s in REGISTRY.items() if not s.oracle)

@@ -2,9 +2,14 @@
 
 from __future__ import annotations
 
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
+
+import pytest
+
+pytestmark = pytest.mark.slow  # value-parity/property/scale tier: excluded from the driver-visible default run (pytest.ini)
 
 rows = st.lists(
     st.tuples(

@@ -3,9 +3,12 @@ across scale factors — a partition-sensitive bug shows up as instability."""
 
 from __future__ import annotations
 
+
 import pytest
 
 from cbde_mapreduce_spark.plans import REGISTRY
+
+pytestmark = pytest.mark.slow  # value-parity/property/scale tier: excluded from the driver-visible default run (pytest.ini)
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 

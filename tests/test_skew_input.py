@@ -20,6 +20,7 @@ where every doc collides into one bucket.
 
 from __future__ import annotations
 
+
 import os
 
 import duckdb
@@ -30,6 +31,8 @@ import pytest
 
 from cbde_mapreduce_spark.plans import REGISTRY
 from cbde_mapreduce_spark.sources import TABLES
+
+pytestmark = pytest.mark.slow  # value-parity/property/scale tier: excluded from the driver-visible default run (pytest.ini)
 
 _SRC_SF = "/root/testdata/sf0.001"
 

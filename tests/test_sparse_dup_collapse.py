@@ -18,12 +18,15 @@ against the UNCHANGED quadratic-exact DuckDB oracle:
 
 from __future__ import annotations
 
+
 import duckdb
 import pandas as pd
 import pytest
 
 from cbde_mapreduce_spark.plans import REGISTRY
 from tests.parity import canonicalize
+
+pytestmark = pytest.mark.slow  # value-parity/property/scale tier: excluded from the driver-visible default run (pytest.ini)
 
 
 def _docs_frame(texts: list[str | None], ids: list[int]) -> pd.DataFrame:

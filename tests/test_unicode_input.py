@@ -20,6 +20,7 @@ multibyte text. The one true divergence is allowlisted below:
 
 from __future__ import annotations
 
+
 import duckdb
 import pandas as pd
 import pytest
@@ -27,6 +28,8 @@ import pytest
 from cbde_mapreduce_spark.plans import REGISTRY
 from cbde_mapreduce_spark.sources import TABLES
 from tests.parity import canonicalize, run_oracle
+
+pytestmark = pytest.mark.slow  # value-parity/property/scale tier: excluded from the driver-visible default run (pytest.ini)
 
 _SRC_SF = "/root/testdata/sf0.001"
 _UNI_SUFFIX = " café 東京データ 🚀🚀 ñandú Straße"
